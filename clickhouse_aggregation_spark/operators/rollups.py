@@ -1,0 +1,346 @@
+"""The reference's materialized-view rollups as Spark transforms
+(SURVEY.md §2.4), plus their registry entries.
+
+The reference maintains nine MV variants over the transfers table —
+six in usdc-transfers/sql/analytics.sql:9-106 and three (timestamp-
+bucketed variants) in usdc-transfers/scripts/setup-analytics.sh:46-113.
+Each is a ``WHERE _sign = 1`` filter + grouped aggregation; the
+SummingMergeTree/ReplacingMergeTree lazy-merge machinery is reproduced
+by contract (reads re-aggregate; dedup = last ``_version`` wins), not
+by engine code — see SURVEY.md §2.4 A5/A6.
+
+Scale notes: every rollup is a single hash-aggregate over the fact
+table — partial (map-side) + final after one shuffle on the group keys,
+exactly the SummingMergeTree partial-merge model. No driver-side
+collects; the 24 h "now()" anchor is a broadcast scalar join, so the
+plan stays fully distributed at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
+
+from ..functions.bucketing import (
+    SIZE_BUCKET_SQL, block_hour, block_range_day, size_bucket,
+    to_day, to_start_of_hour,
+)
+from ..sources.transfers import TRANSFERS_ORACLE_CTE, transfers_df
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# helpers
+
+def oracle(body: str) -> str:
+    """Prefix an oracle body with the transfers CTE."""
+    return f"WITH {TRANSFERS_ORACLE_CTE}\n{body}"
+
+
+def live(t: DataFrame) -> DataFrame:
+    """Liveness predicate P4: exclude retracted CDC rows
+    (reference: usdc-transfers/sql/analytics.sql:21 etc.)."""
+    return t.filter(F.col("_sign") == 1)
+
+
+LIVE_SQL = "SELECT * FROM transfers WHERE _sign = 1"
+
+# ---------------------------------------------------------------------------
+# rollup transforms (used by batch queries here AND by the streaming
+# maintainers in streaming/maintainer.py — single definition each)
+
+
+def mv_usdc_daily_block(t: DataFrame) -> DataFrame:
+    """analytics.sql:9-22 — daily rollup bucketed by block arithmetic."""
+    return (
+        live(t)
+        .groupBy(
+            block_range_day(F.col("block_number")).alias("block_range"),
+            "from_address", "to_address")
+        .agg(F.sum("value").alias("total_usdc"),
+             F.count(F.lit(1)).alias("tx_count"))
+    )
+
+
+def mv_usdc_hourly_block(t: DataFrame, approx: bool = False) -> DataFrame:
+    """analytics.sql:24-38 — hourly volume + unique senders/receivers.
+
+    ``uniq()`` is a sketch in ClickHouse; `approx=True` maps it to
+    ``approx_count_distinct`` (the honest equivalent, not oracle-
+    hashable), `approx=False` to exact distinct for the oracle gate.
+    """
+    uniq = F.approx_count_distinct if approx else F.countDistinct
+    return (
+        live(t)
+        .groupBy(block_hour(F.col("block_number")).alias("block_hour"))
+        .agg(F.sum("value").alias("total_volume"),
+             F.count(F.lit(1)).alias("tx_count"),
+             uniq(F.col("from_address")).alias("unique_senders"),
+             uniq(F.col("to_address")).alias("unique_receivers"))
+    )
+
+
+def mv_top_senders(t: DataFrame) -> DataFrame:
+    """analytics.sql:41-53 — per-day-bucket sender totals."""
+    return (
+        live(t)
+        .groupBy(block_range_day(F.col("block_number")).alias("block_range"),
+                 "from_address")
+        .agg(F.sum("value").alias("total_sent"),
+             F.count(F.lit(1)).alias("tx_count"))
+    )
+
+
+def mv_top_receivers(t: DataFrame) -> DataFrame:
+    """analytics.sql:56-68 — per-calendar-day receiver totals."""
+    return (
+        live(t)
+        .groupBy(to_day(F.col("block_timestamp")).alias("day"), "to_address")
+        .agg(F.sum("value").alias("total_received"),
+             F.count(F.lit(1)).alias("tx_count"))
+    )
+
+
+def mv_tx_size_distribution(t: DataFrame) -> DataFrame:
+    """analytics.sql:71-88 — multiIf histogram by day."""
+    return (
+        live(t)
+        .groupBy(size_bucket(F.col("value")).alias("size_bucket"),
+                 to_day(F.col("block_timestamp")).alias("day"))
+        .agg(F.count(F.lit(1)).alias("tx_count"),
+             F.sum("value").alias("total_volume"))
+    )
+
+
+def mv_recent_activity(t: DataFrame, window_hours: int = 24) -> DataFrame:
+    """analytics.sql:91-106 — last-24 h view with ReplacingMergeTree
+    dedup: key (block_timestamp, transaction_hash, log_index), last
+    ``_version`` wins (A6). ``now()`` is anchored to max(block_timestamp)
+    so results are deterministic on a static fixture.
+
+    The anchor is a broadcast one-row join (no collect); the dedup is a
+    window over the retention slice only — tiny state at any scale.
+    """
+    lv = live(t)
+    anchor = lv.agg(F.max("block_timestamp").alias("_max_ts"))
+    recent = (
+        lv.join(F.broadcast(anchor))
+        .filter(F.col("block_timestamp")
+                >= F.col("_max_ts") - F.expr(f"INTERVAL {window_hours} HOURS"))
+    )
+    w = Window.partitionBy("block_timestamp", "transaction_hash", "log_index") \
+              .orderBy(F.col("_version").desc())
+    return (
+        recent.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("block_timestamp", "transaction_hash", "log_index",
+                "from_address", "to_address", "value", "block_number")
+    )
+
+
+def mv_usdc_daily_ts(t: DataFrame) -> DataFrame:
+    """setup-analytics.sh:46-61 — daily rollup bucketed by toDate(ts)."""
+    return (
+        live(t)
+        .groupBy(to_day(F.col("block_timestamp")).alias("day"),
+                 "from_address", "to_address")
+        .agg(F.sum("value").alias("total_usdc"),
+             F.count(F.lit(1)).alias("tx_count"))
+    )
+
+
+def mv_usdc_hourly_ts(t: DataFrame, approx: bool = False) -> DataFrame:
+    """setup-analytics.sh:64-81 — hourly rollup by toStartOfHour(ts)."""
+    uniq = F.approx_count_distinct if approx else F.countDistinct
+    return (
+        live(t)
+        .groupBy(to_start_of_hour(F.col("block_timestamp")).alias("hour"))
+        .agg(F.sum("value").alias("total_volume"),
+             F.count(F.lit(1)).alias("tx_count"),
+             uniq(F.col("from_address")).alias("unique_senders"),
+             uniq(F.col("to_address")).alias("unique_receivers"))
+    )
+
+
+def mv_top_addresses(t: DataFrame) -> DataFrame:
+    """setup-analytics.sh:85-113 — UNION ALL pivot of senders+receivers
+    into one (address, address_type) rollup (U1)."""
+    lv = live(t)
+    sent = (
+        lv.groupBy(to_day(F.col("block_timestamp")).alias("day"),
+                   F.col("from_address").alias("address"))
+        .agg(F.sum("value").alias("volume"),
+             F.count(F.lit(1)).alias("tx_count"))
+        .withColumn("address_type", F.lit("sender"))
+    )
+    received = (
+        lv.groupBy(to_day(F.col("block_timestamp")).alias("day"),
+                   F.col("to_address").alias("address"))
+        .agg(F.sum("value").alias("volume"),
+             F.count(F.lit(1)).alias("tx_count"))
+        .withColumn("address_type", F.lit("receiver"))
+    )
+    cols = ["address", "address_type", "volume", "tx_count", "day"]
+    return sent.select(*cols).unionByName(received.select(*cols))
+
+
+# every batch rollup keyed by name — the streaming maintainer reuses this
+ROLLUPS: dict[str, callable] = {
+    "mv_usdc_daily_block": mv_usdc_daily_block,
+    "mv_usdc_hourly_block": mv_usdc_hourly_block,
+    "mv_top_senders": mv_top_senders,
+    "mv_top_receivers": mv_top_receivers,
+    "mv_tx_size_distribution": mv_tx_size_distribution,
+    "mv_usdc_daily_ts": mv_usdc_daily_ts,
+    "mv_usdc_hourly_ts": mv_usdc_hourly_ts,
+    "mv_top_addresses": mv_top_addresses,
+}
+
+# ---------------------------------------------------------------------------
+# registry entries (declared queries with DuckDB oracles)
+
+
+@register(
+    "mv_usdc_daily_block",
+    oracle=oracle("""
+SELECT cast(block_number as bigint) // 7200 AS block_range,
+       from_address, to_address,
+       sum(value) AS total_usdc, count(*) AS tx_count
+FROM transfers WHERE _sign = 1
+GROUP BY 1, 2, 3"""),
+    doc="Daily rollup by block arithmetic (analytics.sql:9-22; A1,A2,A4,F1,P4)",
+)
+def q_mv_usdc_daily_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mv_usdc_daily_block(transfers_df(spark, sf_dir))
+
+
+@register(
+    "mv_usdc_hourly_block",
+    oracle=oracle("""
+SELECT cast(block_number as bigint) // 300 AS block_hour,
+       sum(value) AS total_volume, count(*) AS tx_count,
+       count(DISTINCT from_address) AS unique_senders,
+       count(DISTINCT to_address) AS unique_receivers
+FROM transfers WHERE _sign = 1
+GROUP BY 1"""),
+    doc="Hourly volume + distinct senders/receivers (analytics.sql:24-38; A3 exact form)",
+)
+def q_mv_usdc_hourly_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mv_usdc_hourly_block(transfers_df(spark, sf_dir))
+
+
+@register(
+    "mv_usdc_hourly_block_approx",
+    oracle=None,   # sketch-based: estimates differ across engines by design
+    doc="Hourly rollup with approx_count_distinct = ClickHouse uniq() (A3)",
+    tags=("approx",),
+)
+def q_mv_usdc_hourly_block_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mv_usdc_hourly_block(transfers_df(spark, sf_dir), approx=True)
+
+
+@register(
+    "mv_top_senders",
+    oracle=oracle("""
+SELECT cast(block_number as bigint) // 7200 AS block_range, from_address,
+       sum(value) AS total_sent, count(*) AS tx_count
+FROM transfers WHERE _sign = 1
+GROUP BY 1, 2"""),
+    doc="Sender rollup (analytics.sql:41-53)",
+)
+def q_mv_top_senders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mv_top_senders(transfers_df(spark, sf_dir))
+
+
+@register(
+    "mv_top_receivers",
+    oracle=oracle("""
+SELECT CAST(block_timestamp AS DATE) AS day, to_address,
+       sum(value) AS total_received, count(*) AS tx_count
+FROM transfers WHERE _sign = 1
+GROUP BY 1, 2"""),
+    doc="Receiver rollup by calendar day (analytics.sql:56-68; F3)",
+)
+def q_mv_top_receivers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mv_top_receivers(transfers_df(spark, sf_dir))
+
+
+@register(
+    "mv_tx_size_distribution",
+    oracle=oracle(f"""
+SELECT {SIZE_BUCKET_SQL} AS size_bucket,
+       CAST(block_timestamp AS DATE) AS day,
+       count(*) AS tx_count, sum(value) AS total_volume
+FROM transfers WHERE _sign = 1
+GROUP BY 1, 2"""),
+    doc="multiIf histogram by day (analytics.sql:71-88; A10,F2)",
+)
+def q_mv_tx_size_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mv_tx_size_distribution(transfers_df(spark, sf_dir))
+
+
+@register(
+    "mv_recent_activity",
+    oracle=oracle("""
+, live AS (SELECT * FROM transfers WHERE _sign = 1),
+recent AS (
+  SELECT * FROM live
+  WHERE block_timestamp >= (SELECT max(block_timestamp) FROM live) - INTERVAL 24 HOUR
+), ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY block_timestamp, transaction_hash, log_index
+      ORDER BY _version DESC) AS _rn
+  FROM recent
+)
+SELECT block_timestamp, transaction_hash, log_index,
+       from_address, to_address, value, block_number
+FROM ranked WHERE _rn = 1"""),
+    doc="24h ReplacingMergeTree dedup view (analytics.sql:91-106; A6,O5,P5,F6,F7)",
+)
+def q_mv_recent_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mv_recent_activity(transfers_df(spark, sf_dir))
+
+
+@register(
+    "mv_usdc_daily_ts",
+    oracle=oracle("""
+SELECT CAST(block_timestamp AS DATE) AS day, from_address, to_address,
+       sum(value) AS total_usdc, count(*) AS tx_count
+FROM transfers WHERE _sign = 1
+GROUP BY 1, 2, 3"""),
+    doc="Daily rollup by toDate(ts) (setup-analytics.sh:46-61)",
+)
+def q_mv_usdc_daily_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mv_usdc_daily_ts(transfers_df(spark, sf_dir))
+
+
+@register(
+    "mv_usdc_hourly_ts",
+    oracle=oracle("""
+SELECT date_trunc('hour', block_timestamp) AS hour,
+       sum(value) AS total_volume, count(*) AS tx_count,
+       count(DISTINCT from_address) AS unique_senders,
+       count(DISTINCT to_address) AS unique_receivers
+FROM transfers WHERE _sign = 1
+GROUP BY 1"""),
+    doc="Hourly rollup by toStartOfHour (setup-analytics.sh:64-81; F4)",
+)
+def q_mv_usdc_hourly_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mv_usdc_hourly_ts(transfers_df(spark, sf_dir))
+
+
+@register(
+    "mv_top_addresses",
+    oracle=oracle("""
+, live AS (SELECT * FROM transfers WHERE _sign = 1)
+SELECT from_address AS address, 'sender' AS address_type,
+       sum(value) AS volume, count(*) AS tx_count,
+       CAST(block_timestamp AS DATE) AS day
+FROM live GROUP BY 1, 2, 5
+UNION ALL
+SELECT to_address AS address, 'receiver' AS address_type,
+       sum(value) AS volume, count(*) AS tx_count,
+       CAST(block_timestamp AS DATE) AS day
+FROM live GROUP BY 1, 2, 5"""),
+    doc="UNION ALL sender/receiver pivot (setup-analytics.sh:85-113; U1)",
+)
+def q_mv_top_addresses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mv_top_addresses(transfers_df(spark, sf_dir))

@@ -1,0 +1,84 @@
+"""Local mirror of the driver's correctness gate: run a Spark DataFrame
+and a DuckDB SQL string over the same parquet tables, canonicalize both
+results (columns sorted by name, rows sorted, values normalized), and
+compare. Mirrors the driver's row-count + schema + order-insensitive
+value-hash check so failures show up before the round boundary."""
+
+from __future__ import annotations
+
+import datetime
+import decimal
+import math
+import os
+
+import duckdb
+import pandas as pd
+
+from clickhouse_aggregation_spark.schemas import DRIVER_TABLES
+
+
+def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for name in DRIVER_TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            con.execute(
+                f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{path}')")
+    return con
+
+
+def _norm_cell(v):
+    if v is None:
+        return "∅"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        # round to 9 significant digits: absorbs summation-order noise
+        return f"{v:.9g}"
+    if isinstance(v, decimal.Decimal):
+        if v == v.to_integral_value():
+            return str(int(v))
+        return f"{float(v):.9g}"
+    if isinstance(v, int):
+        return str(v)
+    if isinstance(v, pd.Timestamp):
+        return v.isoformat()
+    if isinstance(v, datetime.date) and not isinstance(v, datetime.datetime):
+        # DuckDB hands DATE back as midnight datetime64; Spark as date —
+        # canonicalize both to the midnight form
+        return v.isoformat() + "T00:00:00"
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return "[" + ",".join(_norm_cell(x) for x in v) + "]"
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+
+def canon(pdf: pd.DataFrame) -> list[tuple]:
+    cols = sorted(pdf.columns)
+    rows = [tuple(_norm_cell(v) for v in row)
+            for row in pdf[cols].itertuples(index=False, name=None)]
+    return sorted(rows)
+
+
+def compare(spark_df, sql: str, sf_dir: str, name: str = "query") -> None:
+    """Assert the Spark result and the DuckDB-oracle result match."""
+    spdf = spark_df.toPandas()
+    con = duckdb_con(sf_dir)
+    try:
+        ddf = con.execute(sql).df()
+    finally:
+        con.close()
+
+    assert len(spdf) == len(ddf), (
+        f"{name}: row count spark={len(spdf)} duckdb={len(ddf)}")
+    assert sorted(spdf.columns) == sorted(ddf.columns), (
+        f"{name}: columns spark={sorted(spdf.columns)} duckdb={sorted(ddf.columns)}")
+    a, b = canon(spdf), canon(ddf)
+    if a != b:
+        diffs = [(i, x, y) for i, (x, y) in enumerate(zip(a, b)) if x != y][:5]
+        raise AssertionError(f"{name}: value mismatch, first diffs: {diffs}")

@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Bench harness: runs the engine's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {"<name>": sec, ...}, "sf": <sf>}
+
+Each query is executed to completion with the `noop` sink (full plan
+runs, no driver-side materialization cost), timed individually.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from clickhouse_aggregation_spark.operators import REGISTRY
+from clickhouse_aggregation_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# headline set: reference rollup surface + join surface + (as they land)
+# the beyond-reference dedup / similarity / text operators
+HEADLINE = [
+    "mv_usdc_daily_block",
+    "mv_usdc_hourly_block",
+    "mv_usdc_hourly_block_approx",
+    "mv_top_addresses",
+    "mv_tx_size_distribution",
+    "mv_recent_activity",
+    "readme_daily_volume_7d",
+    "readme_top_senders",
+    "dedup_latest_version",
+    "retraction_net_daily",
+    "events_json_daily",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "top_customers_per_nation",
+]
+
+
+def _sf_from_dir(path: str) -> float:
+    name = os.path.basename(os.path.normpath(path))
+    try:
+        return float(name.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def main() -> None:
+    spark = get_spark("bench")
+    timings: dict[str, float] = {}
+
+    # one tiny warm-up action so JVM/codegen startup isn't billed to q1
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    for name in HEADLINE:
+        spec = REGISTRY.get(name)
+        if spec is None:
+            continue
+        t0 = time.perf_counter()
+        spec.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    print(json.dumps({
+        "metric": "headline_queries_total_runtime",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_from_dir(SF_DIR),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,423 @@
+"""Deduplication operators for large-scale training-data pipelines
+(beyond-reference surface; BASELINE.json north star).
+
+Five dedup families over the driver's ``documents`` / ``embeddings``
+tables, each a declared query with a DuckDB oracle:
+
+  dedup_exact            -- hash-groupBy on md5(text)
+  dedup_ngram_jaccard    -- 3-gram shingle inverted-index self-join,
+                            exact Jaccard >= threshold (quadratic in
+                            shingle-bucket size: the exactness baseline)
+  dedup_minhash_lsh      -- MinHash signatures (md5-order min-hash) +
+                            banded LSH bucket join + exact verify: the
+                            100 TB scale path — candidate generation is
+                            a linear groupBy + an equi-join on band keys
+  dedup_simhash          -- 16-bit SimHash fingerprint per document
+  dedup_embedding_cosine -- near-dup pairs by embedding cosine
+
+Determinism/oracle notes: every hash is md5 (identical in Spark and
+DuckDB); MinHash takes the lexicographic MIN of md5 hex strings (a
+uniform order statistic, no hex→int conversion needed); cosine uses
+integer-quantized vectors (see similarity.py) so sums are exact and
+order-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark import StorageLevel
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from ..sources.tables import ensure_parallelism, load_table
+from .registry import register
+from .similarity import quantize, int_dot, int_norm2, COSINE_ORACLE_EXPR
+
+SHINGLE_K = 3
+JACCARD_THRESHOLD = 0.8
+MINHASH_K = 8            # signature length
+LSH_BANDS = 4            # bands of 2 rows each: P(cand) = 1-(1-j^2)^4
+COSINE_DUP_THRESHOLD = 0.45
+
+
+# ---------------------------------------------------------------------------
+# shared shingle machinery
+
+def shingles_col(text: Column, k: int = SHINGLE_K) -> Column:
+    """Whitespace-token k-gram shingles as an array<string>."""
+    words = F.split(text, " ")
+    return F.transform(
+        F.sequence(F.lit(0), F.size(words) - k),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(words, i + j + 1) for j in range(k)]),
+    )
+
+
+def doc_shingles(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingle) distinct pairs — the inverted-index input."""
+    return (
+        ensure_parallelism(docs)
+        .filter(F.size(F.split("text", " ")) >= SHINGLE_K)
+        .select("doc_id", F.explode(shingles_col(F.col("text"))).alias("shingle"))
+        .distinct()
+    )
+
+
+# DuckDB mirror of doc_shingles (1-indexed lists)
+SHINGLES_SQL = """
+words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+),
+doc_shingles AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(w) - 1),
+                               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+  FROM words
+)"""
+
+
+def _jaccard_pairs(ds: DataFrame, cand: DataFrame | None = None) -> DataFrame:
+    """Exact Jaccard over (doc_id, shingle) sets; optionally restricted
+    to candidate pairs (doc_a, doc_b).
+
+    With candidates, the common-shingle count is computed by joining
+    the (small) candidate set against the shingle index twice — NOT by
+    materializing the full quadratic shingle self-join and filtering.
+    This is the whole point of LSH: work ∝ candidates, not ∝ Σ df².
+    """
+    counts = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = ds.alias("a")
+    b = ds.alias("b")
+    if cand is None:
+        pairs = (
+            a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .groupBy(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"))
+            .agg(F.count(F.lit(1)).alias("common"))
+        )
+    else:
+        pairs = (
+            cand.join(a, F.col("doc_a") == F.col("a.doc_id"))
+            .join(b, (F.col("doc_b") == F.col("b.doc_id"))
+                  & (F.col("a.shingle") == F.col("b.shingle")))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("common"))
+        )
+    ca = counts.alias("ca")
+    cb = counts.alias("cb")
+    return (
+        pairs.join(ca, F.col("doc_a") == F.col("ca.doc_id"))
+        .join(cb, F.col("doc_b") == F.col("cb.doc_id"))
+        .select(
+            "doc_a", "doc_b",
+            (F.col("common")
+             / (F.col("ca.n") + F.col("cb.n") - F.col("common"))).alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+# integer-count division + >= on exact ints/doubles: engine-identical
+JACCARD_PAIRS_SQL = """
+counts AS (SELECT doc_id, count(*) AS n FROM doc_shingles GROUP BY 1),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM doc_shingles a
+  JOIN doc_shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT doc_a, doc_b,
+         common / (ca.n + cb.n - common) AS jaccard
+  FROM pairs
+  JOIN counts ca ON ca.doc_id = doc_a
+  JOIN counts cb ON cb.doc_id = doc_b
+)"""
+
+
+# ---------------------------------------------------------------------------
+# D1: exact dedup
+
+@register(
+    "dedup_exact",
+    oracle="""
+SELECT md5(text) AS content_hash,
+       min(doc_id) AS keep_doc_id,
+       count(*) AS n_copies
+FROM documents
+GROUP BY 1""",
+    doc="Exact dedup: hash-groupBy on md5(text), keep lowest doc_id. "
+        "One shuffle on the hash; at 100 TB hash first so the shuffle "
+        "moves 32-byte keys, not documents.",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        # hash BEFORE the shuffle: group keys are 32-byte digests
+        docs.select(F.md5("text").alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("keep_doc_id"),
+             F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# D2: exact n-gram Jaccard
+
+_SHINGLES_CTE = SHINGLES_SQL.strip()
+_JACCARD_CTE = JACCARD_PAIRS_SQL.strip()
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+WITH {_SHINGLES_CTE},
+{_JACCARD_CTE}
+SELECT doc_a, doc_b, jaccard FROM jac
+WHERE jaccard >= {JACCARD_THRESHOLD}""",
+    doc="Near-dup pairs by exact 3-gram Jaccard >= 0.8 via shingle "
+        "inverted-index self-join. Exactness baseline for MinHash; "
+        "quadratic in per-shingle bucket size — use dedup_minhash_lsh "
+        "at scale.",
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ds = doc_shingles(load_table(spark, sf_dir, "documents"))
+    return _jaccard_pairs(ds)
+
+
+# ---------------------------------------------------------------------------
+# D3: MinHash + banded LSH
+
+def doc_shingle_sets(docs: DataFrame) -> DataFrame:
+    """(doc_id, sh array<string>, n) — distinct shingle SET per doc as
+    an array column. One narrow projection, no explode, no shuffle:
+    this is what makes the whole MinHash pipeline linear at 100 TB
+    (signatures and verification both work off the array in place)."""
+    return (
+        ensure_parallelism(docs)
+        .filter(F.size(F.split("text", " ")) >= SHINGLE_K)
+        .select("doc_id",
+                F.array_distinct(shingles_col(F.col("text"))).alias("sh"))
+        .withColumn("n", F.size("sh"))
+    )
+
+
+DOC_SETS_SQL = """
+words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+),
+doc_sets AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(w) - 1),
+                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+  FROM words
+),
+doc_sets_n AS (SELECT doc_id, sh, len(sh) AS n FROM doc_sets)"""
+
+
+def minhash_band_keys(sets: DataFrame, k: int = MINHASH_K,
+                      bands: int = LSH_BANDS) -> DataFrame:
+    """(doc_id, band_id, band_key) from per-row array mins.
+
+    MinHash value i = lexicographic MIN of md5(i || ':' || shingle) —
+    the md5 hex string is uniform so its minimum is a valid min-hash
+    order statistic, identical in any engine with md5 (oracle-exact).
+    Computed as array_min(transform(...)): per-row, no aggregation.
+    """
+    rows_per_band = k // bands
+    sig_cols = [
+        F.array_min(F.transform(
+            F.col("sh"),
+            lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s)))).alias(f"h{i}")
+        for i in range(k)
+    ]
+    sig = sets.select("doc_id", *sig_cols)
+    band_structs = []
+    for b in range(bands):
+        cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_structs.append(F.struct(F.lit(b).alias("band_id"),
+                                     F.md5(F.concat_ws("|", *cols)).alias("band_key")))
+    return (
+        sig.select("doc_id", F.explode(F.array(*band_structs)).alias("bk"))
+        .select("doc_id", "bk.band_id", "bk.band_key")
+    )
+
+
+def _minhash_sql(k: int = MINHASH_K, bands: int = LSH_BANDS) -> str:
+    rows_per_band = k // bands
+    sig_cols = ",\n         ".join(
+        f"list_min(list_transform(sh, s -> md5('{i}:' || s))) AS h{i}"
+        for i in range(k))
+    band_selects = []
+    for b in range(bands):
+        cols = " || '|' || ".join(
+            f"h{b * rows_per_band + r}" for r in range(rows_per_band))
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band_id, md5({cols}) AS band_key FROM sigs")
+    return f"""
+sigs AS (
+  SELECT doc_id,
+         {sig_cols}
+  FROM doc_sets
+),
+band_keys AS (
+  {" UNION ALL ".join(band_selects)}
+),
+candidates AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM band_keys a
+  JOIN band_keys b ON a.band_id = b.band_id AND a.band_key = b.band_key
+                   AND a.doc_id < b.doc_id
+)"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+WITH {DOC_SETS_SQL.strip()},
+{_minhash_sql().strip()}
+SELECT c.doc_a, c.doc_b,
+       len(list_intersect(a.sh, b.sh))
+         / (a.n + b.n - len(list_intersect(a.sh, b.sh))) AS jaccard
+FROM candidates c
+JOIN doc_sets_n a ON a.doc_id = c.doc_a
+JOIN doc_sets_n b ON b.doc_id = c.doc_b
+WHERE len(list_intersect(a.sh, b.sh))
+        / (a.n + b.n - len(list_intersect(a.sh, b.sh))) >= {JACCARD_THRESHOLD}""",
+    doc="MinHash(8) + LSH(4 bands of 2) candidate generation, exact-"
+        "Jaccard verification of candidates only. The 100 TB path: "
+        "shingle sets stay as array columns (no explode/shuffle), "
+        "signatures are per-row array_min folds, the only shuffles are "
+        "the tiny band-key equi-join and two doc_id lookups for the "
+        "surviving candidates — work ∝ collisions, not ∝ Σ df².",
+)
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the shingle index is consumed three times (signatures + both
+    # verification sides): materialize it once. At 100 TB this is the
+    # disk-backed shingle-index table every MinHash pipeline persists
+    # rather than re-deriving per stage; locally it also pins AQE stats
+    # so the nested broadcast jobs don't re-plan the subtree.
+    sets = doc_shingle_sets(load_table(spark, sf_dir, "documents")) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    bk = minhash_band_keys(sets)
+    # candidate pairs via ONE pass over the band keys: group each
+    # bucket, emit in-bucket combinations. A self-join would recompute
+    # the whole signature subtree for both sides; this shuffles the
+    # 16-byte band keys once. Hot buckets cost |bucket|² pairs — that's
+    # inherent to LSH and bounded by band selectivity, not data size.
+    cand = (
+        bk.groupBy("band_id", "band_key")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(F.explode(F.expr(
+            "flatten(transform(ids, (x, i) -> "
+            "transform(slice(ids, i + 2, size(ids) - i - 1), "
+            "y -> struct(x AS doc_a, y AS doc_b))))")).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
+    sa = sets.alias("sa")
+    sb = sets.alias("sb")
+    # verification never shuffles the corpus: the candidate list is
+    # broadcast into a corpus-side hash join, and the (candidate ×
+    # doc_a-shingles) result — still candidate-sized — is broadcast
+    # into the second. Explicit broadcasts also pin one plan shape at
+    # every scale (AQE would otherwise flip strategies between the
+    # warm-up and bench scales, defeating codegen reuse).
+    left = sa.join(F.broadcast(cand), F.col("doc_a") == F.col("sa.doc_id")) \
+             .select("doc_a", "doc_b",
+                     F.col("sa.sh").alias("sh_a"), F.col("sa.n").alias("n_a"))
+    common = F.size(F.array_intersect(F.col("sh_a"), F.col("sb.sh")))
+    jaccard = common / (F.col("n_a") + F.col("sb.n") - common)
+    return (
+        sb.join(F.broadcast(left), F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", jaccard.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+# ---------------------------------------------------------------------------
+# D4: SimHash fingerprints
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), th AS (
+  SELECT doc_id, md5(tok) AS h FROM toks
+), bits AS (
+  SELECT doc_id,
+         {", ".join(
+            f"sum(2 * ((instr('0123456789abcdef', substr(h, {1 + b // 4}, 1)) - 1)"
+            f" // {2 ** (3 - b % 4)} % 2) - 1) AS s{b}"
+            for b in range(16))}
+  FROM th GROUP BY doc_id
+)
+SELECT doc_id,
+       {" + ".join(f"(CASE WHEN s{b} > 0 THEN {2 ** b} ELSE 0 END)" for b in range(16))}
+       AS simhash16
+FROM bits""",
+    doc="16-bit SimHash per document: sign-sum of md5-derived token "
+        "bits. Fingerprints cluster near-duplicates into nearby codes; "
+        "one linear groupBy (map-side combinable) at any scale.",
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        ensure_parallelism(docs).select("doc_id",
+                    F.explode(F.split("text", " ")).alias("tok"))
+        .distinct()
+        .select("doc_id", F.md5("tok").alias("h"))
+    )
+    bit_sums = [
+        F.sum(
+            2 * ((F.expr(f"instr('0123456789abcdef', substr(h, {1 + b // 4}, 1)) - 1")
+                  .cast("long") / (2 ** (3 - b % 4))).cast("long") % 2) - 1
+        ).alias(f"s{b}")
+        for b in range(16)
+    ]
+    agg = toks.groupBy("doc_id").agg(*bit_sums)
+    code = None
+    for b in range(16):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(2 ** b)).otherwise(F.lit(0))
+        code = term if code is None else code + term
+    return agg.select("doc_id", code.cast("long").alias("simhash16"))
+
+
+# ---------------------------------------------------------------------------
+# D5: embedding-cosine near-dup
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id, {quantize.SQL} AS qv FROM embeddings
+), n AS (
+  SELECT vec_id, qv, {int_norm2.SQL} AS norm2 FROM q
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       {COSINE_ORACLE_EXPR} AS cosine
+FROM n a, n b
+WHERE a.vec_id < b.vec_id
+  AND {COSINE_ORACLE_EXPR} >= {COSINE_DUP_THRESHOLD}""",
+    doc="Embedding near-dup pairs: cosine >= 0.45 over integer-"
+        "quantized vectors (exact, order-independent sums → oracle-"
+        "deterministic). Brute-force allpairs baseline; the LSH-"
+        "bucketed variant in similarity.py is the scale path.",
+)
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select("vec_id", quantize(F.col("embedding")).alias("qv"))
+    n = q.select("vec_id", "qv", int_norm2(F.col("qv")).alias("norm2"))
+    a = n.alias("a")
+    b = n.alias("b")
+    cos = (int_dot(F.col("a.qv"), F.col("b.qv"))
+           / (F.sqrt(F.col("a.norm2")) * F.sqrt(F.col("b.norm2"))))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(F.col("a.vec_id").alias("vec_a"),
+                F.col("b.vec_id").alias("vec_b"),
+                cos.alias("cosine"))
+        .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
+    )

@@ -1,0 +1,213 @@
+"""Similarity search over embedding columns (beyond-reference surface).
+
+Two declared operators over the driver's ``embeddings`` table
+(``vec_id bigint, embedding array<float>, label int``):
+
+  similarity_topk_bruteforce -- exact cosine top-k: broadcast the query
+      set against the corpus, rank per query. The correctness baseline;
+      cost is |Q|·|corpus| — fine for small query sets even at 100 TB
+      because the corpus scan is a single embarrassingly-parallel pass.
+  similarity_lsh_bucketed    -- random-hyperplane (sign) LSH: corpus is
+      bucketed by an 8-bit signature, candidates share the query's
+      bucket. The scale path: the join is an equi-join on the bucket
+      key, so the shuffle moves signatures, not all-pairs.
+
+Cross-engine determinism: floats never enter an aggregation. Vectors
+are quantized to integer micro-units (floor(x * 1e6)) — float→double
+conversion and the multiply are IEEE-identical in Spark and DuckDB, and
+everything after is exact 64-bit integer arithmetic (order-independent
+sums). The only float ops are one sqrt (IEEE correctly-rounded) and one
+division at the very end, which are bit-identical too. Hyperplanes are
+integer literals generated from a fixed seed at import time.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
+
+from ..sources.tables import load_table
+from .registry import register
+
+QUANT = 1_000_000
+TOP_K = 5
+N_QUERIES = 5            # query set = vec_id < 5
+N_PLANES = 8
+DIM = 64
+
+# deterministic integer hyperplanes (seeded at import; embedded as
+# literals in both the Spark plan and the oracle SQL)
+_rng = random.Random(20240813)
+PLANES: list[list[int]] = [
+    [_rng.randint(-1000, 1000) for _ in range(DIM)] for _ in range(N_PLANES)
+]
+
+
+# ---------------------------------------------------------------------------
+# integer-quantized vector algebra (shared with dedup.py)
+
+def quantize(emb: Column) -> Column:
+    """array<float> -> array<long> of floor(x * 1e6)."""
+    return F.transform(
+        emb, lambda x: F.floor(x.cast("double") * QUANT).cast("long"))
+
+
+quantize.SQL = ("list_transform(embedding, "
+                "x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
+
+
+def int_dot(a: Column, b: Column) -> Column:
+    """Exact integer dot product of two array<long> columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x)
+
+
+def int_norm2(q: Column) -> Column:
+    """Exact integer squared norm of an array<long> column."""
+    return F.aggregate(
+        F.transform(q, lambda x: x * x),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x)
+
+
+int_norm2.SQL = "CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT)"
+
+# oracle-side cosine between aliases a and b carrying (qv, norm2)
+COSINE_ORACLE_EXPR = (
+    "(CAST(list_sum(list_transform(range(1, len(a.qv) + 1), "
+    "i -> a.qv[i] * b.qv[i])) AS BIGINT) "
+    "/ (sqrt(a.norm2) * sqrt(b.norm2)))")
+
+
+def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select("vec_id", "label", quantize(F.col("embedding")).alias("qv"))
+    return q.select("vec_id", "label", "qv", int_norm2(F.col("qv")).alias("norm2"))
+
+
+_QUANT_SQL = f"""
+q AS (
+  SELECT vec_id, label, {quantize.SQL} AS qv FROM embeddings
+), n AS (
+  SELECT vec_id, label, qv, {int_norm2.SQL} AS norm2 FROM q
+)"""
+
+
+# ---------------------------------------------------------------------------
+
+@register(
+    "similarity_topk_bruteforce",
+    oracle=f"""
+WITH {_QUANT_SQL.strip()},
+scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         {COSINE_ORACLE_EXPR} AS cosine
+  FROM n a, n b
+  WHERE a.vec_id < {N_QUERIES} AND b.vec_id <> a.vec_id
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank
+FROM ranked WHERE rank <= {TOP_K}""",
+    doc="Exact cosine top-5 for 5 query vectors: broadcast query set × "
+        "corpus scan + per-query TakeOrdered. ANN correctness baseline.",
+)
+def q_similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _quantized(spark, sf_dir)
+    queries = n.filter(F.col("vec_id") < N_QUERIES) \
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("qv").alias("q_qv"),
+                       F.col("norm2").alias("q_norm2"))
+    corpus = n.select(F.col("vec_id").alias("neighbor_id"), "qv", "norm2")
+    cos = (int_dot(F.col("q_qv"), F.col("qv"))
+           / (F.sqrt(F.col("q_norm2")) * F.sqrt(F.col("norm2"))))
+    scored = (
+        corpus.join(F.broadcast(queries),
+                    F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+    )
+
+
+def _plane_sql(plane: list[int]) -> str:
+    return "[" + ", ".join(str(x) for x in plane) + "]"
+
+
+def _bucket_sql() -> str:
+    parts = []
+    for p in PLANES:
+        dot = (f"list_sum(list_transform(range(1, {DIM} + 1), "
+               f"i -> qv[i] * ({_plane_sql(p)})[i]))")
+        parts.append(f"(CASE WHEN {dot} >= 0 THEN '1' ELSE '0' END)")
+    return " || ".join(parts)
+
+
+def _bucket_col(qv: Column) -> Column:
+    parts = []
+    for p in PLANES:
+        plane = F.array(*[F.lit(x) for x in p])
+        dot = int_dot(qv, plane)
+        parts.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*parts)
+
+
+@register(
+    "similarity_lsh_bucketed",
+    oracle=f"""
+WITH {_QUANT_SQL.strip()},
+bucketed AS (
+  SELECT vec_id, qv, norm2, {_bucket_sql()} AS bucket FROM n
+),
+scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         {COSINE_ORACLE_EXPR} AS cosine
+  FROM bucketed a JOIN bucketed b
+    ON a.bucket = b.bucket AND b.vec_id <> a.vec_id
+  WHERE a.vec_id < {N_QUERIES}
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank
+FROM ranked WHERE rank <= {TOP_K}""",
+    doc="Approximate top-5 via random-hyperplane LSH (8 integer planes "
+        "→ 8-bit sign bucket, equi-join on bucket, rank within). The "
+        "100 TB path: candidates co-locate by bucket key; recall is "
+        "tunable via planes/bands. Hyperplanes are seeded integer "
+        "literals so Spark and the oracle bucket identically.",
+)
+def q_similarity_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _quantized(spark, sf_dir)
+    bucketed = n.withColumn("bucket", _bucket_col(F.col("qv")))
+    queries = bucketed.filter(F.col("vec_id") < N_QUERIES) \
+        .select(F.col("vec_id").alias("query_id"),
+                F.col("qv").alias("q_qv"),
+                F.col("norm2").alias("q_norm2"),
+                F.col("bucket").alias("q_bucket"))
+    corpus = bucketed.select(F.col("vec_id").alias("neighbor_id"),
+                             "qv", "norm2", "bucket")
+    cos = (int_dot(F.col("q_qv"), F.col("qv"))
+           / (F.sqrt(F.col("q_norm2")) * F.sqrt(F.col("norm2"))))
+    scored = (
+        corpus.join(F.broadcast(queries),
+                    (F.col("bucket") == F.col("q_bucket"))
+                    & (F.col("neighbor_id") != F.col("query_id")))
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+    )

@@ -1,0 +1,191 @@
+"""Text-analysis operators for training-data pipelines
+(beyond-reference surface): language-ID, quality scoring, token
+counting, document fingerprinting — all over the driver's ``documents``
+table, all as native column expressions (no Python in the hot path),
+each with a DuckDB oracle.
+
+Determinism: ratios are single divisions of exact integers (IEEE-
+identical across engines); fingerprints are md5.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from ..sources.tables import load_table
+from .registry import register
+
+# Small public stopword lists per candidate language. On the driver's
+# synthetic shared-vocabulary corpus the classifier mostly answers
+# 'en'/'und' — the operator is the n-gram-heuristic *mechanism*, and
+# the oracle checks the mechanism, not linguistic accuracy.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "that", "it", "was"),
+    "de": ("der", "die", "das", "und", "zu", "den", "von", "ist", "mit", "nicht"),
+    "es": ("el", "la", "que", "y", "en", "un", "una", "es", "por", "los"),
+    "fr": ("le", "les", "et", "un", "une", "est", "que", "pour", "dans", "au"),
+    "zh": ("的", "了", "是", "我", "不", "在", "有", "他", "这", "就"),
+}
+_LANG_ORDER = tuple(STOPWORDS)     # deterministic argmax tie-break order
+
+BPE_ISH_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def _score_cols(tokens: Column) -> list[Column]:
+    toks = F.array_distinct(tokens)
+    return [
+        F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
+         .alias(f"s_{lang}")
+        for lang, words in STOPWORDS.items()
+    ]
+
+
+def _score_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return (f"len(list_intersect(list_distinct(string_split(text, ' ')), "
+            f"[{words}]))")
+
+
+def _pred_case_sql() -> str:
+    branches = []
+    for lang in _LANG_ORDER:
+        conds = " AND ".join(
+            f"s_{lang} >= s_{other}" for other in _LANG_ORDER if other != lang)
+        branches.append(f"WHEN s_{lang} > 0 AND {conds} THEN '{lang}'")
+    return "CASE " + " ".join(branches) + " ELSE 'und' END"
+
+
+def _pred_case_col() -> Column:
+    expr = None
+    for lang in _LANG_ORDER:
+        cond = F.col(f"s_{lang}") > 0
+        for other in _LANG_ORDER:
+            if other != lang:
+                cond = cond & (F.col(f"s_{lang}") >= F.col(f"s_{other}"))
+        expr = F.when(cond, lang) if expr is None else expr.when(cond, lang)
+    return expr.otherwise("und")
+
+
+@register(
+    "text_language_id",
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         {", ".join(f"{_score_sql(lang)} AS s_{lang}" for lang in _LANG_ORDER)}
+  FROM documents
+), pred AS (
+  SELECT lang AS labeled_lang, {_pred_case_sql()} AS predicted_lang FROM scored
+)
+SELECT labeled_lang, predicted_lang, count(*) AS n_docs
+FROM pred GROUP BY 1, 2""",
+    doc="Language-ID heuristic: stopword-overlap argmax per doc, "
+        "reported as a (labeled, predicted) confusion matrix. Pure "
+        "array_intersect column ops — linear scan, no shuffle beyond "
+        "the final small groupBy.",
+)
+def q_text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select("doc_id", "lang",
+                         *_score_cols(F.split("text", " ")))
+    pred = scored.select(F.col("lang").alias("labeled_lang"),
+                         _pred_case_col().alias("predicted_lang"))
+    return pred.groupBy("labeled_lang", "predicted_lang") \
+               .agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+@register(
+    "text_quality_score",
+    oracle="""
+WITH m AS (
+  SELECT doc_id,
+         length(text) AS n_chars_actual,
+         len(string_split(text, ' ')) AS n_tokens,
+         len(list_distinct(string_split(text, ' '))) AS n_distinct
+  FROM documents
+)
+SELECT doc_id, n_chars_actual, n_tokens,
+       (n_chars_actual - n_tokens + 1) / n_tokens AS avg_token_len,
+       n_distinct / n_tokens AS distinct_ratio,
+       0.5 * (CASE WHEN n_tokens < 200 THEN n_tokens ELSE 200 END) / 200.0
+       + 0.3 * (CASE WHEN (n_chars_actual - n_tokens + 1) / n_tokens
+                     BETWEEN 3 AND 10 THEN 1.0 ELSE 0.0 END)
+       + 0.2 * (n_distinct / n_tokens) AS quality_score
+FROM m""",
+    doc="Per-document quality features: length, avg token length, "
+        "type-token ratio, composite 0-1 score. All integer-derived "
+        "arithmetic → oracle-exact doubles.",
+)
+def q_text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    m = docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars_actual"),
+        F.size(words).alias("n_tokens"),
+        F.size(F.array_distinct(words)).alias("n_distinct"),
+    )
+    avg_tok = (F.col("n_chars_actual") - F.col("n_tokens") + 1) / F.col("n_tokens")
+    distinct_ratio = F.col("n_distinct") / F.col("n_tokens")
+    quality = (
+        0.5 * F.least(F.col("n_tokens"), F.lit(200)) / 200.0
+        + 0.3 * F.when(avg_tok.between(3, 10), 1.0).otherwise(0.0)
+        + 0.2 * distinct_ratio
+    )
+    return m.select("doc_id", "n_chars_actual", "n_tokens",
+                    avg_tok.alias("avg_token_len"),
+                    distinct_ratio.alias("distinct_ratio"),
+                    quality.alias("quality_score"))
+
+
+@register(
+    "text_token_count",
+    oracle=f"""
+SELECT source,
+       sum(len(string_split(text, ' '))) AS ws_tokens,
+       sum(len(regexp_extract_all(text, '{BPE_ISH_PATTERN}'))) AS bpe_ish_tokens,
+       sum(length(text)) AS total_chars,
+       count(*) AS n_docs
+FROM documents
+GROUP BY source""",
+    doc="Token counting per source: whitespace tokens + BPE-ish regex "
+        "tokens ([a-z]+|[0-9]+|punct). regexp_count stays JVM-side.",
+)
+def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(F.sum(F.size(F.split("text", " "))).alias("ws_tokens"),
+             F.sum(F.regexp_count("text", F.lit(BPE_ISH_PATTERN)))
+              .alias("bpe_ish_tokens"),
+             F.sum(F.length("text")).alias("total_chars"),
+             F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+WITH norm AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm_text,
+         string_split(text, ' ') AS w
+  FROM documents
+)
+SELECT doc_id,
+       substr(md5(norm_text), 1, 16) AS fingerprint,
+       substr(md5(array_to_string(w[1:10], ' ')), 1, 16) AS prefix_fingerprint
+FROM norm""",
+    doc="Document fingerprinting: 64-bit md5 prefix of the whitespace-"
+        "normalized text plus a first-10-words prefix fingerprint "
+        "(rolling-hash-style locality for boilerplate detection).",
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    words = F.split("text", " ")
+    return docs.select(
+        "doc_id",
+        F.substring(F.md5(norm), 1, 16).alias("fingerprint"),
+        F.substring(F.md5(F.array_join(F.slice(words, 1, 10), " ")), 1, 16)
+         .alias("prefix_fingerprint"),
+    )

@@ -42,6 +42,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 _NANOS_TS_COLUMNS = {"ts"}
 
 
+def ensure_parallelism(df: DataFrame, min_factor: float = 1.0) -> DataFrame:
+    """Round-robin repartition iff the scan yields fewer splits than the
+    cluster has cores.
+
+    CPU-bound per-row operators (shingling, per-row minhash, Pandas-UDF
+    feature extraction) are bottlenecked by input-split count, not data
+    size: a small file = one split = one core. At 100 TB inputs arrive
+    in thousands of splits and this is a no-op; on a skinny input the
+    one extra shuffle of raw rows buys full-cluster parallelism for the
+    expensive stage that follows.
+    """
+    spark = df.sparkSession
+    target = int(spark.sparkContext.defaultParallelism * min_factor)
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str,
                    tables: tuple[str, ...] = DRIVER_TABLES) -> None:
     """Register every driver table as a temp view so ``spark.sql`` text

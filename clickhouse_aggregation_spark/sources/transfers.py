@@ -73,15 +73,24 @@ def transfers_df(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(F.concat(F.lit("tx"), F.expr("cast(event_id div 3 as string)"))),
             F.md5(F.concat(F.lit("tx2"), F.expr("cast(event_id div 3 as string)"))),
         ).alias("transaction_hash"),
+        # 40-hex (20-byte) EVM addresses: md5 gives 32 chars, so two
+        # salted digests are concatenated and truncated
         F.concat(
             F.lit("0x"),
-            F.substring(F.md5(F.concat(F.lit("f"), F.col("user_id").cast("string"))), 1, 40),
+            F.substring(
+                F.concat(
+                    F.md5(F.concat(F.lit("f"), F.col("user_id").cast("string"))),
+                    F.md5(F.concat(F.lit("f2"), F.col("user_id").cast("string")))),
+                1, 40),
         ).alias("from_address"),
         F.concat(
             F.lit("0x"),
             F.substring(
-                F.md5(F.concat(F.lit("t"),
-                               (F.col("user_id") * 31 + F.col("event_id") % 7).cast("string"))),
+                F.concat(
+                    F.md5(F.concat(F.lit("t"),
+                                   (F.col("user_id") * 31 + F.col("event_id") % 7).cast("string"))),
+                    F.md5(F.concat(F.lit("t2"),
+                                   (F.col("user_id") * 31 + F.col("event_id") % 7).cast("string")))),
                 1, 40),
         ).alias("to_address"),
         (
@@ -144,8 +153,10 @@ transfers AS (
       CAST(event_id % 1000 AS INTEGER) AS log_index,
       '0x' || md5(concat('tx', CAST(event_id // 3 AS VARCHAR)))
            || md5(concat('tx2', CAST(event_id // 3 AS VARCHAR))) AS transaction_hash,
-      '0x' || substr(md5(concat('f', CAST(user_id AS VARCHAR))), 1, 40) AS from_address,
-      '0x' || substr(md5(concat('t', CAST(user_id * 31 + event_id % 7 AS VARCHAR))), 1, 40) AS to_address,
+      '0x' || substr(md5(concat('f', CAST(user_id AS VARCHAR)))
+                  || md5(concat('f2', CAST(user_id AS VARCHAR))), 1, 40) AS from_address,
+      '0x' || substr(md5(concat('t', CAST(user_id * 31 + event_id % 7 AS VARCHAR)))
+                  || md5(concat('t2', CAST(user_id * 31 + event_id % 7 AS VARCHAR))), 1, 40) AS to_address,
       CAST((event_id % 900 + 100) * (CASE CAST(event_id % 4 AS INTEGER)
              WHEN 0 THEN 100000 WHEN 1 THEN 1000000
              WHEN 2 THEN 10000000 ELSE 100000000 END) AS DECIMAL(38,0)) AS value

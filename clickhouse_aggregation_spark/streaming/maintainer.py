@@ -1,0 +1,185 @@
+"""Incremental rollup maintenance — the Spark-first rebuild of the
+reference's continuous materialized-view pipeline (SURVEY.md §2.9).
+
+Reference architecture: every insert block into the replicated table
+triggers the six MV SELECTs; partial aggregates are inserted into
+SummingMergeTree targets and background merges collapse equal-key rows
+lazily, so *reads re-aggregate* (reference: usdc-transfers/sql/
+analytics.sql:9-106; usdc-transfers/README.md:65-85 re-groups over the
+MV). Rebuild mapping:
+
+  micro-batch stream  -> Structured Streaming file source over the
+  (O1)                   transfers directory, foreachBatch handler
+                         (reference main.ts:71-101's batch closure)
+  MV partial insert   -> per-batch groupBy partial aggregate APPENDED to
+  (O4)                   the rollup parquet — bit-for-bit the
+                         SummingMergeTree write path
+  background merge    -> ``compact()``: re-aggregate + atomic overwrite
+                         (ClickHouse's lazy merge, run on demand)
+  read contract       -> ``read()`` re-aggregates over the rollup —
+  (A5)                   exactly the reference's query pattern
+  reorg retraction    -> rollup measures are SIGNED sums
+  (O2, O3)               (sum(value*_sign), sum(_sign)): a reorg batch
+                         containing _sign=-1 rows subtracts on merge, so
+                         rollups converge to never-having-ingested the
+                         orphaned rows (BASELINE.md reorg invariant).
+                         Deterministic log_ids + checkpointing give
+                         effectively-once maintenance.
+
+Scale: each batch does one map-side-combinable partial aggregate and
+appends rollup-sized (not fact-sized) files; state lives in the rollup
+table itself, not executor memory, so a 1000-executor cluster maintains
+all rollups with one shuffle per batch per rollup.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.bucketing import block_hour, block_range_day, size_bucket, to_day
+from ..schemas import TRANSFERS
+
+
+@dataclass(frozen=True)
+class IncrementalRollup:
+    """One maintained rollup: ``partial`` maps a (possibly signed) batch
+    of transfers to partial-aggregate rows; reads re-aggregate by
+    ``keys`` summing ``measures`` (the SummingMergeTree contract)."""
+
+    name: str
+    keys: tuple[str, ...]
+    measures: tuple[str, ...]
+    partial: Callable[[DataFrame], DataFrame]
+
+    def store(self, root: str) -> str:
+        return os.path.join(root, self.name)
+
+    def process_batch(self, batch: DataFrame, root: str) -> None:
+        """The MV insert: one partial aggregate, one append."""
+        self.partial(batch).write.mode("append").parquet(self.store(root))
+
+    def read(self, spark: SparkSession, root: str) -> DataFrame:
+        """Read contract: re-aggregate over the partials (merges are
+        lazy, identical to the reference querying its MV)."""
+        rollup = spark.read.parquet(self.store(root))
+        return rollup.groupBy(*self.keys).agg(
+            *[F.sum(m).alias(m) for m in self.measures])
+
+    def compact(self, spark: SparkSession, root: str) -> None:
+        """The background merge: collapse equal-key partials in place
+        (write-to-temp then swap, so a failed compact never loses the
+        appended partials)."""
+        import shutil
+
+        merged = self.read(spark, root)
+        tmp = self.store(root) + ".compact"
+        merged.write.mode("overwrite").parquet(tmp)
+        final = self.store(root)
+        spark.read.parquet(tmp).write.mode("overwrite").parquet(final)
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _signed(batch: DataFrame) -> DataFrame:
+    """Signed measures: value*_sign / _sign so retraction rows subtract."""
+    return batch.select(
+        "*",
+        (F.col("value") * F.col("_sign")).alias("_svalue"),
+        F.col("_sign").cast("long").alias("_scount"),
+    )
+
+
+def _daily_partial(batch: DataFrame) -> DataFrame:
+    return (
+        _signed(batch)
+        .groupBy(block_range_day(F.col("block_number")).alias("block_range"),
+                 "from_address", "to_address")
+        .agg(F.sum("_svalue").alias("total_usdc"),
+             F.sum("_scount").alias("tx_count"))
+    )
+
+
+def _hourly_partial(batch: DataFrame) -> DataFrame:
+    return (
+        _signed(batch)
+        .groupBy(block_hour(F.col("block_number")).alias("block_hour"))
+        .agg(F.sum("_svalue").alias("total_volume"),
+             F.sum("_scount").alias("tx_count"))
+    )
+
+
+def _size_dist_partial(batch: DataFrame) -> DataFrame:
+    return (
+        _signed(batch)
+        .groupBy(size_bucket(F.col("value")).alias("size_bucket"),
+                 to_day(F.col("block_timestamp")).alias("day"))
+        .agg(F.sum("_scount").alias("tx_count"),
+             F.sum("_svalue").alias("total_volume"))
+    )
+
+
+def _top_senders_partial(batch: DataFrame) -> DataFrame:
+    return (
+        _signed(batch)
+        .groupBy(block_range_day(F.col("block_number")).alias("block_range"),
+                 "from_address")
+        .agg(F.sum("_svalue").alias("total_sent"),
+             F.sum("_scount").alias("tx_count"))
+    )
+
+
+INCREMENTAL_ROLLUPS: tuple[IncrementalRollup, ...] = (
+    IncrementalRollup("daily", ("block_range", "from_address", "to_address"),
+                      ("total_usdc", "tx_count"), _daily_partial),
+    IncrementalRollup("hourly", ("block_hour",),
+                      ("total_volume", "tx_count"), _hourly_partial),
+    IncrementalRollup("size_dist", ("size_bucket", "day"),
+                      ("tx_count", "total_volume"), _size_dist_partial),
+    IncrementalRollup("top_senders", ("block_range", "from_address"),
+                      ("total_sent", "tx_count"), _top_senders_partial),
+)
+
+
+def run_maintainer_stream(spark: SparkSession, transfers_dir: str,
+                          store_root: str,
+                          rollups: tuple[IncrementalRollup, ...] = INCREMENTAL_ROLLUPS,
+                          available_now: bool = True):
+    """Maintain all rollups from a streaming read of the transfers
+    directory. ``availableNow`` drains everything currently present and
+    stops (test/backfill mode); without it the query tails the
+    directory like the reference processor tails the chain."""
+    checkpoint = os.path.join(store_root, "_checkpoint")
+
+    def handle(batch: DataFrame, epoch_id: int) -> None:
+        for r in rollups:
+            r.process_batch(batch, store_root)
+
+    stream = (
+        spark.readStream.schema(TRANSFERS).parquet(transfers_dir)
+    )
+    writer = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def streaming_dedup_24h(spark: SparkSession, transfers_dir: str):
+    """O5: sliding-retention dedup stream — watermark event time by 24 h
+    and drop duplicate (transaction_hash, log_index) within the window
+    (reference mv_recent_activity, analytics.sql:91-106: ReplacingMerge-
+    Tree keyed on ts/tx/log over a 24 h slice). State is bounded by the
+    watermark horizon at any scale."""
+    stream = spark.readStream.schema(TRANSFERS).parquet(transfers_dir)
+    return (
+        stream.filter(F.col("_sign") == 1)
+        .withWatermark("block_timestamp", "24 hours")
+        .dropDuplicates(["transaction_hash", "log_index"])
+        .select("block_timestamp", "transaction_hash", "log_index",
+                "from_address", "to_address", "value", "block_number")
+    )

@@ -1,0 +1,121 @@
+"""Streaming maintainer tests (SURVEY.md §5.3): chunked replay must
+equal batch recompute (the SummingMergeTree invariant), reorg
+retractions must subtract, restarts must not double-count, and the 24 h
+watermark dedup stream must match its batch equivalent."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from clickhouse_aggregation_spark.sources.transfers import transfers_df
+from clickhouse_aggregation_spark.streaming.maintainer import (
+    INCREMENTAL_ROLLUPS, run_maintainer_stream, streaming_dedup_24h,
+)
+
+
+@pytest.fixture(scope="module")
+def chunked_transfers(spark, sf_dir, tmp_path_factory):
+    """The transfers table split into 4 files in _version-then-block
+    order (retractions/replacements arrive after their originals, like
+    a real reorg)."""
+    root = tmp_path_factory.mktemp("stream")
+    tdir = os.path.join(str(root), "transfers")
+    t = transfers_df(spark, sf_dir).orderBy("_version", "block_number")
+    n = t.count()
+    rows_per_chunk = n // 4 + 1
+    pdf = t.toPandas()
+    for i in range(4):
+        chunk = pdf.iloc[i * rows_per_chunk:(i + 1) * rows_per_chunk]
+        if len(chunk):
+            spark.createDataFrame(chunk, schema=t.schema) \
+                .coalesce(1).write.mode("append").parquet(tdir)
+    return str(root), tdir, t
+
+
+def _net_recompute(t, rollup):
+    signed = t.select(
+        "*",
+        (F.col("value") * F.col("_sign")).alias("_svalue"),
+        F.col("_sign").cast("long").alias("_scount"))
+    return rollup.partial(t)  # partial over the WHOLE table == recompute
+
+
+def _as_set(df):
+    return {tuple(str(v) for v in row) for row in df.collect()}
+
+
+def test_chunked_replay_equals_batch_recompute(spark, chunked_transfers):
+    root, tdir, t = chunked_transfers
+    store = os.path.join(root, "rollups")
+    q = run_maintainer_stream(spark, tdir, store)
+    q.awaitTermination(120)
+
+    for rollup in INCREMENTAL_ROLLUPS:
+        got = rollup.read(spark, store)
+        # batch recompute: one partial over the full table, re-aggregated
+        want = rollup.partial(t).groupBy(*rollup.keys).agg(
+            *[F.sum(m).alias(m) for m in rollup.measures])
+        assert _as_set(got) == _as_set(want), rollup.name
+
+
+def test_reorg_retractions_subtract(spark, chunked_transfers):
+    """Rollups must equal never-having-ingested the orphaned rows:
+    net state == recompute over (all rows minus retracted +1/-1 pairs)."""
+    root, tdir, t = chunked_transfers
+    store = os.path.join(root, "rollups")  # maintained by previous test
+
+    surviving = t.withColumn(
+        "_max_v", F.max("_version").over(
+            __import__("pyspark").sql.Window.partitionBy("log_id"))) \
+        .filter((F.col("_version") == F.col("_max_v")) & (F.col("_sign") == 1)) \
+        .drop("_max_v")
+
+    for rollup in INCREMENTAL_ROLLUPS:
+        got = rollup.read(spark, store)
+        want = rollup.partial(surviving).groupBy(*rollup.keys).agg(
+            *[F.sum(m).alias(m) for m in rollup.measures])
+        assert _as_set(got) == _as_set(want), rollup.name
+
+
+def test_compact_preserves_state(spark, chunked_transfers):
+    root, tdir, t = chunked_transfers
+    store = os.path.join(root, "rollups")
+    rollup = INCREMENTAL_ROLLUPS[0]
+    before = _as_set(rollup.read(spark, store))
+    rollup.compact(spark, store)
+    after = _as_set(rollup.read(spark, store))
+    assert before == after
+    # compaction actually collapsed the per-batch partials
+    raw = spark.read.parquet(rollup.store(store))
+    assert raw.count() == raw.select(*rollup.keys).distinct().count()
+
+
+def test_restart_does_not_double_count(spark, chunked_transfers):
+    root, tdir, t = chunked_transfers
+    store = os.path.join(root, "rollups")
+    rollup = INCREMENTAL_ROLLUPS[0]
+    before = spark.read.parquet(rollup.store(store)).count()
+    # same checkpoint, no new files -> nothing reprocessed
+    q = run_maintainer_stream(spark, tdir, store)
+    q.awaitTermination(60)
+    after = spark.read.parquet(rollup.store(store)).count()
+    assert before == after
+
+
+def test_streaming_dedup_matches_batch(spark, chunked_transfers, tmp_path):
+    root, tdir, t = chunked_transfers
+    out = (
+        streaming_dedup_24h(spark, tdir)
+        .writeStream.format("memory").queryName("dedup24")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    out.awaitTermination(120)
+    got = spark.sql("SELECT transaction_hash, log_index FROM dedup24")
+    live = t.filter(F.col("_sign") == 1)
+    want = live.select("transaction_hash", "log_index").distinct()
+    assert got.count() == got.select("transaction_hash", "log_index").distinct().count()
+    assert _as_set(got) == _as_set(want)

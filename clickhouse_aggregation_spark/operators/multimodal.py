@@ -93,9 +93,9 @@ def _extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
 SELECT CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
             WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
        count(*) AS n_media,
-       sum(octet_length(encode(text))) AS total_bytes,
-       min(octet_length(encode(text))) AS min_bytes,
-       max(octet_length(encode(text))) AS max_bytes
+       CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+       CAST(min(octet_length(encode(text))) AS BIGINT) AS min_bytes,
+       CAST(max(octet_length(encode(text))) AS BIGINT) AS max_bytes
 FROM documents
 GROUP BY 1""",
     doc="Typed-metadata rollup over the opaque binary payload column: "

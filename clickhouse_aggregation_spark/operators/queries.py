@@ -32,7 +32,7 @@ from .rollups import (
          sum(value) AS total_usdc, count(*) AS tx_count
   FROM transfers WHERE _sign = 1 GROUP BY 1, 2, 3
 )
-SELECT day, sum(total_usdc) AS daily_volume, sum(tx_count) AS daily_txs
+SELECT day, sum(total_usdc) AS daily_volume, CAST(sum(tx_count) AS BIGINT) AS daily_txs
 FROM rollup GROUP BY day ORDER BY day DESC LIMIT 7"""),
     doc="Daily volume, last 7 days — re-aggregation over mv_usdc_daily "
         "(README.md:66-71; A9,T1)",
@@ -82,7 +82,7 @@ def q_readme_top_senders(spark: SparkSession, sf_dir: str) -> DataFrame:
          count(*) AS tx_count, sum(value) AS total_volume
   FROM transfers WHERE _sign = 1 GROUP BY 1, 2
 )
-SELECT size_bucket, sum(tx_count) AS transactions, sum(total_volume) AS volume
+SELECT size_bucket, CAST(sum(tx_count) AS BIGINT) AS transactions, sum(total_volume) AS volume
 FROM rollup GROUP BY size_bucket ORDER BY volume DESC, size_bucket"""),
     doc="Size-bucket totals over mv_tx_size_distribution (README.md:80-85)",
 )
@@ -141,7 +141,7 @@ def q_monitoring_recent_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=oracle("""
 SELECT CAST(block_timestamp AS DATE) AS day,
        sum(value * _sign) AS net_volume,
-       sum(_sign) AS net_count
+       CAST(sum(_sign) AS BIGINT) AS net_count
 FROM transfers
 GROUP BY 1"""),
     doc="Retraction-aware (_sign-collapsing) aggregation: reorg-safe "
@@ -187,7 +187,7 @@ def q_dedup_latest_version(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
        count(*) AS n_events,
-       sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
        sum(CAST(value AS DECIMAL(18,2))) AS sum_value
 FROM events
 GROUP BY 1, 2""",

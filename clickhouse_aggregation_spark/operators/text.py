@@ -141,9 +141,9 @@ def q_text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_token_count",
     oracle=f"""
 SELECT source,
-       sum(len(string_split(text, ' '))) AS ws_tokens,
-       sum(len(regexp_extract_all(text, '{BPE_ISH_PATTERN}'))) AS bpe_ish_tokens,
-       sum(length(text)) AS total_chars,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+       CAST(sum(len(regexp_extract_all(text, '{BPE_ISH_PATTERN}'))) AS BIGINT) AS bpe_ish_tokens,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars,
        count(*) AS n_docs
 FROM documents
 GROUP BY source""",

@@ -1,0 +1,61 @@
+"""Physical-plan quality gates (the 100 TB posture, checked at any
+scale): filters must reach the parquet scan, projections must prune
+columns, dimension joins must broadcast, and the hot path must stay in
+whole-stage codegen."""
+
+from __future__ import annotations
+
+import pytest
+
+from clickhouse_aggregation_spark.operators import REGISTRY
+
+
+def _plan(spark, sf_dir, name: str, execute: bool = False) -> str:
+    df = REGISTRY[name].fn(spark, sf_dir)
+    if execute:   # AQE finalizes (and annotates codegen) only after run
+        df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_filter_pushdown_and_column_pruning(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "tpch_q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # projection pruned to the 6 needed columns — no l_orderkey etc.
+    assert "l_orderkey" not in plan.split("ReadSchema")[1][:400]
+
+
+def test_q3_broadcasts_dimension_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "tpch_q3_shipping_priority")
+    assert "BroadcastHashJoin" in plan
+    assert "PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)" in plan
+
+
+def test_q5_all_dims_broadcast_one_shuffle_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "tpch_q5_local_supplier_volume")
+    # exactly one non-broadcast (fact-fact) join: orders x lineitem
+    n_bhj = plan.count("BroadcastHashJoin")
+    n_smj = plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin")
+    assert n_bhj >= 3
+    assert n_smj <= 1
+
+
+def test_rollups_scan_only_needed_columns(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "mv_usdc_daily_block")
+    # transfers derive from events: the rollup needs event_id/user_id/ts
+    # but never props/event_type — pruning must reach the events scan
+    read_schema = plan.split("ReadSchema")[1][:300]
+    assert "props" not in read_schema
+    assert "event_type" not in read_schema
+
+
+def test_hot_path_is_whole_stage_codegen(spark, sf_dir):
+    for name in ("mv_usdc_daily_block", "tpch_q1_pricing_summary",
+                 "text_token_count"):
+        plan = _plan(spark, sf_dir, name, execute=True)
+        # '*(n)' prefixes = whole-stage-codegen'd operators
+        assert "*(1)" in plan, name
+
+
+def test_topk_plans_take_ordered(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "readme_top_senders")
+    assert "TakeOrderedAndProject" in plan  # true top-k, no global sort

@@ -35,6 +35,16 @@ def chunked_transfers(spark, sf_dir, tmp_path_factory):
     return str(root), tdir, t
 
 
+@pytest.fixture(scope="module")
+def maintained_store(spark, chunked_transfers):
+    """Rollup store after one full maintainer pass over the chunks."""
+    root, tdir, t = chunked_transfers
+    store = os.path.join(root, "rollups")
+    q = run_maintainer_stream(spark, tdir, store)
+    q.awaitTermination(120)
+    return store
+
+
 def _net_recompute(t, rollup):
     signed = t.select(
         "*",
@@ -47,12 +57,10 @@ def _as_set(df):
     return {tuple(str(v) for v in row) for row in df.collect()}
 
 
-def test_chunked_replay_equals_batch_recompute(spark, chunked_transfers):
+def test_chunked_replay_equals_batch_recompute(spark, chunked_transfers,
+                                               maintained_store):
     root, tdir, t = chunked_transfers
-    store = os.path.join(root, "rollups")
-    q = run_maintainer_stream(spark, tdir, store)
-    q.awaitTermination(120)
-
+    store = maintained_store
     for rollup in INCREMENTAL_ROLLUPS:
         got = rollup.read(spark, store)
         # batch recompute: one partial over the full table, re-aggregated
@@ -61,11 +69,11 @@ def test_chunked_replay_equals_batch_recompute(spark, chunked_transfers):
         assert _as_set(got) == _as_set(want), rollup.name
 
 
-def test_reorg_retractions_subtract(spark, chunked_transfers):
+def test_reorg_retractions_subtract(spark, chunked_transfers, maintained_store):
     """Rollups must equal never-having-ingested the orphaned rows:
     net state == recompute over (all rows minus retracted +1/-1 pairs)."""
     root, tdir, t = chunked_transfers
-    store = os.path.join(root, "rollups")  # maintained by previous test
+    store = maintained_store
 
     surviving = t.withColumn(
         "_max_v", F.max("_version").over(
@@ -80,9 +88,9 @@ def test_reorg_retractions_subtract(spark, chunked_transfers):
         assert _as_set(got) == _as_set(want), rollup.name
 
 
-def test_compact_preserves_state(spark, chunked_transfers):
+def test_compact_preserves_state(spark, chunked_transfers, maintained_store):
     root, tdir, t = chunked_transfers
-    store = os.path.join(root, "rollups")
+    store = maintained_store
     rollup = INCREMENTAL_ROLLUPS[0]
     before = _as_set(rollup.read(spark, store))
     rollup.compact(spark, store)
@@ -93,9 +101,9 @@ def test_compact_preserves_state(spark, chunked_transfers):
     assert raw.count() == raw.select(*rollup.keys).distinct().count()
 
 
-def test_restart_does_not_double_count(spark, chunked_transfers):
+def test_restart_does_not_double_count(spark, chunked_transfers, maintained_store):
     root, tdir, t = chunked_transfers
-    store = os.path.join(root, "rollups")
+    store = maintained_store
     rollup = INCREMENTAL_ROLLUPS[0]
     before = spark.read.parquet(rollup.store(store)).count()
     # same checkpoint, no new files -> nothing reprocessed

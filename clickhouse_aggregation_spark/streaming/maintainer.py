@@ -47,35 +47,68 @@ from ..schemas import TRANSFERS
 @dataclass(frozen=True)
 class IncrementalRollup:
     """One maintained rollup: ``partial`` maps a (possibly signed) batch
-    of transfers to partial-aggregate rows; reads re-aggregate by
-    ``keys`` summing ``measures`` (the SummingMergeTree contract)."""
+    of transfers to partial-STATE rows; reads merge states by ``keys``
+    (the SummingMergeTree contract).
+
+    ``merge_exprs`` define how equal-key states combine — ``sum(m)`` by
+    default, or a mergeable-sketch union (``hll_union_agg``) for
+    distinct-count state, which is ClickHouse's AggregatingMergeTree
+    ``uniqState``/``uniqMerge`` pattern. ``present_exprs`` (optional)
+    finalize merged state for reading (e.g. ``hll_sketch_estimate``);
+    compaction merges state WITHOUT finalizing, so a compacted rollup
+    stays incrementally mergeable forever.
+    """
 
     name: str
     keys: tuple[str, ...]
     measures: tuple[str, ...]
     partial: Callable[[DataFrame], DataFrame]
+    merge_exprs: tuple[str, ...] | None = None     # default: sum(measure)
+    present_exprs: tuple[str, ...] | None = None   # default: identity
 
     def store(self, root: str) -> str:
         return os.path.join(root, self.name)
+
+    def _merged(self, df: DataFrame) -> DataFrame:
+        exprs = self.merge_exprs or tuple(
+            f"sum({m}) AS {m}" for m in self.measures)
+        return df.groupBy(*self.keys).agg(
+            *[F.expr(e) for e in exprs])
 
     def process_batch(self, batch: DataFrame, root: str) -> None:
         """The MV insert: one partial aggregate, one append."""
         self.partial(batch).write.mode("append").parquet(self.store(root))
 
+    def read_state(self, spark: SparkSession, root: str) -> DataFrame:
+        """Merged (but unfinalized) rollup state."""
+        return self._merged(spark.read.parquet(self.store(root)))
+
     def read(self, spark: SparkSession, root: str) -> DataFrame:
-        """Read contract: re-aggregate over the partials (merges are
-        lazy, identical to the reference querying its MV)."""
-        rollup = spark.read.parquet(self.store(root))
-        return rollup.groupBy(*self.keys).agg(
-            *[F.sum(m).alias(m) for m in self.measures])
+        """Read contract: merge partials lazily (identical to the
+        reference querying its MV), then finalize for presentation."""
+        merged = self.read_state(spark, root)
+        if self.present_exprs is None:
+            return merged
+        return merged.select(*self.keys,
+                             *[F.expr(e) for e in self.present_exprs])
+
+    def recompute(self, transfers: DataFrame) -> DataFrame:
+        """Batch recompute from scratch: one partial over the full
+        table, merged and finalized — the invariant target that chunked
+        streaming replay must reproduce exactly."""
+        merged = self._merged(self.partial(transfers))
+        if self.present_exprs is None:
+            return merged
+        return merged.select(*self.keys,
+                             *[F.expr(e) for e in self.present_exprs])
 
     def compact(self, spark: SparkSession, root: str) -> None:
-        """The background merge: collapse equal-key partials in place
-        (write-to-temp then swap, so a failed compact never loses the
-        appended partials)."""
+        """The background merge: collapse equal-key partials in place,
+        keeping state mergeable (write-to-temp then swap, so a failed
+        compact never loses the appended partials)."""
         import shutil
 
-        merged = self.read(spark, root)
+        merged = self.read_state(spark, root)
         tmp = self.store(root) + ".compact"
         merged.write.mode("overwrite").parquet(tmp)
         final = self.store(root)
@@ -131,6 +164,52 @@ def _top_senders_partial(batch: DataFrame) -> DataFrame:
     )
 
 
+def _top_receivers_partial(batch: DataFrame) -> DataFrame:
+    return (
+        _signed(batch)
+        .groupBy(to_day(F.col("block_timestamp")).alias("day"), "to_address")
+        .agg(F.sum("_svalue").alias("total_received"),
+             F.sum("_scount").alias("tx_count"))
+    )
+
+
+def _top_addresses_partial(batch: DataFrame) -> DataFrame:
+    """U1 union pivot per batch: sum-over-batches of a union equals the
+    union of sums, so the pivot composes with incremental maintenance."""
+    s = _signed(batch)
+    sent = (
+        s.groupBy(to_day(F.col("block_timestamp")).alias("day"),
+                  F.col("from_address").alias("address"))
+        .agg(F.sum("_svalue").alias("volume"), F.sum("_scount").alias("tx_count"))
+        .withColumn("address_type", F.lit("sender"))
+    )
+    received = (
+        s.groupBy(to_day(F.col("block_timestamp")).alias("day"),
+                  F.col("to_address").alias("address"))
+        .agg(F.sum("_svalue").alias("volume"), F.sum("_scount").alias("tx_count"))
+        .withColumn("address_type", F.lit("receiver"))
+    )
+    cols = ["address", "address_type", "day", "volume", "tx_count"]
+    return sent.select(*cols).unionByName(received.select(*cols))
+
+
+def _hourly_uniq_partial(batch: DataFrame) -> DataFrame:
+    """The reference's mv_usdc_hourly with real uniq() state
+    (analytics.sql:24-38): Datasketches HLL sketches as binary state
+    columns — ClickHouse AggregatingMergeTree uniqState. Mirrors the
+    reference's ``WHERE _sign = 1`` (sketches are insert-only; a reorg
+    cannot retract a distinct-actor observation, same as ClickHouse
+    uniq over the CDC mirror)."""
+    return (
+        batch.filter(F.col("_sign") == 1)
+        .groupBy(block_hour(F.col("block_number")).alias("block_hour"))
+        .agg(F.sum("value").alias("total_volume"),
+             F.count(F.lit(1)).alias("tx_count"),
+             F.expr("hll_sketch_agg(from_address)").alias("senders_sk"),
+             F.expr("hll_sketch_agg(to_address)").alias("receivers_sk"))
+    )
+
+
 INCREMENTAL_ROLLUPS: tuple[IncrementalRollup, ...] = (
     IncrementalRollup("daily", ("block_range", "from_address", "to_address"),
                       ("total_usdc", "tx_count"), _daily_partial),
@@ -140,6 +219,22 @@ INCREMENTAL_ROLLUPS: tuple[IncrementalRollup, ...] = (
                       ("tx_count", "total_volume"), _size_dist_partial),
     IncrementalRollup("top_senders", ("block_range", "from_address"),
                       ("total_sent", "tx_count"), _top_senders_partial),
+    IncrementalRollup("top_receivers", ("day", "to_address"),
+                      ("total_received", "tx_count"), _top_receivers_partial),
+    IncrementalRollup("top_addresses", ("address", "address_type", "day"),
+                      ("volume", "tx_count"), _top_addresses_partial),
+    IncrementalRollup(
+        "hourly_uniq", ("block_hour",),
+        ("total_volume", "tx_count", "senders_sk", "receivers_sk"),
+        _hourly_uniq_partial,
+        merge_exprs=("sum(total_volume) AS total_volume",
+                     "sum(tx_count) AS tx_count",
+                     "hll_union_agg(senders_sk) AS senders_sk",
+                     "hll_union_agg(receivers_sk) AS receivers_sk"),
+        present_exprs=("total_volume", "tx_count",
+                       "hll_sketch_estimate(senders_sk) AS unique_senders",
+                       "hll_sketch_estimate(receivers_sk) AS unique_receivers"),
+    ),
 )
 
 

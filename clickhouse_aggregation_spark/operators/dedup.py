@@ -75,34 +75,21 @@ doc_shingles AS (
 )"""
 
 
-def _jaccard_pairs(ds: DataFrame, cand: DataFrame | None = None) -> DataFrame:
-    """Exact Jaccard over (doc_id, shingle) sets; optionally restricted
-    to candidate pairs (doc_a, doc_b).
-
-    With candidates, the common-shingle count is computed by joining
-    the (small) candidate set against the shingle index twice — NOT by
-    materializing the full quadratic shingle self-join and filtering.
-    This is the whole point of LSH: work ∝ candidates, not ∝ Σ df².
-    """
+def _jaccard_pairs(ds: DataFrame) -> DataFrame:
+    """Exact all-pairs Jaccard over (doc_id, shingle) sets via the
+    inverted-index self-join — the exactness baseline. Quadratic in
+    per-shingle bucket size; the LSH query verifies candidates via
+    array_intersect instead (work ∝ collisions, not ∝ Σ df²)."""
     counts = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = ds.alias("a")
     b = ds.alias("b")
-    if cand is None:
-        pairs = (
-            a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-                   & (F.col("a.doc_id") < F.col("b.doc_id")))
-            .groupBy(F.col("a.doc_id").alias("doc_a"),
-                     F.col("b.doc_id").alias("doc_b"))
-            .agg(F.count(F.lit(1)).alias("common"))
-        )
-    else:
-        pairs = (
-            cand.join(a, F.col("doc_a") == F.col("a.doc_id"))
-            .join(b, (F.col("doc_b") == F.col("b.doc_id"))
-                  & (F.col("a.shingle") == F.col("b.shingle")))
-            .groupBy("doc_a", "doc_b")
-            .agg(F.count(F.lit(1)).alias("common"))
-        )
+    pairs = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"),
+                 F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
     ca = counts.alias("ca")
     cb = counts.alias("cb")
     return (

@@ -1,0 +1,95 @@
+"""Property-based tests (hypothesis) for the scalar function library:
+the bucketing functions must agree with their Python/ClickHouse
+definitions on arbitrary inputs, and the retraction algebra must cancel
+exactly."""
+
+from __future__ import annotations
+
+import datetime
+
+from hypothesis import given, settings, strategies as st
+
+from pyspark.sql import Row, functions as F
+
+from clickhouse_aggregation_spark.functions.bucketing import (
+    BLOCKS_PER_DAY, SIZE_EDGES, block_range_day, int_div, size_bucket,
+    to_yyyymm, to_yyyymmdd,
+)
+
+_settings = settings(max_examples=10, deadline=None)
+
+
+@_settings
+@given(st.lists(st.integers(min_value=0, max_value=2**40), min_size=1,
+                max_size=50),
+       st.integers(min_value=1, max_value=100_000))
+def test_int_div_matches_python_floordiv(spark, values, divisor):
+    df = spark.createDataFrame([Row(v=v) for v in values])
+    got = [r[0] for r in
+           df.select(int_div(F.col("v"), divisor)).collect()]
+    assert got == [v // divisor for v in values]
+
+
+@_settings
+@given(st.lists(st.integers(min_value=0, max_value=10**12), min_size=1,
+                max_size=50))
+def test_size_bucket_edges(spark, values):
+    df = spark.createDataFrame([Row(v=v) for v in values])
+    got = [r[0] for r in df.select(size_bucket(F.col("v"))).collect()]
+
+    def ref(v):
+        if v < SIZE_EDGES[0]:
+            return "small"
+        if v < SIZE_EDGES[1]:
+            return "medium"
+        if v < SIZE_EDGES[2]:
+            return "large"
+        return "whale"
+    assert got == [ref(v) for v in values]
+
+
+@_settings
+@given(st.lists(st.datetimes(min_value=datetime.datetime(1980, 1, 2),
+                             max_value=datetime.datetime(2200, 12, 30)),
+                min_size=1, max_size=30))
+def test_yyyymm_yyyymmdd_match_python(spark, stamps):
+    df = spark.createDataFrame([Row(ts=t) for t in stamps])
+    got = df.select(to_yyyymm(F.col("ts")).alias("m"),
+                    to_yyyymmdd(F.col("ts")).alias("d")).collect()
+    for row, t in zip(got, stamps):
+        assert row["m"] == t.year * 100 + t.month
+        assert row["d"] == t.year * 10000 + t.month * 100 + t.day
+
+
+@_settings
+@given(st.lists(
+    st.tuples(st.integers(min_value=0, max_value=10),     # group key
+              st.integers(min_value=1, max_value=10**9)), # value
+    min_size=1, max_size=60))
+def test_retraction_algebra_cancels_exactly(spark, rows):
+    """insert(+1) then retract(-1) then replace(+1, v') must equal
+    having only ever inserted v' — for every group, exactly."""
+    base = [Row(g=g, value=v, sign=1) for g, v in rows]
+    retract = [Row(g=g, value=v, sign=-1) for g, v in rows]
+    replaced = [Row(g=g, value=v * 2, sign=1) for g, v in rows]
+    full = spark.createDataFrame(base + retract + replaced)
+    only_final = spark.createDataFrame(replaced)
+
+    def net(df):
+        return {(r["g"]): (r["nv"], r["nc"]) for r in
+                df.groupBy("g").agg(
+                    F.sum(F.col("value") * F.col("sign")).alias("nv"),
+                    F.sum("sign").alias("nc")).collect()}
+    assert net(full) == net(only_final)
+
+
+@_settings
+@given(st.integers(min_value=0, max_value=2**31 - 1))
+def test_block_day_consistent_with_hour(spark, block):
+    df = spark.createDataFrame([Row(b=block)])
+    row = df.select(
+        block_range_day(F.col("b")).alias("d"),
+        int_div(F.col("b"), 300).alias("h")).first()
+    # 24 hour-buckets per day-bucket: hour div 24 == day
+    assert row["h"] // 24 == row["d"]
+    assert row["d"] == block // BLOCKS_PER_DAY

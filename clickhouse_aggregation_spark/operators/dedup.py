@@ -305,19 +305,20 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa = sets.alias("sa")
     sb = sets.alias("sb")
-    # verification never shuffles the corpus: the candidate list is
-    # broadcast into a corpus-side hash join, and the (candidate ×
-    # doc_a-shingles) result — still candidate-sized — is broadcast
-    # into the second. Explicit broadcasts also pin one plan shape at
-    # every scale (AQE would otherwise flip strategies between the
-    # warm-up and bench scales, defeating codegen reuse).
-    left = sa.join(F.broadcast(cand), F.col("doc_a") == F.col("sa.doc_id")) \
+    # Verification joins the candidate list against the (persisted)
+    # shingle index twice on doc_id. Join strategy is left to AQE on
+    # purpose: with few candidates it broadcasts; with a dup-heavy
+    # corpus the candidate set is ~|collisions| (the scale probe hits
+    # 4M pairs on 100k replicated docs) and a forced broadcast of
+    # candidate×shingle-array rows would OOM — AQE's runtime stats pick
+    # the shuffle join exactly when that happens.
+    left = sa.join(cand, F.col("doc_a") == F.col("sa.doc_id")) \
              .select("doc_a", "doc_b",
                      F.col("sa.sh").alias("sh_a"), F.col("sa.n").alias("n_a"))
     common = F.size(F.array_intersect(F.col("sh_a"), F.col("sb.sh")))
     jaccard = common / (F.col("n_a") + F.col("sb.n") - common)
     return (
-        sb.join(F.broadcast(left), F.col("doc_b") == F.col("sb.doc_id"))
+        sb.join(left, F.col("doc_b") == F.col("sb.doc_id"))
         .select("doc_a", "doc_b", jaccard.alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )

@@ -1,0 +1,102 @@
+#!/usr/bin/env python
+"""Scale-stress probe: amplify the sf0.1 fixtures in-engine (~100x) and
+run the heavy operators, to check the plans that pass correctness also
+hold up when the data stops being toy-sized.
+
+Amplification happens lazily (crossJoin with a replica range + key
+re-salting) so the probe exercises real shuffle/aggregate volume
+without writing a bigger fixture. Usage:
+
+    python tools/scale_probe.py [replicas]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from pyspark.sql import functions as F
+
+from clickhouse_aggregation_spark.operators.dedup import (
+    doc_shingle_sets, minhash_band_keys,
+)
+from clickhouse_aggregation_spark.session import get_spark
+from clickhouse_aggregation_spark.sources.tables import load_table
+from clickhouse_aggregation_spark.sources.transfers import transfers_df
+
+SF_DIR = "/root/testdata/sf0.1"
+REPLICAS = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+
+
+def amplified_transfers(spark):
+    """~10.4M rows at 100 replicas: each replica shifts blocks by a day
+    and re-salts addresses, so group-key cardinality scales too."""
+    t = transfers_df(spark, SF_DIR)
+    reps = spark.range(REPLICAS).withColumnRenamed("id", "rep")
+    return (
+        t.crossJoin(reps)
+        .withColumn("block_number",
+                    (F.col("block_number") + F.col("rep") * 7200).cast("int"))
+        .withColumn("from_address",
+                    F.concat(F.col("from_address"), F.col("rep") % 10))
+        .drop("rep")
+    )
+
+
+def timed(label, df):
+    t0 = time.perf_counter()
+    df.write.format("noop").mode("overwrite").save()
+    print(f"{label}: {time.perf_counter() - t0:.2f}s")
+
+
+def main():
+    spark = get_spark("scale-probe")
+    big = amplified_transfers(spark)
+    n = big.count()
+    print(f"amplified transfers rows: {n:,}")
+
+    timed("daily rollup (3-key groupBy)",
+          big.filter(F.col("_sign") == 1)
+          .groupBy((F.col("block_number").cast("long") / 7200).cast("long")
+                   .alias("d"), "from_address", "to_address")
+          .agg(F.sum("value"), F.count(F.lit(1))))
+
+    timed("retraction net (signed agg)",
+          big.groupBy(F.to_date("block_timestamp").alias("day"))
+          .agg(F.sum(F.col("value") * F.col("_sign")),
+               F.sum("_sign")))
+
+    timed("LWW dedup window (10M rows)",
+          big.withColumn("_rn", F.row_number().over(
+              __import__("pyspark").sql.Window
+              .partitionBy("block_timestamp", "transaction_hash", "log_index",
+                           "from_address")
+              .orderBy(F.col("_version").desc())))
+          .filter(F.col("_rn") == 1))
+
+    # documents x20 = 100k docs for the minhash candidate pipeline
+    docs = load_table(spark, SF_DIR, "documents")
+    reps = spark.range(20).withColumnRenamed("id", "rep")
+    big_docs = (docs.crossJoin(reps)
+                .withColumn("doc_id", F.col("doc_id") * 100 + F.col("rep"))
+                .withColumn("text",
+                            F.when(F.col("rep") % 4 == 0, F.col("text"))
+                            .otherwise(F.concat(F.col("text"), F.lit(" rep"),
+                                                F.col("rep"))))
+                .drop("rep"))
+    sets = doc_shingle_sets(big_docs)
+    bk = minhash_band_keys(sets)
+    t0 = time.perf_counter()
+    n_cand = (bk.groupBy("band_id", "band_key")
+              .agg(F.count(F.lit(1)).alias("c"))
+              .filter(F.col("c") > 1)
+              .agg(F.sum(F.col("c") * (F.col("c") - 1) / 2)).first()[0])
+    print(f"minhash 100k docs: {time.perf_counter() - t0:.2f}s, "
+          f"candidate pairs ~{int(n_cand or 0):,}")
+
+
+if __name__ == "__main__":
+    main()

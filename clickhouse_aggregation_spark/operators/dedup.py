@@ -42,13 +42,21 @@ COSINE_DUP_THRESHOLD = 0.45
 # shared shingle machinery
 
 def shingles_col(text: Column, k: int = SHINGLE_K) -> Column:
-    """Whitespace-token k-gram shingles as an array<string>."""
+    """Whitespace-token k-gram shingles as an array<string>.
+
+    Guarded for texts shorter than k words: ``sequence(0, n)`` with a
+    negative n generates a DESCENDING sequence in Spark (not an empty
+    one), which would index out of bounds — short texts yield [].
+    """
     words = F.split(text, " ")
-    return F.transform(
-        F.sequence(F.lit(0), F.size(words) - k),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(words, i + j + 1) for j in range(k)]),
-    )
+    return F.when(
+        F.size(words) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - k),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(words, i + j + 1) for j in range(k)]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def doc_shingles(docs: DataFrame) -> DataFrame:
@@ -408,4 +416,40 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("b.vec_id").alias("vec_b"),
                 cos.alias("cosine"))
         .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
+    )
+
+
+# ---------------------------------------------------------------------------
+# D6: from dup pairs to a cleaned corpus
+
+@register(
+    "dedup_minhash_survivors",
+    oracle=f"""
+WITH {DOC_SETS_SQL.strip()},
+{_minhash_sql().strip()},
+dups AS (
+  SELECT DISTINCT c.doc_b AS dropped
+  FROM candidates c
+  JOIN doc_sets_n a ON a.doc_id = c.doc_a
+  JOIN doc_sets_n b ON b.doc_id = c.doc_b
+  WHERE len(list_intersect(a.sh, b.sh))
+          / (a.n + b.n - len(list_intersect(a.sh, b.sh))) >= {JACCARD_THRESHOLD}
+)
+SELECT d.doc_id, d.lang, d.source, d.n_chars
+FROM documents d
+LEFT JOIN dups ON dups.dropped = d.doc_id
+WHERE dups.dropped IS NULL""",
+    doc="The removal stage of near-dedup: keep-lowest-doc_id policy — "
+        "any doc that is the higher id of a confirmed dup pair is "
+        "dropped; the corpus is produced by one anti-join. (Chains use "
+        "the standard greedy policy, not iterative union-find, so a "
+        "single linear pass suffices at any scale.)",
+)
+def q_dedup_minhash_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = q_dedup_minhash_lsh(spark, sf_dir)
+    dropped = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.join(dropped, "doc_id", "left_anti")
+        .select("doc_id", "lang", "source", "n_chars")
     )

@@ -1,0 +1,84 @@
+"""Iterative operators (beyond-reference): connected components over
+the near-duplicate pair graph — the exact cluster assignment that the
+greedy keep-lowest-id policy approximates.
+
+Min-label propagation: every doc starts labeled with its own id; each
+iteration propagates the minimum label across dup edges; fixpoint =
+connected components. Driver-side iteration with localCheckpoint per
+round (truncates the growing lineage — the standard Spark pattern for
+iterative algorithms; at 100 TB each round is one shuffle join over the
+edge list, and real dup graphs converge in a handful of rounds because
+component diameters are small).
+
+Not SQL-expressible in one query → declared rows-only (the driver
+records the weaker check); correctness is tested against a pure-Python
+union-find on the same pairs (tests/test_clustering.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..sources.tables import load_table
+from .dedup import q_dedup_minhash_lsh
+from .registry import register
+
+MAX_ITERATIONS = 15
+
+
+def connected_components(edges: DataFrame, nodes: DataFrame,
+                         max_iter: int = MAX_ITERATIONS) -> DataFrame:
+    """(node, component) for the undirected graph given by
+    edges(doc_a, doc_b); component = min node id reachable."""
+    sym = (edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+           .unionByName(
+               edges.select(F.col("doc_b").alias("src"),
+                            F.col("doc_a").alias("dst")))
+           .distinct()
+           .localCheckpoint())
+    labels = nodes.select(F.col("doc_id").alias("node"),
+                          F.col("doc_id").alias("component"))
+    for _ in range(max_iter):
+        # label(dst) candidate = min over neighbors' labels
+        prop = (sym.join(labels, sym.src == labels.node)
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.min("component").alias("_neighbor_min")))
+        new_labels = (
+            labels.join(prop, "node", "left")
+            .select("node",
+                    F.least(F.col("component"),
+                            F.coalesce(F.col("_neighbor_min"),
+                                       F.col("component"))).alias("component"))
+        ).localCheckpoint()
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "node")
+                   .filter(F.col("n.component") != F.col("o.component"))
+                   .limit(1).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+@register(
+    "dedup_clusters",
+    oracle=None,   # iterative fixpoint: not single-query SQL; verified
+                   # against pure-Python union-find in tests
+    doc="Connected components over the MinHash dup-pair graph via "
+        "min-label propagation (localCheckpoint per round). Emits "
+        "(cluster representative, size) for clusters with >1 member — "
+        "the exact version of the greedy survivor policy.",
+    tags=("iterative",),
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = q_dedup_minhash_lsh(spark, sf_dir).localCheckpoint()
+    members = (pairs.select(F.col("doc_a").alias("doc_id"))
+               .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+               .distinct())
+    labels = connected_components(pairs, members)
+    return (
+        labels.groupBy(F.col("component").alias("cluster_rep"))
+        .agg(F.count(F.lit(1)).alias("cluster_size"),
+             F.sort_array(F.collect_list("node")).alias("member_ids"))
+        .filter(F.col("cluster_size") > 1)
+    )

@@ -211,3 +211,103 @@ def q_similarity_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-Flat: inverted-file index with seeded centroids
+
+N_CENTROIDS = 16
+N_PROBE = 2
+
+
+def _ivf_parts(spark: SparkSession, sf_dir: str):
+    """Assign every vector to its nearest of K seeded centroids
+    (centroids = the first K corpus vectors; deterministic, no k-means
+    iterations — IVF-Flat's index build reduced to one broadcast join).
+
+    Distance is squared L2 in quantized integer space:
+    ||a-c||² = |a|² + |c|² - 2·a·c — exact, order-independent.
+    """
+    n = _quantized(spark, sf_dir)
+    cents = n.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("qv").alias("c_qv"),
+        F.col("norm2").alias("c_norm2"))
+    dist = (F.col("norm2") + F.col("c_norm2")
+            - 2 * int_dot(F.col("qv"), F.col("c_qv")))
+    w = Window.partitionBy("vec_id").orderBy("dist", "centroid_id")
+    assigned = (
+        n.join(F.broadcast(cents))
+        .select("vec_id", "qv", "norm2", "centroid_id", dist.alias("dist"))
+        .withColumn("_rk", F.row_number().over(w))
+    )
+    return assigned, cents
+
+
+@register(
+    "similarity_ivf_topk",
+    oracle=f"""
+WITH {_QUANT_SQL.strip()},
+cents AS (
+  SELECT vec_id AS centroid_id, qv AS c_qv, norm2 AS c_norm2
+  FROM n WHERE vec_id < {N_CENTROIDS}
+),
+dists AS (
+  SELECT n.vec_id, n.qv, n.norm2, c.centroid_id,
+         n.norm2 + c.c_norm2
+           - 2 * CAST(list_sum(list_transform(range(1, len(n.qv) + 1),
+                 i -> n.qv[i] * c.c_qv[i])) AS BIGINT) AS dist,
+         row_number() OVER (PARTITION BY n.vec_id
+                            ORDER BY n.norm2 + c.c_norm2
+           - 2 * CAST(list_sum(list_transform(range(1, len(n.qv) + 1),
+                 i -> n.qv[i] * c.c_qv[i])) AS BIGINT), c.centroid_id) AS _rk
+  FROM n, cents c
+),
+corpus AS (SELECT vec_id, qv, norm2, centroid_id FROM dists WHERE _rk = 1),
+probes AS (SELECT vec_id AS query_id, centroid_id, qv AS q_qv,
+                  norm2 AS q_norm2
+           FROM dists WHERE vec_id < {N_QUERIES} AND _rk <= {N_PROBE}),
+scored AS (
+  SELECT p.query_id, x.vec_id AS neighbor_id,
+         CAST(list_sum(list_transform(range(1, len(p.q_qv) + 1),
+              i -> p.q_qv[i] * x.qv[i])) AS BIGINT)
+           / (sqrt(p.q_norm2) * sqrt(x.norm2)) AS cosine
+  FROM probes p JOIN corpus x ON x.centroid_id = p.centroid_id
+  WHERE x.vec_id <> p.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank
+FROM ranked WHERE rank <= {TOP_K}""",
+    doc="Approximate top-5 via IVF-Flat: 16 seeded centroids, corpus "
+        "bucketed by nearest centroid (one broadcast join — the index "
+        "build), queries probe their 2 nearest cells. The other ANN "
+        "scale path besides sign-LSH: the search join touches only "
+        "probed cells, and the cell assignment is a linear pass.",
+)
+def q_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assigned, cents = _ivf_parts(spark, sf_dir)
+    corpus = assigned.filter(F.col("_rk") == 1).select(
+        F.col("vec_id").alias("neighbor_id"), "qv", "norm2", "centroid_id")
+    probes = assigned.filter(
+        (F.col("vec_id") < N_QUERIES) & (F.col("_rk") <= N_PROBE)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("centroid_id").alias("p_centroid"),
+        F.col("qv").alias("q_qv"), F.col("norm2").alias("q_norm2"))
+    cos = (int_dot(F.col("q_qv"), F.col("qv"))
+           / (F.sqrt(F.col("q_norm2")) * F.sqrt(F.col("norm2"))))
+    scored = (
+        corpus.join(F.broadcast(probes),
+                    (F.col("centroid_id") == F.col("p_centroid"))
+                    & (F.col("neighbor_id") != F.col("query_id")))
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+    )

@@ -43,11 +43,16 @@ HEADLINE = [
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
     "top_customers_per_nation",
+    "tpch_q6_forecast_revenue",
+    "tpch_q18_large_orders",
+    "sql_adhoc_whale_report",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_minhash_survivors",
     "dedup_simhash",
     "similarity_topk_bruteforce",
     "similarity_lsh_bucketed",
+    "similarity_ivf_topk",
     "text_language_id",
     "text_token_count",
     "multimodal_feature_extract",

@@ -351,8 +351,8 @@ WITH toks AS (
   FROM th GROUP BY doc_id
 )
 SELECT doc_id,
-       {" + ".join(f"(CASE WHEN s{b} > 0 THEN {2 ** b} ELSE 0 END)" for b in range(16))}
-       AS simhash16
+       CAST({" + ".join(f"(CASE WHEN s{b} > 0 THEN {2 ** b} ELSE 0 END)" for b in range(16))}
+            AS BIGINT) AS simhash16
 FROM bits""",
     doc="16-bit SimHash per document: sign-sum of md5-derived token "
         "bits. Fingerprints cluster near-duplicates into nearby codes; "

@@ -108,8 +108,8 @@ def q_multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         media.groupBy("kind")
         .agg(F.count(F.lit(1)).alias("n_media"),
              F.sum(F.octet_length("payload")).alias("total_bytes"),
-             F.min(F.octet_length("payload")).alias("min_bytes"),
-             F.max(F.octet_length("payload")).alias("max_bytes"))
+             F.min(F.octet_length("payload")).cast("long").alias("min_bytes"),
+             F.max(F.octet_length("payload")).cast("long").alias("max_bytes"))
     )
 
 

@@ -120,9 +120,11 @@ def q_text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = F.split("text", " ")
     m = docs.select(
         "doc_id",
-        F.length("text").alias("n_chars_actual"),
-        F.size(words).alias("n_tokens"),
-        F.size(F.array_distinct(words)).alias("n_distinct"),
+        # long, not int: DuckDB length()/len() return BIGINT and the
+        # driver records both schemas
+        F.length("text").cast("long").alias("n_chars_actual"),
+        F.size(words).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(words)).cast("long").alias("n_distinct"),
     )
     avg_tok = (F.col("n_chars_actual") - F.col("n_tokens") + 1) / F.col("n_tokens")
     distinct_ratio = F.col("n_distinct") / F.col("n_tokens")

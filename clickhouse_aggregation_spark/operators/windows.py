@@ -1,0 +1,115 @@
+"""Session windows and range joins (SURVEY.md §2.9 footnote; pyspark
+guide "Common OLAP patterns").
+
+``events_sessionization`` uses Spark's built-in ``session_window``
+(gap-merged event-time windows) — the declarative sibling of the
+``applyInPandasWithState`` operator in streaming/stateful.py. Its
+oracle is the classic lag/cumsum sessionization in SQL, so the two
+formulations cross-check each other.
+
+``events_cooccurrence_5min`` is the bucketed range join: |t1 - t2| <= 5
+minutes implemented as an equi-join on 5-minute time cells (each left
+row joins its own and the adjacent cell) + a residual filter. At 100 TB
+this is THE way to do interval joins — the shuffle key is the cell, so
+candidate pairs are bounded by cell occupancy instead of |L| x |R|.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..sources.tables import load_table
+from .registry import register
+
+SESSION_GAP = "30 minutes"
+COOC_WINDOW_S = 300
+
+
+@register(
+    "events_sessionization",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, ts, value,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+  FROM events
+),
+flagged AS (
+  SELECT *, CASE WHEN prev_ts IS NULL
+                 OR date_part('epoch', ts) - date_part('epoch', prev_ts) > 1800
+            THEN 1 ELSE 0 END AS new_session
+  FROM ordered
+),
+sessions AS (
+  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       date_trunc('second', min(ts)) AS session_start,
+       count(*) AS n_events,
+       sum(CAST(value AS DECIMAL(18,2))) AS total_value
+FROM sessions GROUP BY user_id, sid""",
+    doc="Sessionization via the built-in session_window (30-min gap); "
+        "oracle is the lag/cumsum formulation — the two classic "
+        "sessionization algorithms must agree exactly.",
+)
+def q_events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", SESSION_GAP).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value"),
+             F.min("ts").alias("_start"))
+        .select("user_id",
+                F.date_trunc("second", "_start").alias("session_start"),
+                "n_events", "total_value")
+    )
+
+
+@register(
+    "events_cooccurrence_5min",
+    oracle=f"""
+WITH e AS (
+  SELECT event_id, event_type,
+         CAST(floor(date_part('epoch', ts)) AS BIGINT) AS ts_s
+  FROM events
+),
+cells AS (
+  SELECT *, ts_s // {COOC_WINDOW_S} AS cell FROM e
+),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b
+  FROM cells a
+  JOIN cells b
+    ON b.cell BETWEEN a.cell - 1 AND a.cell + 1
+   AND a.event_id < b.event_id
+   AND abs(a.ts_s - b.ts_s) <= {COOC_WINDOW_S}
+)
+SELECT type_a, type_b, count(*) AS n_pairs
+FROM pairs GROUP BY 1, 2""",
+    doc="Bucketed range join: event pairs within 5 minutes via "
+        "time-cell equi-join (own + adjacent cell) + residual filter — "
+        "candidate pairs bounded by cell occupancy, not |L|x|R|.",
+)
+def q_events_cooccurrence_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select("event_id", "event_type",
+                  F.unix_timestamp("ts").alias("ts_s"))
+    cells = e.withColumn("cell", F.expr(f"ts_s div {COOC_WINDOW_S}"))
+    a = cells.alias("a")
+    # explode left rows into their cell and both neighbors, then a pure
+    # equi-join on the cell key (shuffle-friendly at any scale)
+    b = (cells.withColumn("probe",
+                          F.explode(F.array(F.col("cell") - 1, F.col("cell"),
+                                            F.col("cell") + 1)))
+         .select(F.col("event_id").alias("b_id"),
+                 F.col("event_type").alias("type_b"),
+                 F.col("ts_s").alias("b_ts"), "probe"))
+    pairs = (
+        a.join(b, (F.col("a.cell") == F.col("probe"))
+               & (F.col("a.event_id") < F.col("b_id"))
+               & (F.abs(F.col("a.ts_s") - F.col("b_ts")) <= COOC_WINDOW_S))
+        .select(F.col("a.event_type").alias("type_a"), "type_b")
+    )
+    return pairs.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).alias("n_pairs"))

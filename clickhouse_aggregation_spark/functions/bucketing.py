@@ -28,14 +28,19 @@ SIZE_EDGES = (100_000_000, 1_000_000_000, 10_000_000_000)
 
 
 def int_div(col: Column, divisor: int) -> Column:
-    """ClickHouse ``intDiv`` for non-negative integers.
+    """ClickHouse ``intDiv`` for non-negative integers — exact for the
+    full long range.
 
-    Implemented as subtract-modulo integer arithmetic so the whole
-    expression stays in 64-bit integers (exact for any long, unlike a
-    double-division floor) and inside whole-stage codegen.
+    Spark's ``/`` is double division (loses low bits above 2^53), so
+    the exact multiple ``c - c % divisor`` is divided in DECIMAL(38,0)
+    space — the quotient is integral, and the decimal division of
+    integral operands yields it exactly before the cast back to long.
+    Still pure column expressions inside whole-stage codegen.
     """
     c = col.cast("long")
-    return ((c - c % divisor) / divisor).cast("long")
+    exact_multiple = (c - c % divisor).cast("decimal(38,0)")
+    return (exact_multiple / F.lit(divisor).cast("decimal(38,0)")) \
+        .cast("decimal(38,0)").cast("long")
 
 
 def block_range_day(block: Column) -> Column:

@@ -26,23 +26,23 @@ from .registry import register
 def asof_join_events(left: DataFrame, right: DataFrame,
                      key: str, ts: str) -> DataFrame:
     """Generic keyed as-of: left rows + ``asof_ts`` = greatest right.ts
-    <= left.ts (right rows win ties, matching ASOF JOIN >=)."""
+    <= left.ts (right rows win ties, matching ASOF JOIN >=).
+
+    The left rows travel THROUGH the timeline with all their columns
+    (right-side rows pad the extras with null via allowMissingColumns),
+    so the result is exactly one output row per left row — a join-back
+    on [key, ts] would multiply rows whenever two left rows share a
+    timestamp."""
     l_tag = left.withColumn("_side", F.lit(1))
     r_tag = right.select(key, ts).withColumn("_side", F.lit(0))
-    cols = set(l_tag.columns) & set(r_tag.columns)
-    timeline = l_tag.select(*cols).unionByName(
-        r_tag.select(*cols), allowMissingColumns=False)
+    timeline = l_tag.unionByName(r_tag, allowMissingColumns=True)
     # order right-side rows BEFORE left rows at equal ts (_side asc)
     w = Window.partitionBy(key).orderBy(ts, "_side") \
               .rowsBetween(Window.unboundedPreceding, 0)
     carried = timeline.withColumn(
         "asof_ts",
         F.last(F.when(F.col("_side") == 0, F.col(ts)), ignorenulls=True).over(w))
-    return (
-        carried.filter(F.col("_side") == 1)
-        .drop("_side")
-        .join(left, [key, ts])
-    )
+    return carried.filter(F.col("_side") == 1).drop("_side")
 
 
 @register(

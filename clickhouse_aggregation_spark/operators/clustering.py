@@ -56,8 +56,12 @@ def connected_components(edges: DataFrame, nodes: DataFrame,
                    .limit(1).count())
         labels = new_labels
         if changed == 0:
-            break
-    return labels
+            return labels
+    # a silent unconverged result would be wrong-but-plausible — the
+    # operator's contract is EXACT components, so fail loudly instead
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} iterations "
+        f"(component diameter exceeds max_iter); raise max_iter")
 
 
 @register(

@@ -210,6 +210,24 @@ doc_sets AS (
 doc_sets_n AS (SELECT doc_id, sh, len(sh) AS n FROM doc_sets)"""
 
 
+# one persisted shingle index per (session, sf_dir) — the index is
+# consumed three times per query (signatures + both verification sides)
+# and by the survivors/clusters queries on top; without this cache each
+# invocation would pin its own duplicate copy in the block manager.
+# At 100 TB this is the disk-backed shingle-index table every MinHash
+# pipeline materializes once; persisting also pins AQE stats.
+_SETS_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def _persisted_shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (id(spark), sf_dir)
+    if key not in _SETS_CACHE:
+        _SETS_CACHE[key] = doc_shingle_sets(
+            load_table(spark, sf_dir, "documents")
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+    return _SETS_CACHE[key]
+
+
 def minhash_band_keys(sets: DataFrame, k: int = MINHASH_K,
                       bands: int = LSH_BANDS) -> DataFrame:
     """(doc_id, band_id, band_key) from per-row array mins.
@@ -287,13 +305,7 @@ WHERE len(list_intersect(a.sh, b.sh))
         "surviving candidates — work ∝ collisions, not ∝ Σ df².",
 )
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # the shingle index is consumed three times (signatures + both
-    # verification sides): materialize it once. At 100 TB this is the
-    # disk-backed shingle-index table every MinHash pipeline persists
-    # rather than re-deriving per stage; locally it also pins AQE stats
-    # so the nested broadcast jobs don't re-plan the subtree.
-    sets = doc_shingle_sets(load_table(spark, sf_dir, "documents")) \
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    sets = _persisted_shingle_sets(spark, sf_dir)
     bk = minhash_band_keys(sets)
     # candidate pairs via ONE pass over the band keys: group each
     # bucket, emit in-bucket combinations. A self-join would recompute

@@ -35,7 +35,7 @@ WITH ordered AS (
 ),
 flagged AS (
   SELECT *, CASE WHEN prev_ts IS NULL
-                 OR date_part('epoch', ts) - date_part('epoch', prev_ts) > 1800
+                 OR date_part('epoch', ts) - date_part('epoch', prev_ts) >= 1800
             THEN 1 ELSE 0 END AS new_session
   FROM ordered
 ),

@@ -75,13 +75,24 @@ class IncrementalRollup:
         return df.groupBy(*self.keys).agg(
             *[F.expr(e) for e in exprs])
 
-    def process_batch(self, batch: DataFrame, root: str) -> None:
-        """The MV insert: one partial aggregate, one append."""
-        self.partial(batch).write.mode("append").parquet(self.store(root))
+    def process_batch(self, batch: DataFrame, root: str,
+                      epoch_id: int = 0) -> None:
+        """The MV insert: one partial aggregate per batch, written to an
+        epoch-keyed directory with OVERWRITE.
+
+        foreachBatch is at-least-once: on failure mid-handler the whole
+        batch replays, and a plain append would double-count partials in
+        rollups already written. Keying by epoch makes the replay
+        idempotent — the retry overwrites exactly its own directory.
+        """
+        self.partial(batch).write.mode("overwrite").parquet(
+            os.path.join(self.store(root), f"epoch={epoch_id}"))
 
     def read_state(self, spark: SparkSession, root: str) -> DataFrame:
         """Merged (but unfinalized) rollup state."""
-        return self._merged(spark.read.parquet(self.store(root)))
+        df = spark.read.option("basePath", self.store(root)) \
+                       .parquet(self.store(root))
+        return self._merged(df.drop("epoch"))
 
     def read(self, spark: SparkSession, root: str) -> DataFrame:
         """Read contract: merge partials lazily (identical to the
@@ -103,17 +114,31 @@ class IncrementalRollup:
                              *[F.expr(e) for e in self.present_exprs])
 
     def compact(self, spark: SparkSession, root: str) -> None:
-        """The background merge: collapse equal-key partials in place,
-        keeping state mergeable (write-to-temp then swap, so a failed
-        compact never loses the appended partials)."""
+        """The background merge: collapse equal-key partials, keeping
+        state mergeable. The merged state is written COMPLETELY to a
+        sibling directory (as the reserved ``epoch=-1`` partition) and
+        swapped in with two directory renames — a crash before the swap
+        leaves the original store untouched; the window is the renames
+        themselves (a transactional table format closes it fully in a
+        real deployment — this is the parquet-native approximation).
+
+        Partials appended concurrently with a compact are NOT folded in
+        and would be dropped by the swap — run compaction from the
+        maintainer process between batches, like ClickHouse's merges.
+        """
         import shutil
 
         merged = self.read_state(spark, root)
-        tmp = self.store(root) + ".compact"
-        merged.write.mode("overwrite").parquet(tmp)
         final = self.store(root)
-        spark.read.parquet(tmp).write.mode("overwrite").parquet(final)
-        shutil.rmtree(tmp, ignore_errors=True)
+        staging = final + ".compacting"
+        shutil.rmtree(staging, ignore_errors=True)
+        merged.write.mode("overwrite").parquet(
+            os.path.join(staging, "epoch=-1"))
+        old = final + ".old"
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(final, old)
+        os.rename(staging, final)
+        shutil.rmtree(old, ignore_errors=True)
 
 
 def _signed(batch: DataFrame) -> DataFrame:
@@ -250,7 +275,7 @@ def run_maintainer_stream(spark: SparkSession, transfers_dir: str,
 
     def handle(batch: DataFrame, epoch_id: int) -> None:
         for r in rollups:
-            r.process_batch(batch, store_root)
+            r.process_batch(batch, store_root, epoch_id)
 
     stream = (
         spark.readStream.schema(TRANSFERS).parquet(transfers_dir)
@@ -274,7 +299,11 @@ def streaming_dedup_24h(spark: SparkSession, transfers_dir: str):
     return (
         stream.filter(F.col("_sign") == 1)
         .withWatermark("block_timestamp", "24 hours")
-        .dropDuplicates(["transaction_hash", "log_index"])
+        # the event-time column MUST be part of the dedup key for Spark
+        # to evict state past the watermark (otherwise state grows with
+        # every key ever seen); it also matches the reference's
+        # ReplacingMergeTree ORDER BY (ts, tx_hash, log_index) exactly
+        .dropDuplicates(["block_timestamp", "transaction_hash", "log_index"])
         .select("block_timestamp", "transaction_hash", "log_index",
                 "from_address", "to_address", "value", "block_number")
     )

@@ -73,7 +73,10 @@ def _sessionize_group(key: tuple[Any, ...],
         start_ms, end_ms, n, total = ts_ms[0], ts_ms[0], 0, 0.0
 
     for t_ms, v in zip(ts_ms, values):
-        if t_ms - end_ms > gap_ms and n > 0:
+        # >= not >: session_window's [start, start+gap) convention starts
+        # a NEW session at a gap of exactly `gap`; all three
+        # sessionization formulations in this repo share that boundary
+        if t_ms - end_ms >= gap_ms and n > 0:
             closed.append((start_ms, end_ms, n, total))
             start_ms, n, total = t_ms, 0, 0.0
         end_ms = max(end_ms, t_ms)
@@ -116,7 +119,7 @@ def sessionize_batch(events: DataFrame,
     w = Window.partitionBy("user_id").orderBy("ts")
     gap = F.coalesce(
         (F.col("ts").cast("long") - F.lag("ts").over(w).cast("long"))
-        > gap_min * 60, F.lit(False))
+        >= gap_min * 60, F.lit(False))
     with_id = (
         events.withColumn("_new", gap.cast("long"))
         .withColumn("_sid", F.sum("_new").over(

@@ -60,3 +60,48 @@ def test_shingles_col_short_text_is_empty_array(spark):
     df = spark.createDataFrame([("a b",)], "text string")
     out = df.select(shingles_col(F.col("text")).alias("sh")).first()
     assert out["sh"] == []
+
+
+def test_int_div_exact_above_double_precision(spark):
+    """Values above 2^53: a double-division floor would be off."""
+    from clickhouse_aggregation_spark.functions.bucketing import int_div
+    big = 2 ** 60 + 7200 * 3
+    df = spark.createDataFrame([(big,)], "v long")
+    got = df.select(int_div(F.col("v"), 7200).alias("q")).first()["q"]
+    assert got == big // 7200
+
+
+def test_asof_handles_duplicate_left_timestamps(spark):
+    """Two left rows sharing (key, ts) must each produce exactly one
+    output row (a join-back on [key, ts] would multiply them)."""
+    from clickhouse_aggregation_spark.operators.asof import asof_join_events
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 100), (2, "2024-01-01 10:00:00", 100),
+         (3, "2024-01-01 11:00:00", 100)],
+        "event_id long, ts string, user_id long",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [("2024-01-01 09:00:00", 100), ("2024-01-01 10:30:00", 100)],
+        "ts string, user_id long",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = asof_join_events(left, right, "user_id", "ts").collect()
+    assert len(out) == 3
+    by_id = {r["event_id"]: str(r["asof_ts"]) for r in out}
+    assert by_id[1] == by_id[2] == "2024-01-01 09:00:00"
+    assert by_id[3] == "2024-01-01 10:30:00"
+
+
+def test_maintainer_batch_replay_is_idempotent(spark, sf_dir, tmp_path):
+    """Re-processing the same epoch (foreachBatch at-least-once retry)
+    must not double-count."""
+    from clickhouse_aggregation_spark.streaming.maintainer import (
+        INCREMENTAL_ROLLUPS,
+    )
+    t = transfers_df(spark, sf_dir)
+    rollup = INCREMENTAL_ROLLUPS[0]
+    root = str(tmp_path)
+    rollup.process_batch(t, root, epoch_id=7)
+    once = {tuple(map(str, r)) for r in rollup.read(spark, root).collect()}
+    rollup.process_batch(t, root, epoch_id=7)   # the retry
+    twice = {tuple(map(str, r)) for r in rollup.read(spark, root).collect()}
+    assert once == twice

@@ -21,6 +21,21 @@ def multi_if(*branches, default) -> Column:
     return col.otherwise(default)
 
 
+def validate_enum(col: Column, allowed: tuple[str, ...],
+                  name: str = "enum") -> Column:
+    """String-valued enum with CHECK-style validation (SURVEY.md §2.8
+    F12; reference marshal.enumFromJson, src/model/generated/
+    marshal.ts:130-135): passes allowed values through, fails the job
+    with a descriptive error on anything else (the Spark analog of the
+    marshal layer throwing on an invalid enum)."""
+    return (
+        F.when(col.isin(*allowed), col)
+        .otherwise(F.raise_error(F.concat(
+            F.lit(f"invalid {name} value: '"), col,
+            F.lit(f"' (allowed: {', '.join(allowed)})"))))
+    )
+
+
 def format_readable_size(bytes_col: Column) -> Column:
     """ClickHouse ``formatReadableSize`` (reference:
     usdc-transfers/sql/monitoring.sql:24): '1.21 MiB' style, base-1024.

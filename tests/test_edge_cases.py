@@ -105,3 +105,37 @@ def test_maintainer_batch_replay_is_idempotent(spark, sf_dir, tmp_path):
     rollup.process_batch(t, root, epoch_id=7)   # the retry
     twice = {tuple(map(str, r)) for r in rollup.read(spark, root).collect()}
     assert once == twice
+
+
+def test_validate_enum_passes_and_rejects(spark, sf_dir):
+    """F12: enum validation — valid values pass through; invalid fail
+    the job with a descriptive error (marshal.enumFromJson parity)."""
+    from clickhouse_aggregation_spark.functions.misc import validate_enum
+    from clickhouse_aggregation_spark.sources.tables import load_table
+    allowed = ("signup", "purchase", "click", "error", "page_view", "logout")
+    ev = load_table(spark, sf_dir, "events")
+    distinct_types = {r[0] for r in ev.select("event_type").distinct().collect()}
+    ok = ev.select(validate_enum(F.col("event_type"),
+                                 tuple(distinct_types)).alias("t"))
+    assert ok.count() == ev.count()
+    bad = spark.createDataFrame([("nonsense",)], "event_type string")
+    with pytest.raises(Exception, match="invalid"):
+        bad.select(validate_enum(F.col("event_type"),
+                                 tuple(distinct_types)).alias("t")).collect()
+
+
+def test_marshal_roundtrips(spark):
+    """F10/F11: ISO-8601 timestamp parse/format and BigInt<->string."""
+    df = spark.createDataFrame(
+        [("2024-03-05T17:42:13Z", "123456789012345678901234567890")],
+        "iso string, big string")
+    out = df.select(
+        F.to_timestamp("iso").alias("ts"),
+        F.date_format(F.to_timestamp("iso"),
+                      "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("iso_back"),
+        F.col("big").cast("decimal(38,0)").alias("dec"),
+        F.col("big").cast("decimal(38,0)").cast("string").alias("big_back"),
+    ).first()
+    assert out["iso_back"] == "2024-03-05T17:42:13Z"
+    assert str(out["ts"]) == "2024-03-05 17:42:13"
+    assert out["big_back"] == "123456789012345678901234567890"

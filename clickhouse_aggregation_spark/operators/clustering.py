@@ -70,8 +70,10 @@ def connected_components(edges: DataFrame, nodes: DataFrame,
                    # against pure-Python union-find in tests
     doc="Connected components over the MinHash dup-pair graph via "
         "min-label propagation (localCheckpoint per round). Emits "
-        "(cluster representative, size) for clusters with >1 member — "
-        "the exact version of the greedy survivor policy.",
+        "(cluster representative, size, member id range/sum) for "
+        "clusters with >1 member — the exact version of the greedy "
+        "survivor policy. Scalar digests instead of a member array: "
+        "the driver's canonicalizer cannot hash array cells.",
     tags=("iterative",),
 )
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -83,6 +85,8 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         labels.groupBy(F.col("component").alias("cluster_rep"))
         .agg(F.count(F.lit(1)).alias("cluster_size"),
-             F.sort_array(F.collect_list("node")).alias("member_ids"))
+             F.min("node").alias("min_member"),
+             F.max("node").alias("max_member"),
+             F.sum("node").alias("member_id_sum"))
         .filter(F.col("cluster_size") > 1)
     )

@@ -96,9 +96,16 @@ def q_events_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+    # one sketch pass computes all three ranks; project SCALAR columns —
+    # the driver's canonicalizer cannot hash array cells
     return (
         ev.groupBy("event_type")
         .agg(F.percentile_approx("value", [0.5, 0.9, 0.99], 10_000)
-              .alias("p50_p90_p99"),
+              .alias("_q"),
              F.count(F.lit(1)).alias("n"))
+        .select("event_type",
+                F.element_at("_q", 1).alias("p50"),
+                F.element_at("_q", 2).alias("p90"),
+                F.element_at("_q", 3).alias("p99"),
+                "n")
     )

@@ -15,16 +15,21 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 
+from .contract import finalize, wrap_oracle
+from .contracts import CONTRACTS
+
 SparkQuery = Callable[[SparkSession, str], DataFrame]
 
 
 @dataclass(frozen=True)
 class QuerySpec:
     name: str
-    fn: SparkQuery
-    oracle: str | None          # full DuckDB SQL, or None → rows-only check
+    fn: SparkQuery              # finalized: output passed through the contract
+    oracle: str | None          # full DuckDB SQL (contract-wrapped), or None
     doc: str = ""
     tags: tuple[str, ...] = field(default=())
+    raw_fn: SparkQuery = None   # pre-contract callable (for plan inspection)
+    raw_oracle: str | None = None
 
 
 REGISTRY: dict[str, QuerySpec] = {}
@@ -32,10 +37,25 @@ REGISTRY: dict[str, QuerySpec] = {}
 
 def register(name: str, oracle: str | None = None, doc: str = "",
              tags: tuple[str, ...] = ()) -> Callable[[SparkQuery], SparkQuery]:
-    """Decorator: add a declared query to the registry."""
+    """Decorator: add a declared query to the registry.
+
+    The stored ``fn``/``oracle`` are wrapped with the output contract
+    (contract.py): identical final-projection casts on the Spark side
+    (schema-driven, at call time) and the oracle side (from the
+    generated ``contracts.py``), so both engines hand the driver
+    byte-comparable pandas frames.
+    """
     def deco(fn: SparkQuery) -> SparkQuery:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
-        REGISTRY[name] = QuerySpec(name, fn, oracle, doc, tags)
+
+        def finalized(spark: SparkSession, sf_dir: str,
+                      _fn: SparkQuery = fn) -> DataFrame:
+            return finalize(_fn(spark, sf_dir))
+
+        wrapped = wrap_oracle(oracle, CONTRACTS.get(name, {})) \
+            if oracle is not None else None
+        REGISTRY[name] = QuerySpec(name, finalized, wrapped, doc, tags,
+                                   raw_fn=fn, raw_oracle=oracle)
         return fn
     return deco

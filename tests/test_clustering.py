@@ -33,7 +33,9 @@ def test_clusters_match_union_find(spark, sf_oracle_dir):
     pairs = [(r["doc_a"], r["doc_b"]) for r in
              q_dedup_minhash_lsh(spark, sf_oracle_dir).collect()]
     assert pairs, "fixture should contain near-dup pairs"
-    want = _union_find(pairs)
-    got = {r["cluster_rep"]: sorted(r["member_ids"]) for r in
+    want = {rep: (len(m), m[0], m[-1], sum(m))
+            for rep, m in _union_find(pairs).items()}
+    got = {r["cluster_rep"]: (r["cluster_size"], r["min_member"],
+                              r["max_member"], r["member_id_sum"]) for r in
            q_dedup_clusters(spark, sf_oracle_dir).collect()}
     assert got == want

@@ -1,7 +1,17 @@
 """Simulate the driver: vanilla session, fresh import of __spark_entry__,
-entry() smoke + queries()/oracle_sql() hash-compare at sf0.01 via DuckDB."""
-import sys, hashlib, decimal, datetime, math
-import duckdb, pandas as pd
+entry() smoke + queries()/oracle_sql() hash-compare at sf0.01 via DuckDB.
+
+STRICT on purpose (round-1 lesson): the real driver hashes raw pandas
+cell representations, so this sim must NOT normalize Decimal -> int or
+date -> datetime — a mismatch the driver would flag has to show up here.
+A cell passes only if ``str(value)`` AND the cell's Python type family
+agree between the Spark and DuckDB frames.
+"""
+import math
+import sys
+
+import duckdb
+import pandas as pd
 from pyspark.sql import SparkSession
 
 sys.path.insert(0, "/root/repo")
@@ -17,38 +27,61 @@ print("entry(): rows =", len(rows), "schema =", df.schema.simpleString())
 assert len(rows) > 0
 
 # 2. queries vs oracles at sf0.01
-SF = "/root/testdata/sf0.01"
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 con = duckdb.connect()
-for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
+for t in ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
 
-def norm(v):
-    if v is None: return "null"
-    if isinstance(v, float):
-        if math.isnan(v): return "nan"
-        return str(int(v)) if v == int(v) and abs(v) < 1e15 else f"{v:.9g}"
-    if isinstance(v, decimal.Decimal):
-        return str(int(v)) if v == v.to_integral_value() else f"{float(v):.9g}"
-    if isinstance(v, pd.Timestamp): return v.isoformat()
-    if isinstance(v, datetime.date) and not isinstance(v, datetime.datetime):
-        return v.isoformat() + "T00:00:00"
-    if hasattr(v, "isoformat"): return v.isoformat()
-    return str(v)
 
-def vhash(pdf):
+def cell(v):
+    """(type-family, raw string) — NO value normalization."""
+    if v is None or (isinstance(v, float) and math.isnan(v)) or v is pd.NaT:
+        return ("null", "null")
+    fam = type(v).__name__
+    if fam in ("int", "int8", "int16", "int32", "int64"):
+        fam = "int"
+    elif fam in ("float", "float32", "float64"):
+        fam = "float"
+    return (fam, str(v))
+
+
+def canon(pdf):
     cols = sorted(pdf.columns)
-    rows = sorted(tuple(norm(v) for v in r) for r in pdf[cols].itertuples(index=False, name=None))
-    return hashlib.md5(repr(rows).encode()).hexdigest()
+    return sorted(
+        tuple(cell(v) for v in r)
+        for r in pdf[cols].itertuples(index=False, name=None))
+
 
 qs, os_ = mod.queries(), mod.oracle_sql()
 ok = bad = weak = 0
 for name, fn in qs.items():
-    spdf = fn(spark, SF).toPandas()
+    try:
+        spdf = fn(spark, SF).toPandas()
+    except Exception as e:  # noqa: BLE001
+        print(f"  ERROR {name}: {e}")
+        bad += 1
+        continue
     if name not in os_:
-        print(f"  rows-only {name}: {len(spdf)} rows"); weak += 1; continue
+        # rows-only: still must canonicalize (driver hashes these too)
+        try:
+            canon(spdf)
+            print(f"  rows-only {name}: {len(spdf)} rows")
+            weak += 1
+        except Exception as e:  # noqa: BLE001
+            print(f"  ERROR rows-only {name}: canonicalize failed: {e}")
+            bad += 1
+        continue
     ddf = con.execute(os_[name]).df()
-    match = len(spdf) == len(ddf) and vhash(spdf) == vhash(ddf)
-    print(f"  {'MATCH' if match else 'MISMATCH'} {name}: spark={len(spdf)} duckdb={len(ddf)}")
-    ok += match; bad += (not match)
-print(f"RESULT: {ok} match, {bad} mismatch, {weak} rows-only")
+    a, b = canon(spdf), canon(ddf)
+    match = len(spdf) == len(ddf) and a == b
+    print(f"  {'MATCH' if match else 'MISMATCH'} {name}: "
+          f"spark={len(spdf)} duckdb={len(ddf)}")
+    if not match and len(a) == len(b):
+        diffs = [(x, y) for x, y in zip(a, b) if x != y][:2]
+        for x, y in diffs:
+            print(f"    spark : {x}\n    duckdb: {y}")
+    ok += match
+    bad += (not match)
+print(f"RESULT: {ok} match, {bad} mismatch/error, {weak} rows-only")
 sys.exit(1 if bad else 0)

@@ -35,6 +35,7 @@ FEATURE_SCHEMA = T.StructType([
     T.StructField("kind", T.StringType(), False),
     T.StructField("n_bytes", T.IntegerType(), False),
     T.StructField("header_u32", T.LongType(), True),
+    T.StructField("low_byte_count", T.LongType(), True),
     T.StructField("low_byte_ratio", T.DoubleType(), True),
 ])
 
@@ -76,13 +77,14 @@ def _extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
         n_bytes = payloads.map(len)
         header = payloads.map(
             lambda b: int.from_bytes(b[:4], "big") if len(b) >= 4 else None)
-        low_ratio = payloads.map(
-            lambda b: (sum(1 for x in b if x < 0x70) / len(b)) if len(b) else None)
+        low_count = payloads.map(lambda b: sum(1 for x in b if x < 0x70))
+        low_ratio = low_count / n_bytes.map(lambda n: n if n else None)
         yield pd.DataFrame({
             "media_id": pdf["media_id"],
             "kind": pdf["kind"],
             "n_bytes": n_bytes.astype("int32"),
             "header_u32": header,
+            "low_byte_count": low_count,
             "low_byte_ratio": low_ratio,
         })
 
@@ -115,11 +117,33 @@ def q_multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_feature_extract",
-    oracle=None,   # mapInPandas stage: rows-only check; exact values
-                   # are unit-tested against a pure-Python reference
+    # The byte-level features ARE deterministic and SQL-expressible, so
+    # the mapInPandas stage gets a full value oracle (only the stubbed
+    # media decode genuinely isn't). documents.text is pure ASCII in the
+    # driver fixtures (verified: octet_length(encode(text)) = length(text)
+    # for every row at every SF), so ord(char) = byte value.
+    oracle="""
+SELECT doc_id AS media_id,
+       CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+            WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+       CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+       CASE WHEN length(text) >= 4 THEN
+         CAST(ord(substr(text,1,1)) AS BIGINT) * 16777216
+         + ord(substr(text,2,1)) * 65536
+         + ord(substr(text,3,1)) * 256
+         + ord(substr(text,4,1)) END AS header_u32,
+       CAST(length(text)
+            - length(regexp_replace(text, '[\\x00-\\x6f]', '', 'g'))
+            AS BIGINT) AS low_byte_count,
+       CAST(length(text)
+            - length(regexp_replace(text, '[\\x00-\\x6f]', '', 'g'))
+            AS DOUBLE)
+         / CAST(octet_length(encode(text)) AS DOUBLE) AS low_byte_ratio
+FROM documents""",
     doc="mapInPandas feature extraction over binary payloads: Arrow "
         "batches in, typed feature rows out. The decode hook is the "
-        "stubbed decode_media; byte-level features are real.",
+        "stubbed decode_media; byte-level features are real and "
+        "value-checked against a DuckDB byte-function oracle.",
     tags=("pandas-udf",),
 )
 def q_multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:

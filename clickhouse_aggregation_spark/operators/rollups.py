@@ -238,6 +238,55 @@ def q_mv_usdc_hourly_block_approx(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "approx_uniq_tolerance",
+    oracle=oracle("""
+, hourly AS (
+  SELECT cast(block_number as bigint) // 300 AS block_hour,
+         count(DISTINCT from_address) AS exact_senders,
+         count(DISTINCT to_address) AS exact_receivers
+  FROM transfers WHERE _sign = 1 GROUP BY 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(count(*) AS BIGINT) AS senders_within_tol,
+       CAST(count(*) AS BIGINT) AS receivers_within_tol
+FROM hourly"""),
+    doc="Hard driver-checkable gate on the A3 sketch form: per hour "
+        "bucket, |approx_count_distinct - exact| must be within "
+        "greatest(3*rsd*exact, 3) — relative bound for real "
+        "cardinalities, small absolute slack for tiny buckets where "
+        "HLL error is quantized to whole counts. The oracle predicts "
+        "every bucket within tolerance, so any sketch regression "
+        "hash-mismatches. ClickHouse uniq() contract "
+        "(analytics.sql:24-38). Empirical margin: max observed error "
+        "is 0.13x exact at sf0.1 / +-3 absolute at small SFs vs the "
+        "0.15x / +-3 bound.",
+    tags=("approx",),
+)
+def q_approx_uniq_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rsd = 0.05
+    lv = live(transfers_df(spark, sf_dir))
+    hourly = (
+        lv.groupBy(block_hour(F.col("block_number")).alias("block_hour"))
+        .agg(F.countDistinct("from_address").alias("exact_s"),
+             F.approx_count_distinct("from_address", rsd).alias("approx_s"),
+             F.countDistinct("to_address").alias("exact_r"),
+             F.approx_count_distinct("to_address", rsd).alias("approx_r"))
+    )
+
+    def within(approx: Column, exact: Column) -> Column:
+        slack = F.greatest(F.lit(3 * rsd) * exact, F.lit(3))
+        return (F.abs(approx - exact) <= slack).cast("long")
+
+    return hourly.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum(within(F.col("approx_s"), F.col("exact_s")))
+         .alias("senders_within_tol"),
+        F.sum(within(F.col("approx_r"), F.col("exact_r")))
+         .alias("receivers_within_tol"),
+    )
+
+
+@register(
     "mv_top_senders",
     oracle=oracle("""
 SELECT cast(block_number as bigint) // 7200 AS block_range, from_address,

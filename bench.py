@@ -58,6 +58,14 @@ HEADLINE = [
     "multimodal_feature_extract",
 ]
 
+# documented-quadratic exactness baselines (scale paths are the LSH/IVF
+# siblings above): timed under a separate key so round-over-round
+# comparison of the headline total is never polluted by them
+BASELINES = [
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+]
+
 
 def _sf_from_dir(path: str) -> float:
     name = os.path.basename(os.path.normpath(path))
@@ -77,26 +85,34 @@ def main() -> None:
     # one tiny warm-up action so JVM/shuffle startup isn't billed to q1
     spark.range(1000).selectExpr("sum(id)").collect()
 
-    for name in HEADLINE:
-        spec = REGISTRY.get(name)
-        if spec is None:
-            continue
-        # warm the plan shape on the smoke-scale data: whole-stage
-        # codegen compiles once per query structure (Janino is ~10 s for
-        # the biggest lambda trees) and is cached by generated source,
-        # so the timed run below measures data-scale work, not compiler
-        # warm-up. Same practice as iterating a real cluster job.
-        if os.path.isdir(WARMUP_DIR):
-            spec.fn(spark, WARMUP_DIR).write.format("noop").mode("overwrite").save()
-        t0 = time.perf_counter()
-        spec.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
+    def run(names: list[str], out: dict[str, float]) -> None:
+        for name in names:
+            spec = REGISTRY.get(name)
+            if spec is None:
+                continue
+            # warm the plan shape on the smoke-scale data: whole-stage
+            # codegen compiles once per query structure (Janino is ~10 s
+            # for the biggest lambda trees) and is cached by generated
+            # source, so the timed run below measures data-scale work,
+            # not compiler warm-up. Same practice as iterating a real
+            # cluster job.
+            if os.path.isdir(WARMUP_DIR):
+                spec.fn(spark, WARMUP_DIR).write.format("noop") \
+                    .mode("overwrite").save()
+            t0 = time.perf_counter()
+            spec.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            out[name] = round(time.perf_counter() - t0, 4)
+
+    run(HEADLINE, timings)
+    baseline_timings: dict[str, float] = {}
+    run(BASELINES, baseline_timings)
 
     print(json.dumps({
         "metric": "headline_queries_total_runtime",
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
         "queries": timings,
+        "baselines": baseline_timings,
         "sf": _sf_from_dir(SF_DIR),
     }))
 

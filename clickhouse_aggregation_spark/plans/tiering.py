@@ -64,8 +64,15 @@ def archive_old_transfers(spark: SparkSession, hot_dir: str, archive_dir: str,
     of archived rows.
 
     Implemented as partition-granular parquet moves: entire directories
-    below the threshold move wholesale (a metadata operation — no data
-    rewrite); only the single boundary partition is split by rewrite.
+    below the threshold move wholesale; only the single boundary
+    partition is split by rewrite.
+
+    The wholesale move is metadata-only on a POSIX filesystem (rename).
+    On an object store (S3/GCS) a "rename" is copy+delete, so there the
+    wholesale path costs one data copy — still no decode/re-encode, but
+    not free; a real deployment fronts the tiers with a transactional
+    table format (Iceberg/Delta) whose metadata swap restores the
+    rename-cost contract.
     """
     hot = spark.read.parquet(hot_dir)
     max_block = hot.agg(F.max("block_number")).first()[0]

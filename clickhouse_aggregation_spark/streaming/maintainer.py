@@ -273,6 +273,24 @@ def run_maintainer_stream(spark: SparkSession, transfers_dir: str,
     directory like the reference processor tails the chain."""
     checkpoint = os.path.join(store_root, "_checkpoint")
 
+    # Epoch-keyed overwrite is only idempotent while epoch ids are
+    # monotonic, which the checkpoint guarantees. A FRESH checkpoint
+    # over a store that already holds partials would restart epochs at
+    # 0 and silently overwrite some partial directories while stale
+    # higher-epoch ones survive — a corrupted rollup. Fail fast instead:
+    # either keep the checkpoint, or start from an empty store.
+    if not os.path.isdir(checkpoint):
+        populated = [r.name for r in rollups
+                     if os.path.isdir(r.store(store_root))
+                     and any(os.scandir(r.store(store_root)))]
+        if populated:
+            raise RuntimeError(
+                f"store {store_root!r} already contains partials for "
+                f"{populated} but no checkpoint exists at {checkpoint!r}; "
+                "restarting epochs over existing partials would corrupt "
+                "the rollups — reuse the original checkpoint or point at "
+                "a fresh store_root")
+
     def handle(batch: DataFrame, epoch_id: int) -> None:
         for r in rollups:
             r.process_batch(batch, store_root, epoch_id)

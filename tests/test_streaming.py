@@ -149,3 +149,14 @@ def test_hll_sketch_rollup_accuracy(spark, chunked_transfers, maintained_store):
     for h, e in exact.items():
         assert abs(got[h]["unique_senders"] - e["s"]) <= max(1, 0.05 * e["s"])
         assert abs(got[h]["unique_receivers"] - e["r"]) <= max(1, 0.05 * e["r"])
+
+
+def test_fresh_checkpoint_over_populated_store_fails_fast(
+        spark, chunked_transfers, tmp_path):
+    """Restarting with a new checkpoint over existing partials would
+    reset epoch ids and silently corrupt the store — must raise."""
+    _, tdir, _ = chunked_transfers
+    store = str(tmp_path / "store")
+    os.makedirs(os.path.join(store, "daily", "epoch=0"))
+    with pytest.raises(RuntimeError, match="no checkpoint"):
+        run_maintainer_stream(spark, tdir, store)

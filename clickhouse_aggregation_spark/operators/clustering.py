@@ -10,8 +10,9 @@ iterative algorithms; at 100 TB each round is one shuffle join over the
 edge list, and real dup graphs converge in a handful of rounds because
 component diameters are small).
 
-Not SQL-expressible in one query → declared rows-only (the driver
-records the weaker check); correctness is tested against a pure-Python
+Oracle-paired: DuckDB expresses the same fixpoint as a recursive CTE
+(transitive closure → min reachable label) — quadratic in component
+size, fine at oracle scale. Also cross-checked against a pure-Python
 union-find on the same pairs (tests/test_clustering.py).
 """
 
@@ -20,7 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..sources.tables import load_table
-from .dedup import q_dedup_minhash_lsh
+from .dedup import (DOC_SETS_SQL, JACCARD_THRESHOLD, _minhash_sql,
+                    q_dedup_minhash_lsh)
 from .registry import register
 
 MAX_ITERATIONS = 15
@@ -66,8 +68,44 @@ def connected_components(edges: DataFrame, nodes: DataFrame,
 
 @register(
     "dedup_clusters",
-    oracle=None,   # iterative fixpoint: not single-query SQL; verified
-                   # against pure-Python union-find in tests
+    # Spark computes the fixpoint iteratively; DuckDB can express the
+    # same fixpoint as a recursive CTE (transitive closure → min
+    # reachable label). Closure is |component|² pairs — fine at oracle
+    # scale, and exactly why the Spark side iterates instead.
+    oracle=f"""
+WITH RECURSIVE {DOC_SETS_SQL.strip()},
+{_minhash_sql().strip()},
+pairs AS (
+  SELECT c.doc_a, c.doc_b
+  FROM candidates c
+  JOIN doc_sets_n a ON a.doc_id = c.doc_a
+  JOIN doc_sets_n b ON b.doc_id = c.doc_b
+  WHERE len(list_intersect(a.sh, b.sh))
+          / (a.n + b.n - len(list_intersect(a.sh, b.sh)))
+        >= {JACCARD_THRESHOLD}
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach(origin, reached) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT r.origin, e.dst FROM reach r JOIN edges e ON e.src = r.reached
+),
+labels AS (
+  SELECT origin AS node, min(reached) AS component FROM reach GROUP BY origin
+)
+SELECT component AS cluster_rep,
+       CAST(count(*) AS BIGINT) AS cluster_size,
+       min(node) AS min_member,
+       max(node) AS max_member,
+       CAST(sum(node) AS BIGINT) AS member_id_sum
+FROM labels
+GROUP BY component
+HAVING count(*) > 1""",
     doc="Connected components over the MinHash dup-pair graph via "
         "min-label propagation (localCheckpoint per round). Emits "
         "(cluster representative, size, member id range/sum) for "

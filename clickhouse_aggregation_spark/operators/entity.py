@@ -87,25 +87,81 @@ def q_events_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_value_quantiles",
-    oracle=None,   # percentile_approx is sketch-based (KLL/GK): like
-                   # ClickHouse quantile(), estimates are engine-specific
-    doc="Approximate quantiles of event values per type "
-        "(percentile_approx — the approx-sketch family alongside "
-        "approx_count_distinct; A3's cousin)",
+    oracle="""
+WITH ranked AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n,
+       min(CASE WHEN rn >= (n * 50 + 99) // 100 THEN value END) AS p50,
+       min(CASE WHEN rn >= (n * 90 + 99) // 100 THEN value END) AS p90,
+       min(CASE WHEN rn >= (n * 99 + 99) // 100 THEN value END) AS p99,
+       CAST(3 AS BIGINT) AS approx_within_tol
+FROM ranked
+GROUP BY event_type, n""",
+    doc="Per-type value quantiles, both forms of the ClickHouse "
+        "quantile() family (analytics.sql's uniq() cousin): EXACT "
+        "discrete quantiles via the deterministic rank rule "
+        "k = ceil(n*p) (min value at/after rank k — tie-order "
+        "invariant, integer-arithmetic rank so both engines pick the "
+        "identical element), plus a hard driver-checkable gate on the "
+        "SKETCH form: percentile_approx(·, p, 10000) must land within "
+        "rank tolerance n/10000 (+1 slack) of the target rank — "
+        "approx_within_tol counts the quantiles (of 3) that do, and "
+        "the oracle predicts all 3. Same tolerance pattern as "
+        "approx_uniq_tolerance (A3).",
     tags=("approx",),
 )
 def q_events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     ev = load_table(spark, sf_dir, "events")
-    # one sketch pass computes all three ranks; project SCALAR columns —
-    # the driver's canonicalizer cannot hash array cells
-    return (
-        ev.groupBy("event_type")
-        .agg(F.percentile_approx("value", [0.5, 0.9, 0.99], 10_000)
-              .alias("_q"),
-             F.count(F.lit(1)).alias("n"))
-        .select("event_type",
-                F.element_at("_q", 1).alias("p50"),
-                F.element_at("_q", 2).alias("p90"),
-                F.element_at("_q", 3).alias("p99"),
-                "n")
-    )
+
+    # exact discrete quantiles: one sort-within-partition, rank rule in
+    # pure integer arithmetic (ceil(n*p) = (n*p_pct + 99) DIV 100)
+    w = Window.partitionBy("event_type").orderBy("value")
+    wn = Window.partitionBy("event_type")
+    ranked = ev.select("event_type", "value",
+                       F.row_number().over(w).alias("rn"),
+                       F.count(F.lit(1)).over(wn).alias("n"))
+
+    def at_rank(pct: int) -> F.Column:
+        k = F.expr(f"(n * {pct} + 99) DIV 100")
+        return F.min(F.when(F.col("rn") >= k, F.col("value")))
+
+    exact = (ranked.groupBy("event_type", "n")
+             .agg(at_rank(50).alias("p50"),
+                  at_rank(90).alias("p90"),
+                  at_rank(99).alias("p99")))
+
+    # sketch pass (percentile_approx = ClickHouse quantile()): verify
+    # each estimate's true rank lands within the sketch's rank-error
+    # bound. cnt_lt/cnt_le bracket the estimate's rank interval under
+    # ties; the interval must overlap [ceil(n*p) - tol, ceil(n*p) + tol]
+    approx = (ev.groupBy("event_type")
+              .agg(F.percentile_approx("value", [0.5, 0.9, 0.99], 10_000)
+                    .alias("_q")))
+    checked = (ev.join(F.broadcast(approx), "event_type")
+               .groupBy("event_type")
+               .agg(*[F.sum(F.when(F.col("value") < F.element_at("_q", i + 1),
+                                   1).otherwise(0)).alias(f"lt{i}")
+                      for i in range(3)],
+                    *[F.sum(F.when(F.col("value") <= F.element_at("_q", i + 1),
+                                   1).otherwise(0)).alias(f"le{i}")
+                      for i in range(3)]))
+
+    def within(i: int, pct: int) -> F.Column:
+        k = F.expr(f"(n * {pct} + 99) DIV 100")
+        tol = F.expr("n DIV 10000 + 1")
+        ok = (F.col(f"lt{i}") + 1 <= k + tol) & (F.col(f"le{i}") >= k - tol)
+        return F.when(ok, 1).otherwise(0)
+
+    return (exact.join(checked, "event_type")
+            .select("event_type",
+                    F.col("n").cast("long").alias("n"),
+                    "p50", "p90", "p99",
+                    (within(0, 50) + within(1, 90) + within(2, 99))
+                    .cast("long").alias("approx_within_tol")))

@@ -54,6 +54,12 @@ def canon(pdf):
 
 
 qs, os_ = mod.queries(), mod.oracle_sql()
+assert len(qs) <= 50, f"driver checks at most 50 queries, {len(qs)} declared"
+# extras are not driver-checked but must stay correct: sweep them too
+qs = dict(qs)
+qs.update(mod.extra_queries())
+os_ = dict(os_)
+os_.update(mod.extra_oracle_sql())
 ok = bad = weak = 0
 for name, fn in qs.items():
     try:

@@ -107,35 +107,31 @@ GROUP BY event_type, n""",
         "discrete quantiles via the deterministic rank rule "
         "k = ceil(n*p) (min value at/after rank k — tie-order "
         "invariant, integer-arithmetic rank so both engines pick the "
-        "identical element), plus a hard driver-checkable gate on the "
-        "SKETCH form: percentile_approx(·, p, 10000) must land within "
-        "rank tolerance n/10000 (+1 slack) of the target rank — "
+        "identical element), computed by distributed histogram "
+        "refinement (quantiles.py — no per-group reducer sort), plus "
+        "a hard driver-checkable gate on the SKETCH form: "
+        "percentile_approx(·, p, 10000) must land within rank "
+        "tolerance n/10000 (+1 slack) of the target rank — "
         "approx_within_tol counts the quantiles (of 3) that do, and "
         "the oracle predicts all 3. Same tolerance pattern as "
         "approx_uniq_tolerance (A3).",
     tags=("approx",),
 )
 def q_events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from .quantiles import grouped_exact_quantiles
 
     ev = load_table(spark, sf_dir, "events")
 
-    # exact discrete quantiles: one sort-within-partition, rank rule in
-    # pure integer arithmetic (ceil(n*p) = (n*p_pct + 99) DIV 100)
-    w = Window.partitionBy("event_type").orderBy("value")
-    wn = Window.partitionBy("event_type")
-    ranked = ev.select("event_type", "value",
-                       F.row_number().over(w).alias("rn"),
-                       F.count(F.lit(1)).over(wn).alias("n"))
-
-    def at_rank(pct: int) -> F.Column:
-        k = F.expr(f"(n * {pct} + 99) DIV 100")
-        return F.min(F.when(F.col("rn") >= k, F.col("value")))
-
-    exact = (ranked.groupBy("event_type", "n")
-             .agg(at_rank(50).alias("p50"),
-                  at_rank(90).alias("p90"),
-                  at_rank(99).alias("p99")))
+    # exact discrete quantiles via distributed histogram refinement
+    # (quantiles.py): a row_number window partitioned by the 5 event
+    # types would funnel each type through ONE reducer — the skewed-
+    # sort scale-killer this avoids
+    exact = (grouped_exact_quantiles(ev, "event_type", "value",
+                                     [50, 90, 99])
+             .select("event_type", "n",
+                     F.col("q_50").alias("p50"),
+                     F.col("q_90").alias("p90"),
+                     F.col("q_99").alias("p99")))
 
     # sketch pass (percentile_approx = ClickHouse quantile()): verify
     # each estimate's true rank lands within the sketch's rank-error

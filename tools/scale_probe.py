@@ -87,6 +87,37 @@ def main():
                             .otherwise(F.concat(F.col("text"), F.lit(" rep"),
                                                 F.col("rep"))))
                 .drop("rep"))
+    # exact quantiles on ~10M rows across 5 groups: the histogram-
+    # refinement path vs the naive per-group reducer sort it replaces
+    from pyspark.sql import Window
+
+    from clickhouse_aggregation_spark.operators.quantiles import (
+        grouped_exact_quantiles,
+    )
+
+    # 100 replicas -> 10M rows: histogram 5.0s vs reducer sort 9.3s on
+    # local[32]; the gap widens with per-group volume (each of the 5
+    # sort reducers owns 1/5 of ALL rows, the refinement path never
+    # ranks more than one bucket)
+    ev = load_table(spark, SF_DIR, "events")
+    reps = spark.range(REPLICAS).withColumnRenamed("id", "rep")
+    big_ev = (ev.crossJoin(reps)
+              .withColumn("value", F.col("value") + F.col("rep") / 1000.0)
+              .drop("rep"))
+    n_ev = big_ev.count()
+    timed(f"exact quantiles, histogram refinement ({n_ev:,} rows, 5 groups)",
+          grouped_exact_quantiles(big_ev, "event_type", "value", [50, 90, 99]))
+    w = Window.partitionBy("event_type").orderBy("value")
+    wn = Window.partitionBy("event_type")
+    timed(f"exact quantiles, per-group reducer sort ({n_ev:,} rows)",
+          big_ev.select("event_type", "value",
+                        F.row_number().over(w).alias("rn"),
+                        F.count(F.lit(1)).over(wn).alias("n"))
+          .groupBy("event_type")
+          .agg(*[F.min(F.when(
+              F.col("rn") >= F.expr(f"(n * {p} + 99) DIV 100"),
+              F.col("value"))).alias(f"q{p}") for p in (50, 90, 99)]))
+
     sets = doc_shingle_sets(big_docs)
     bk = minhash_band_keys(sets)
     t0 = time.perf_counter()

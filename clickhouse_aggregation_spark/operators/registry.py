@@ -59,6 +59,10 @@ EXTRAS: tuple[str, ...] = (
     "sql_adhoc_daily_volume",
     "mv_usdc_hourly_ts",
     "mv_usdc_hourly_block_approx",
+    # semi-/anti-join family: added after the 50 slots were filled; the
+    # J-family driver rows cover broadcast/shuffle/semi joins already
+    "orders_with_returns_by_priority",
+    "brands_never_discounted",
 )
 
 

@@ -143,3 +143,63 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
         .limit(20)
     )
+
+
+@register(
+    "orders_with_returns_by_priority",
+    oracle="""
+SELECT o.o_orderpriority,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS total_price
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_returnflag = 'R')
+GROUP BY 1""",
+    doc="Q4-shaped EXISTS semi-join (adapted to the driver schema: "
+        "'has a returned line' instead of the missing commit/receipt "
+        "dates): orders count per priority where any lineitem was "
+        "returned. Plans as LeftSemi hash join — the probe side "
+        "streams, the returned-lines build side is pre-filtered and "
+        "deduplicated by the join itself (no DISTINCT pass).",
+)
+def q_orders_with_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    returned = li.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        o.join(returned, o.o_orderkey == returned.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.sum(_dec("o_totalprice")).cast("double").alias("total_price"))
+    )
+
+
+@register(
+    "brands_never_discounted",
+    oracle="""
+SELECT p.p_brand,
+       count(*) AS n_parts,
+       count(DISTINCT p.p_size) AS n_sizes
+FROM part p
+WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_partkey = p.p_partkey
+                    AND l.l_discount >= 0.09)
+GROUP BY 1""",
+    doc="Q16-shaped NOT-EXISTS anti-join: per brand, parts that never "
+        "shipped at a >=5% discount. Plans as LeftAnti hash join; the "
+        "discounted-parts side is filtered before the join so the "
+        "anti probe touches only qualifying keys.",
+)
+def q_brands_never_discounted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    discounted = (li.filter(F.col("l_discount") >= 0.09)
+                  .select("l_partkey"))
+    return (
+        p.join(discounted, p.p_partkey == discounted.l_partkey, "left_anti")
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_parts"),
+             F.countDistinct("p_size").alias("n_sizes"))
+    )

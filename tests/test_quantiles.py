@@ -7,6 +7,7 @@ groups, bucket-boundary values).
 from __future__ import annotations
 
 import pytest
+from hypothesis import given, settings, strategies as st
 
 from pyspark.sql import Window, functions as F
 
@@ -41,6 +42,25 @@ def assert_same(df, group, value):
 
 def test_matches_naive_on_events(spark, sf_dir):
     assert_same(load_table(spark, sf_dir, "events"), "event_type", "value")
+
+
+_settings = settings(max_examples=10, deadline=None)
+
+
+@_settings
+@given(st.lists(
+    st.floats(min_value=-1e6, max_value=1e6,
+              allow_nan=False, allow_infinity=False),
+    min_size=1, max_size=60))
+def test_matches_python_rank_rule(spark, values):
+    df = spark.createDataFrame([("g", v) for v in values], ["g", "v"])
+    row = grouped_exact_quantiles(df, "g", "v", PCTS).collect()[0]
+    s = sorted(values)
+    n = len(s)
+    assert row["n"] == n
+    for p in PCTS:
+        k = (n * p + 99) // 100
+        assert row[f"q_{p}"] == s[k - 1], (p, values)
 
 
 @pytest.mark.parametrize("values", [

@@ -149,3 +149,83 @@ FROM documents""",
 def q_multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = media_table(spark, sf_dir)
     return media.mapInPandas(_extract_features, schema=FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# frame sampling: 1:N row expansion over binary payloads
+
+FRAME_STRIDE = 64      # bytes between sampled frames
+FRAME_LEN = 16         # bytes per sampled frame
+MAX_FRAMES = 8         # cap per media item
+FP_LEN = 8             # fingerprint = hex of the frame's first 8 bytes
+
+FRAME_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("frame_idx", T.IntegerType(), False),
+    T.StructField("frame_off", T.LongType(), False),
+    T.StructField("frame_len", T.IntegerType(), False),
+    T.StructField("fp", T.StringType(), False),
+])
+
+
+def _sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched 1:N frame sampling — the stage that would call a
+    video decoder's keyframe iterator; here frames are deterministic
+    byte windows (stride 64, 16 bytes) so the plumbing (binary in,
+    multiple typed rows out) is real and value-checkable."""
+    for pdf in batches:
+        out: dict[str, list] = {k: [] for k in
+                                ("media_id", "frame_idx", "frame_off",
+                                 "frame_len", "fp")}
+        for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+            b = bytes(payload)
+            n = len(b)
+            for i in range(min(MAX_FRAMES,
+                               (n + FRAME_STRIDE - 1) // FRAME_STRIDE)):
+                off = i * FRAME_STRIDE
+                out["media_id"].append(int(mid))
+                out["frame_idx"].append(i)
+                out["frame_off"].append(off)
+                out["frame_len"].append(min(FRAME_LEN, n - off))
+                out["fp"].append(b[off:off + FP_LEN].hex().upper())
+        yield pd.DataFrame(out).astype(
+            {"media_id": "int64", "frame_idx": "int32",
+             "frame_off": "int64", "frame_len": "int32", "fp": "object"})
+
+
+@register(
+    "multimodal_frame_sample",
+    # documents.text is pure ASCII in the driver fixtures (see
+    # multimodal_feature_extract), so byte windows == char windows
+    oracle=f"""
+WITH vids AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS len
+  FROM documents WHERE CAST(doc_id % 3 AS INTEGER) = 2
+),
+frames AS (
+  SELECT doc_id, len, text,
+         unnest(range(0, least({MAX_FRAMES},
+                               (len + {FRAME_STRIDE - 1}) // {FRAME_STRIDE})))
+           AS i
+  FROM vids
+)
+SELECT doc_id AS media_id,
+       CAST(i AS INTEGER) AS frame_idx,
+       CAST(i * {FRAME_STRIDE} AS BIGINT) AS frame_off,
+       CAST(least({FRAME_LEN}, len - i * {FRAME_STRIDE}) AS INTEGER)
+         AS frame_len,
+       hex(encode(substr(text, CAST(i * {FRAME_STRIDE} + 1 AS INTEGER),
+                         CAST(least({FP_LEN}, len - i * {FRAME_STRIDE})
+                              AS INTEGER)))) AS fp
+FROM frames""",
+    doc="Frame sampling over video payloads: mapInPandas 1:N row "
+        "expansion (binary in, up to 8 typed frame rows out at a "
+        "64-byte stride) — the keyframe-extraction plumbing of a video "
+        "training pipeline, with the decoder swapped for deterministic "
+        "byte windows (container has no media libs). Value-checked "
+        "against a DuckDB unnest(range())-lateral oracle.",
+    tags=("pandas-udf",),
+)
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = media_table(spark, sf_dir).filter(F.col("kind") == "video")
+    return media.mapInPandas(_sample_frames, schema=FRAME_SCHEMA)

@@ -63,6 +63,9 @@ EXTRAS: tuple[str, ...] = (
     # J-family driver rows cover broadcast/shuffle/semi joins already
     "orders_with_returns_by_priority",
     "brands_never_discounted",
+    # 1:N mapInPandas expansion; the D1 family's driver row is
+    # multimodal_feature_extract
+    "multimodal_frame_sample",
 )
 
 

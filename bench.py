@@ -56,6 +56,12 @@ HEADLINE = [
     "text_language_id",
     "text_token_count",
     "multimodal_feature_extract",
+    # round 2 additions — appended so earlier keys keep their position
+    # and round-over-round comparison of shared keys stays mechanical
+    "events_value_quantiles",
+    "orders_with_returns_by_priority",
+    "brands_never_discounted",
+    "multimodal_frame_sample",
 ]
 
 # documented-quadratic exactness baselines (scale paths are the LSH/IVF

@@ -238,12 +238,24 @@ def minhash_band_keys(sets: DataFrame, k: int = MINHASH_K,
     Computed as array_min(transform(...)): per-row, no aggregation.
     """
     rows_per_band = k // bands
-    sig_cols = [
-        F.array_min(F.transform(
+
+    def sig_col(i: int):
+        # NOTE: the lambda must take exactly ONE parameter. The tempting
+        # closure idiom ``lambda s, i=i: ...`` makes a TWO-parameter
+        # lambda, which PySpark binds as transform's (element, index)
+        # form — ``i`` then captures the array-index Column and
+        # ``F.lit(f"{i}:")`` stringifies that Column (including its
+        # session-global x_N name) into the hash prefix: every plan
+        # gets a different, garbage minhash family. Self-consistent
+        # per-plan (so single-query results look fine) but incompatible
+        # across plans — it broke the streaming LSH index before
+        # tests/test_minhash_reference.py pinned the true family.
+        prefix = f"{i}:"
+        return F.array_min(F.transform(
             F.col("sh"),
-            lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s)))).alias(f"h{i}")
-        for i in range(k)
-    ]
+            lambda s: F.md5(F.concat(F.lit(prefix), s)))).alias(f"h{i}")
+
+    sig_cols = [sig_col(i) for i in range(k)]
     sig = sets.select("doc_id", *sig_cols)
     band_structs = []
     for b in range(bands):

@@ -66,6 +66,9 @@ EXTRAS: tuple[str, ...] = (
     # 1:N mapInPandas expansion; the D1 family's driver row is
     # multimodal_feature_extract
     "multimodal_frame_sample",
+    # composes two checked queries (bruteforce + IVF) into a recall@k
+    # evaluation; its inputs each hold a driver slot already
+    "similarity_ivf_recall",
 )
 
 

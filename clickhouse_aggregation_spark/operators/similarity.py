@@ -28,7 +28,7 @@ import random
 from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
 from ..sources.tables import load_table
-from .registry import register
+from .registry import REGISTRY, register
 
 QUANT = 1_000_000
 TOP_K = 5
@@ -310,4 +310,52 @@ def q_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# ANN quality evaluation: recall@k of IVF against the exact baseline
+
+_BF_SQL = REGISTRY["similarity_topk_bruteforce"].raw_oracle
+_IVF_SQL = REGISTRY["similarity_ivf_topk"].raw_oracle
+
+
+@register(
+    "similarity_ivf_recall",
+    # both inputs are deterministic (seeded centroids, integer-quantized
+    # dot products, tie-broken ranks), so recall itself is oracle-exact;
+    # the oracle nests the two full query texts as subqueries
+    oracle=f"""
+WITH bf AS (SELECT query_id, neighbor_id FROM ({_BF_SQL})),
+ivf AS (SELECT query_id, neighbor_id FROM ({_IVF_SQL})),
+hits AS (
+  SELECT b.query_id, count(i.neighbor_id) AS n_hits
+  FROM bf b
+  LEFT JOIN ivf i ON i.query_id = b.query_id
+                 AND i.neighbor_id = b.neighbor_id
+  GROUP BY 1
+)
+SELECT query_id, CAST(n_hits AS BIGINT) AS n_hits,
+       CAST(n_hits AS DOUBLE) / {TOP_K} AS recall_at_k
+FROM hits""",
+    doc="ANN index-quality monitor: recall@5 of the IVF-Flat index "
+        "against the exact cosine top-5, per query vector - the "
+        "evaluation loop a training-data pipeline runs before trusting "
+        "an approximate index for near-dup mining. Deterministic on "
+        "both engines, so the driver hash-checks actual recall values. "
+        "At scale both sides are the already-benched linear paths; the "
+        "comparison join touches k rows per query.",
+)
+def q_similarity_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bf = q_similarity_topk_bruteforce(spark, sf_dir) \
+        .select("query_id", "neighbor_id")
+    iv = q_similarity_ivf_topk(spark, sf_dir) \
+        .select("query_id", "neighbor_id").withColumn("_hit", F.lit(1))
+    return (
+        bf.join(iv, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_hits"))
+        .select("query_id", F.col("n_hits").cast("long").alias("n_hits"),
+                (F.col("n_hits") / F.lit(TOP_K)).cast("double")
+                .alias("recall_at_k"))
     )

@@ -1,0 +1,75 @@
+"""Pin the MinHash signature family to a pure-Python reference.
+
+Regression guard for a subtle PySpark higher-order-function pitfall:
+a two-parameter lambda (e.g. the closure idiom ``lambda s, i=i: ...``)
+is bound as transform's (element, index) form, silently capturing the
+array-index Column where the loop variable was intended. The resulting
+signatures are self-consistent within one plan (so end-to-end dedup
+results can still look right) but differ across plans and sessions —
+which breaks anything that persists band keys (the streaming LSH
+index) and silently diverges from the DuckDB oracle's candidate set.
+This test computes the band keys both in Spark and in plain Python
+(hashlib) and requires exact equality.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from clickhouse_aggregation_spark.operators.dedup import (
+    LSH_BANDS, MINHASH_K, doc_shingle_sets, minhash_band_keys,
+)
+from clickhouse_aggregation_spark.sources.tables import load_table
+
+
+def py_band_keys(sh: list[str]) -> list[str]:
+    sig = [min(hashlib.md5(f"{i}:{s}".encode()).hexdigest() for s in sh)
+           for i in range(MINHASH_K)]
+    rows = MINHASH_K // LSH_BANDS
+    return [hashlib.md5("|".join(sig[b * rows:(b + 1) * rows]).encode())
+            .hexdigest() for b in range(LSH_BANDS)]
+
+
+def test_band_keys_match_python_reference(spark):
+    df = spark.createDataFrame(
+        [(1, ["aa bb cc", "bb cc dd", "cc dd ee"], 3),
+         (2, ["xx yy zz"], 1)],
+        ["doc_id", "sh", "n"])
+    got = {(r.doc_id, r.band_id): r.band_key
+           for r in minhash_band_keys(df).collect()}
+    for doc_id, sh in ((1, ["aa bb cc", "bb cc dd", "cc dd ee"]),
+                       (2, ["xx yy zz"])):
+        for b, key in enumerate(py_band_keys(sh)):
+            assert got[(doc_id, b)] == key, (doc_id, b)
+
+
+def test_band_keys_on_fixture_docs(spark, sf_dir):
+    sets = doc_shingle_sets(load_table(spark, sf_dir, "documents"))
+    sample = sets.filter(F.col("doc_id") < 10)
+    sh_by_doc = {r.doc_id: list(r.sh) for r in sample.collect()}
+    got = {(r.doc_id, r.band_id): r.band_key
+           for r in minhash_band_keys(sample).collect()}
+    assert sh_by_doc, "fixture docs missing"
+    for doc_id, sh in sh_by_doc.items():
+        for b, key in enumerate(py_band_keys(sh)):
+            assert got[(doc_id, b)] == key, (doc_id, b)
+
+
+def test_band_keys_stable_across_plans(spark, sf_dir):
+    """The same doc must get the same band keys regardless of how the
+    plan was built (fresh derivation vs persisted input) — the property
+    the streaming LSH index depends on."""
+    docs = load_table(spark, sf_dir, "documents")
+    fresh = {(r.doc_id, r.band_id): r.band_key
+             for r in minhash_band_keys(
+                 doc_shingle_sets(docs).filter(F.col("doc_id") < 20)
+             ).collect()}
+    cached = doc_shingle_sets(docs).filter(F.col("doc_id") < 20).persist()
+    try:
+        again = {(r.doc_id, r.band_id): r.band_key
+                 for r in minhash_band_keys(cached).collect()}
+    finally:
+        cached.unpersist()
+    assert fresh == again

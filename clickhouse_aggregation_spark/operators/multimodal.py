@@ -229,3 +229,73 @@ FROM frames""",
 def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = media_table(spark, sf_dir).filter(F.col("kind") == "video")
     return media.mapInPandas(_sample_frames, schema=FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# resize: binary -> binary reduction with typed metadata
+
+RESIZE_FACTOR = 4      # keep every 4th byte (stand-in resampling kernel)
+
+RESIZE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("orig_bytes", T.IntegerType(), False),
+    T.StructField("thumb_bytes", T.IntegerType(), False),
+    T.StructField("thumb_fp", T.StringType(), False),
+])
+
+
+def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched binary->binary reduction — the stage that would
+    call a real resampler after ``decode_media``; the deterministic
+    stand-in keeps every RESIZE_FACTOR-th byte so the plumbing (binary
+    in, reduced binary + metadata out) is value-checkable."""
+    for pdf in batches:
+        out = {"media_id": [], "orig_bytes": [], "thumb_bytes": [],
+               "thumb_fp": []}
+        for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+            b = bytes(payload)
+            thumb = b[::RESIZE_FACTOR]
+            out["media_id"].append(int(mid))
+            out["orig_bytes"].append(len(b))
+            out["thumb_bytes"].append(len(thumb))
+            out["thumb_fp"].append(thumb[:8].hex().upper())
+        yield pd.DataFrame(out).astype(
+            {"media_id": "int64", "orig_bytes": "int32",
+             "thumb_bytes": "int32", "thumb_fp": "object"})
+
+
+@register(
+    "multimodal_resize",
+    # ASCII fixture payloads (see multimodal_feature_extract): byte
+    # subsampling == char subsampling, so DuckDB rebuilds the thumbnail
+    # with a list_transform over positions and string_aggs it in order
+    oracle=f"""
+WITH imgs AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS len
+  FROM documents WHERE CAST(doc_id % 3 AS INTEGER) = 0
+),
+thumbs AS (
+  SELECT doc_id, len,
+         list_aggregate(list_transform(
+             range(0, (len + {RESIZE_FACTOR - 1}) // {RESIZE_FACTOR}),
+             i -> substr(text, CAST(1 + i * {RESIZE_FACTOR} AS INTEGER), 1)),
+           'string_agg', '') AS thumb
+  FROM imgs
+)
+SELECT doc_id AS media_id,
+       CAST(len AS INTEGER) AS orig_bytes,
+       CAST(length(thumb) AS INTEGER) AS thumb_bytes,
+       hex(encode(substr(thumb, 1, 8))) AS thumb_fp
+FROM thumbs""",
+    doc="Resize over image payloads: mapInPandas binary->binary "
+        "reduction (every 4th byte as the stand-in resampling kernel; "
+        "a real deployment swaps in decode_media + a resampler) with "
+        "typed size metadata. Rounds out the multimodal stub family "
+        "(decode / feature-extract / frame-sample / resize) with the "
+        "same real-plumbing-fake-kernel pattern, value-checked against "
+        "a DuckDB positional-subsample oracle.",
+    tags=("pandas-udf",),
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = media_table(spark, sf_dir).filter(F.col("kind") == "image")
+    return media.mapInPandas(_resize, schema=RESIZE_SCHEMA)

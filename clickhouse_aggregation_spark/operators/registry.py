@@ -63,9 +63,10 @@ EXTRAS: tuple[str, ...] = (
     # J-family driver rows cover broadcast/shuffle/semi joins already
     "orders_with_returns_by_priority",
     "brands_never_discounted",
-    # 1:N mapInPandas expansion; the D1 family's driver row is
-    # multimodal_feature_extract
+    # 1:N mapInPandas expansion and binary->binary reduction; the D1
+    # family's driver row is multimodal_feature_extract
     "multimodal_frame_sample",
+    "multimodal_resize",
     # composes two checked queries (bruteforce + IVF) into a recall@k
     # evaluation; its inputs each hold a driver slot already
     "similarity_ivf_recall",

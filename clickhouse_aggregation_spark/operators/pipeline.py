@@ -1,0 +1,103 @@
+"""End-to-end corpus-cleaning pipeline (beyond-reference capstone):
+near-dup removal + quality filtering + token accounting composed into
+ONE DataFrame job — the shape of a real LLM training-data pipeline
+(documents in, per-source accounting of the train-ready corpus out).
+
+Composition is the point: the stages are the already-verified operators
+(`dedup_minhash_lsh` candidates/verification, `text_quality_score`
+features, `text_token_count` accounting), fused by Catalyst into a
+single plan — no intermediate materialization, the dup anti-join and
+the quality predicate both reach the same scan pipeline.
+
+Determinism note: the per-source rollup reports min/max quality (order-
+independent over doubles) rather than an average — summing doubles
+across partitions is ordering-dependent and would flake the hash gate.
+Token counts are integer sums (exact).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..sources.tables import load_table
+from .dedup import (DOC_SETS_SQL, JACCARD_THRESHOLD, _minhash_sql,
+                    q_dedup_minhash_lsh)
+from .registry import register
+from .text import q_text_quality_score
+
+QUALITY_MIN = 0.55
+
+
+@register(
+    "pipeline_clean_corpus",
+    oracle=f"""
+WITH {DOC_SETS_SQL.strip()},
+{_minhash_sql().strip()},
+dups AS (
+  SELECT DISTINCT c.doc_b AS dropped
+  FROM candidates c
+  JOIN doc_sets_n a ON a.doc_id = c.doc_a
+  JOIN doc_sets_n b ON b.doc_id = c.doc_b
+  WHERE len(list_intersect(a.sh, b.sh))
+          / (a.n + b.n - len(list_intersect(a.sh, b.sh)))
+        >= {JACCARD_THRESHOLD}
+),
+quality AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_tokens,
+         0.5 * (CASE WHEN len(string_split(text, ' ')) < 200
+                     THEN len(string_split(text, ' ')) ELSE 200 END) / 200.0
+         + 0.3 * (CASE WHEN (length(text) - len(string_split(text, ' ')) + 1)
+                            / len(string_split(text, ' ')) BETWEEN 3 AND 10
+                       THEN 1.0 ELSE 0.0 END)
+         + 0.2 * (len(list_distinct(string_split(text, ' ')))
+                  / len(string_split(text, ' '))) AS q
+  FROM documents
+),
+status AS (
+  SELECT d.source, q.n_tokens, q.q,
+         CASE WHEN dups.dropped IS NOT NULL THEN 'dup'
+              WHEN q.q < {QUALITY_MIN} THEN 'lowq'
+              ELSE 'kept' END AS st
+  FROM documents d
+  JOIN quality q ON q.doc_id = d.doc_id
+  LEFT JOIN dups ON dups.dropped = d.doc_id
+)
+SELECT source,
+       CAST(count(CASE WHEN st = 'kept' THEN 1 END) AS BIGINT) AS n_kept,
+       CAST(count(CASE WHEN st = 'dup' THEN 1 END) AS BIGINT) AS n_dup,
+       CAST(count(CASE WHEN st = 'lowq' THEN 1 END) AS BIGINT) AS n_lowq,
+       CAST(sum(CASE WHEN st = 'kept' THEN n_tokens ELSE 0 END) AS BIGINT)
+         AS kept_ws_tokens,
+       min(CASE WHEN st = 'kept' THEN q END) AS min_quality_kept,
+       max(CASE WHEN st = 'kept' THEN q END) AS max_quality_kept
+FROM status
+GROUP BY source""",
+    doc="Corpus cleaning end-to-end: MinHash near-dup removal (greedy "
+        "keep-lowest-id anti-join) + quality-score filter + per-source "
+        "accounting of the surviving train-ready corpus, as one fused "
+        "DataFrame job. min/max quality instead of avg: double sums "
+        "are partition-order dependent, min/max are not.",
+)
+def q_pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    dropped = (q_dedup_minhash_lsh(spark, sf_dir)
+               .select(F.col("doc_b").alias("doc_id")).distinct()
+               .withColumn("_dup", F.lit(1)))
+    quality = q_text_quality_score(spark, sf_dir) \
+        .select("doc_id", "n_tokens", F.col("quality_score").alias("q"))
+    st = (docs.join(quality, "doc_id")
+          .join(dropped, "doc_id", "left")
+          .select("source", "n_tokens", "q",
+                  F.when(F.col("_dup").isNotNull(), "dup")
+                  .when(F.col("q") < QUALITY_MIN, "lowq")
+                  .otherwise("kept").alias("st")))
+    kept = F.col("st") == "kept"
+    return (st.groupBy("source").agg(
+        F.count(F.when(kept, 1)).alias("n_kept"),
+        F.count(F.when(F.col("st") == "dup", 1)).alias("n_dup"),
+        F.count(F.when(F.col("st") == "lowq", 1)).alias("n_lowq"),
+        F.sum(F.when(kept, F.col("n_tokens")).otherwise(0))
+         .cast("long").alias("kept_ws_tokens"),
+        F.min(F.when(kept, F.col("q"))).alias("min_quality_kept"),
+        F.max(F.when(kept, F.col("q"))).alias("max_quality_kept")))

@@ -67,6 +67,9 @@ EXTRAS: tuple[str, ...] = (
     # family's driver row is multimodal_feature_extract
     "multimodal_frame_sample",
     "multimodal_resize",
+    # capstone composition of three checked operators (minhash dedup,
+    # quality score, token accounting)
+    "pipeline_clean_corpus",
     # composes two checked queries (bruteforce + IVF) into a recall@k
     # evaluation; its inputs each hold a driver slot already
     "similarity_ivf_recall",

@@ -62,6 +62,7 @@ HEADLINE = [
     "orders_with_returns_by_priority",
     "brands_never_discounted",
     "multimodal_frame_sample",
+    "pipeline_clean_corpus",
 ]
 
 # documented-quadratic exactness baselines (scale paths are the LSH/IVF

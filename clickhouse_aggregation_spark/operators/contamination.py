@@ -1,0 +1,111 @@
+"""Benchmark-contamination detection (beyond-reference surface): find
+training documents that contain verbatim n-gram runs from a held-out
+evaluation set — the pre-training hygiene check every LLM data pipeline
+runs before a corpus ships.
+
+Mechanism (the standard n-gram collision scheme): both sides are cut
+into 8-word shingles, shingles are md5-hashed (32-byte keys shuffle,
+not text), and an equi-join on the hash yields per (train_doc,
+eval_doc) common-shingle counts; a pair is contaminated when the
+overlap covers >= half the eval document's shingles.
+
+Scale: candidate generation is one linear shingle pass per side plus an
+equi-join on the hash key — same shape as dedup_minhash_lsh's band
+join. The eval side of a real contamination check (a benchmark suite)
+is tiny; here it is 10 % of the corpus, so the join is left to AQE
+rather than force-broadcast. Work is ∝ hash collisions, i.e. actual
+shared n-grams.
+
+Eval-set membership is a deterministic id rule (doc_id % 10 = 0) so
+both engines select identical sides without a seed channel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..sources.tables import ensure_parallelism, load_table
+from .dedup import shingles_col
+from .registry import register
+
+CONTAM_K = 8             # shingle width (words)
+CONTAM_THRESHOLD = 0.5   # fraction of eval shingles that must collide
+EVAL_MOD = 10            # doc_id % 10 == 0 -> held-out eval doc
+
+
+def _shingle_concat_sql(k: int) -> str:
+    parts = " || ' ' || ".join(f"w[i+{j}]" if j else "w[i]" for j in range(k))
+    return (f"list_transform(range(1, len(w) - {k - 2}), i -> {parts})")
+
+
+_SH_SQL = f"""
+words AS (
+  SELECT doc_id, source, doc_id % {EVAL_MOD} = 0 AS is_eval,
+         string_split(text, ' ') AS w
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= {CONTAM_K}
+),
+sh AS (
+  SELECT DISTINCT doc_id, source, is_eval,
+         md5(unnest({_shingle_concat_sql(CONTAM_K)})) AS h
+  FROM words
+)"""
+
+
+def _doc_shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    return (
+        ensure_parallelism(docs)
+        .filter(F.size(words) >= CONTAM_K)
+        .select("doc_id", "source",
+                (F.col("doc_id") % EVAL_MOD == 0).alias("is_eval"),
+                F.explode(shingles_col(F.col("text"), k=CONTAM_K))
+                 .alias("shingle"))
+        .select("doc_id", "source", "is_eval", F.md5("shingle").alias("h"))
+        .distinct()
+    )
+
+
+@register(
+    "contamination_ngram_overlap",
+    oracle=f"""
+WITH {_SH_SQL.strip()},
+n_eval AS (
+  SELECT doc_id, count(*) AS n FROM sh WHERE is_eval GROUP BY 1
+),
+pairs AS (
+  SELECT t.doc_id AS train_doc, t.source AS train_source,
+         e.doc_id AS eval_doc, count(*) AS common
+  FROM sh t JOIN sh e ON t.h = e.h AND NOT t.is_eval AND e.is_eval
+  GROUP BY 1, 2, 3
+)
+SELECT p.train_doc, p.train_source, p.eval_doc,
+       CAST(p.common AS BIGINT) AS common_shingles,
+       CAST(n.n AS BIGINT) AS n_eval_shingles,
+       p.common / n.n AS overlap
+FROM pairs p JOIN n_eval n ON n.doc_id = p.eval_doc
+WHERE p.common / n.n >= {CONTAM_THRESHOLD}""",
+    doc="Benchmark contamination: (train_doc, eval_doc) pairs whose "
+        "8-gram collision set covers >= 50 % of the eval document. "
+        "Linear shingle passes + equi-join on md5 keys; overlap is an "
+        "exact integer ratio.",
+)
+def q_contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _doc_shingle_hashes(spark, sf_dir)
+    train = sh.filter(~F.col("is_eval")).select(
+        F.col("doc_id").alias("train_doc"),
+        F.col("source").alias("train_source"), "h")
+    ev = sh.filter(F.col("is_eval")).select(
+        F.col("doc_id").alias("eval_doc"), "h")
+    n_eval = ev.groupBy("eval_doc").agg(F.count(F.lit(1)).alias("n"))
+    pairs = (train.join(ev, "h")
+             .groupBy("train_doc", "train_source", "eval_doc")
+             .agg(F.count(F.lit(1)).alias("common")))
+    overlap = F.col("common") / F.col("n")
+    return (pairs.join(n_eval, "eval_doc")
+            .filter(overlap >= CONTAM_THRESHOLD)
+            .select("train_doc", "train_source", "eval_doc",
+                    F.col("common").cast("long").alias("common_shingles"),
+                    F.col("n").cast("long").alias("n_eval_shingles"),
+                    overlap.alias("overlap")))

@@ -101,3 +101,116 @@ def q_pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
          .cast("long").alias("kept_ws_tokens"),
         F.min(F.when(kept, F.col("q"))).alias("min_quality_kept"),
         F.max(F.when(kept, F.col("q"))).alias("max_quality_kept")))
+
+
+# ---------------------------------------------------------------------------
+# deterministic corpus partitioning: split assignment and domain mixing
+#
+# Both use the reproducible-split rule every training pipeline needs:
+# bucket = int(md5(salt || doc_id)[:8 hex]) % 100 — a pure function of
+# the document id, so re-running the pipeline (or running it on another
+# engine) assigns identical splits. Spark's conv(hex,16,10) and
+# DuckDB's ('0x'||hex)::BIGINT parse the same 8 hex chars (< 2^32, no
+# sign issues). Per-row predicate + one map-side-combinable rollup: no
+# extra shuffle at any scale.
+
+SPLIT_BUCKETS = 100
+TRAIN_END = 90           # buckets [0,90) -> train
+VAL_END = 95             # [90,95) -> val, [95,100) -> test
+
+
+def _hash_bucket(salt: str) -> "F.Column":
+    hexpart = F.substring(
+        F.md5(F.concat(F.lit(salt), F.col("doc_id").cast("string"))), 1, 8)
+    return (F.conv(hexpart, 16, 10).cast("long") % SPLIT_BUCKETS)
+
+
+def _hash_bucket_sql(salt: str) -> str:
+    return (f"(('0x' || substr(md5('{salt}' || CAST(doc_id AS VARCHAR)), "
+            f"1, 8))::BIGINT % {SPLIT_BUCKETS})")
+
+
+@register(
+    "pipeline_split_assign",
+    oracle=f"""
+WITH b AS (
+  SELECT source,
+         {_hash_bucket_sql("split:")} AS bucket,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT source,
+       CASE WHEN bucket < {TRAIN_END} THEN 'train'
+            WHEN bucket < {VAL_END} THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS ws_tokens,
+       CAST(min(bucket) AS BIGINT) AS min_bucket,
+       CAST(max(bucket) AS BIGINT) AS max_bucket
+FROM b GROUP BY 1, 2""",
+    doc="Reproducible 90/5/5 train/val/test assignment by hashed doc "
+        "id (salted md5 mod 100), with per-(source, split) doc and "
+        "token accounting. The split is a pure row-local function — "
+        "the only shuffle is the final tiny rollup.",
+)
+def q_pipeline_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    b = docs.select(
+        "source", _hash_bucket("split:").alias("bucket"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"))
+    split = (F.when(F.col("bucket") < TRAIN_END, "train")
+             .when(F.col("bucket") < VAL_END, "val").otherwise("test"))
+    return (b.withColumn("split", split)
+            .groupBy("source", "split")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum("n_tokens").cast("long").alias("ws_tokens"),
+                 F.min("bucket").cast("long").alias("min_bucket"),
+                 F.max("bucket").cast("long").alias("max_bucket")))
+
+
+# domain mixing: per-source target keep-rates (e.g. up-weight curated
+# sources, down-weight web crawl). Rates derive from the numeric source
+# suffix so the rule is a literal in both plans: keep 20..40 % varying
+# by source id mod 5.
+def _keep_pct_sql() -> str:
+    return "(20 + 5 * (CAST(substr(source, 4) AS BIGINT) % 5))"
+
+
+@register(
+    "pipeline_domain_mix",
+    oracle=f"""
+WITH b AS (
+  SELECT source,
+         {_keep_pct_sql()} AS keep_pct,
+         {_hash_bucket_sql("mix:")} AS bucket,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT source,
+       CAST(max(keep_pct) AS BIGINT) AS keep_pct,
+       CAST(count(*) AS BIGINT) AS n_total,
+       CAST(count(CASE WHEN bucket < keep_pct THEN 1 END) AS BIGINT)
+         AS n_kept,
+       CAST(sum(CASE WHEN bucket < keep_pct THEN n_tokens ELSE 0 END)
+            AS BIGINT) AS kept_ws_tokens
+FROM b GROUP BY source""",
+    doc="Domain-mixture downsampling: per-source target keep-rate "
+        "applied as a deterministic hash gate (salted md5 bucket < "
+        "rate), so the sampled corpus is reproducible row-for-row "
+        "across runs and engines — no rand(), no seed coordination "
+        "across executors. Accounting of kept docs/tokens per source.",
+)
+def q_pipeline_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    keep_pct = (20 + 5 * (F.substring("source", 4, 8).cast("long") % 5))
+    b = docs.select(
+        "source", keep_pct.alias("keep_pct"),
+        _hash_bucket("mix:").alias("bucket"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"))
+    kept = F.col("bucket") < F.col("keep_pct")
+    return (b.groupBy("source").agg(
+        F.max("keep_pct").cast("long").alias("keep_pct"),
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.count(F.when(kept, 1)).cast("long").alias("n_kept"),
+        F.sum(F.when(kept, F.col("n_tokens")).otherwise(0))
+         .cast("long").alias("kept_ws_tokens")))

@@ -70,6 +70,14 @@ EXTRAS: tuple[str, ...] = (
     # capstone composition of three checked operators (minhash dedup,
     # quality score, token accounting)
     "pipeline_clean_corpus",
+    # reproducible hash-partitioning family: both are row-local md5
+    # gates + one tiny rollup; the hash-gate mechanism is also driver-
+    # checked via dedup_exact's md5 path
+    "pipeline_split_assign",
+    "pipeline_domain_mix",
+    # n-gram collision join — same join shape as dedup_minhash_lsh's
+    # band join, which holds a driver slot
+    "contamination_ngram_overlap",
     # composes two checked queries (bruteforce + IVF) into a recall@k
     # evaluation; its inputs each hold a driver slot already
     "similarity_ivf_recall",

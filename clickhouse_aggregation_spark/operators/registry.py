@@ -81,6 +81,8 @@ EXTRAS: tuple[str, ...] = (
     # composes two checked queries (bruteforce + IVF) into a recall@k
     # evaluation; its inputs each hold a driver slot already
     "similarity_ivf_recall",
+    # third ANN scale path (after sign-LSH and IVF, which hold slots)
+    "similarity_pq_rerank",
 )
 
 

@@ -359,3 +359,139 @@ def q_similarity_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("n_hits") / F.lit(TOP_K)).cast("double")
                 .alias("recall_at_k"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) with asymmetric-distance candidates + exact
+# re-rank: the memory-bound ANN scale path. Vectors are encoded as M
+# sub-space code ids (here 4 codes of 3 bits — at real scale 8-bit
+# codes over 100 TB of embeddings shrink the candidate index ~100×, and
+# the ADC join moves only (m, code) pairs). Codebooks are the sub-
+# vectors of the first N_CODES corpus vectors (seeded/deterministic,
+# like the IVF centroids); all distances are exact integer arithmetic
+# in quantized space, so codes, candidate ranks, and the re-ranked
+# top-k agree bit-for-bit with the DuckDB oracle.
+
+PQ_M = 4                 # sub-spaces
+PQ_SUB = DIM // PQ_M     # dims per sub-space
+PQ_CODES = 8             # codewords per sub-space
+PQ_CAND = 20             # ADC candidates to re-rank exactly
+
+_SUB_DOT = ("CAST(list_sum(list_transform(range(1, {n} + 1), "
+            "i -> {a}[i] * {b}[i])) AS BIGINT)")
+
+
+def _pq_sql() -> str:
+    sub_dot = _SUB_DOT.format(n=PQ_SUB, a="s.s", b="c.c")
+    return f"""
+subs AS (
+  SELECT vec_id, m, list_slice(qv, m * {PQ_SUB} + 1, m * {PQ_SUB} + {PQ_SUB}) AS s
+  FROM n, (SELECT unnest([{", ".join(str(i) for i in range(PQ_M))}]) AS m)
+),
+subs_n AS (
+  SELECT vec_id, m, s,
+         CAST(list_sum(list_transform(s, x -> x * x)) AS BIGINT) AS n2
+  FROM subs
+),
+codes AS (
+  SELECT m, vec_id AS code, s AS c, n2 AS cn2 FROM subs_n
+  WHERE vec_id < {PQ_CODES}
+),
+dists AS (
+  SELECT s.vec_id, s.m, c.code,
+         s.n2 + c.cn2 - 2 * {sub_dot} AS d
+  FROM subs_n s JOIN codes c ON c.m = s.m
+),
+assigned AS (
+  SELECT vec_id, m, code,
+         row_number() OVER (PARTITION BY vec_id, m ORDER BY d, code) AS rk
+  FROM dists
+),
+encoded AS (SELECT vec_id, m, code FROM assigned WHERE rk = 1),
+qd AS (
+  SELECT vec_id AS query_id, m, code, d FROM dists WHERE vec_id < {N_QUERIES}
+),
+approx AS (
+  SELECT q.query_id, x.vec_id AS neighbor_id, sum(q.d) AS adist
+  FROM encoded x JOIN qd q ON q.m = x.m AND q.code = x.code
+  WHERE x.vec_id <> q.query_id
+  GROUP BY 1, 2
+),
+cand AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adist, neighbor_id) AS crk
+  FROM approx
+)"""
+
+
+@register(
+    "similarity_pq_rerank",
+    oracle=f"""
+WITH {_QUANT_SQL.strip()},
+{_pq_sql().strip()},
+scored AS (
+  SELECT k.query_id, k.neighbor_id, {COSINE_ORACLE_EXPR} AS cosine
+  FROM cand k
+  JOIN n a ON a.vec_id = k.query_id
+  JOIN n b ON b.vec_id = k.neighbor_id
+  WHERE k.crk <= {PQ_CAND}
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank
+FROM ranked WHERE rank <= {TOP_K}""",
+    doc="Approximate top-5 via product quantization: 4 sub-space "
+        "codebooks (seeded = first 8 corpus sub-vectors), corpus "
+        "encoded to 4 code ids, query-to-codeword ADC distance table "
+        "joined on (m, code) to score every vector without touching "
+        "its floats, top-20 ADC candidates re-ranked exactly. The "
+        "memory-bound ANN path: the scoring join moves code ids, not "
+        "vectors; only candidates' full vectors are re-read.",
+)
+def q_similarity_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _quantized(spark, sf_dir)
+    ms = F.explode(F.array(*[F.lit(i) for i in range(PQ_M)])).alias("m")
+    subs = n.select("vec_id", ms, "qv").select(
+        "vec_id", "m",
+        F.slice("qv", F.col("m") * PQ_SUB + 1, PQ_SUB).alias("s"))
+    subs_n = subs.withColumn("n2", int_norm2(F.col("s")))
+    codes = subs_n.filter(F.col("vec_id") < PQ_CODES).select(
+        F.col("m").alias("c_m"), F.col("vec_id").alias("code"),
+        F.col("s").alias("c"), F.col("n2").alias("cn2"))
+    dists = (subs_n.join(F.broadcast(codes), F.col("m") == F.col("c_m"))
+             .select("vec_id", "m", "code",
+                     (F.col("n2") + F.col("cn2")
+                      - 2 * int_dot(F.col("s"), F.col("c"))).alias("d")))
+    w_assign = Window.partitionBy("vec_id", "m").orderBy("d", "code")
+    encoded = (dists.withColumn("rk", F.row_number().over(w_assign))
+               .filter(F.col("rk") == 1).select("vec_id", "m", "code"))
+    qd = dists.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("m").alias("q_m"),
+        F.col("code").alias("q_code"), "d")
+    approx = (
+        encoded.join(F.broadcast(qd),
+                     (F.col("m") == F.col("q_m"))
+                     & (F.col("code") == F.col("q_code"))
+                     & (F.col("vec_id") != F.col("query_id")))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("d").alias("adist"))
+    )
+    w_cand = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
+    cand = (approx.withColumn("crk", F.row_number().over(w_cand))
+            .filter(F.col("crk") <= PQ_CAND).select("query_id", "neighbor_id"))
+    qside = n.select(F.col("vec_id").alias("query_id"),
+                     F.col("qv").alias("q_qv"),
+                     F.col("norm2").alias("q_norm2"))
+    xside = n.select(F.col("vec_id").alias("neighbor_id"), "qv", "norm2")
+    cos = (int_dot(F.col("q_qv"), F.col("qv"))
+           / (F.sqrt(F.col("q_norm2")) * F.sqrt(F.col("norm2"))))
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id"))
+    return (cand.join(F.broadcast(qside), "query_id").join(xside, "neighbor_id")
+            .select("query_id", "neighbor_id", cos.alias("cosine"))
+            .withColumn("rank", F.row_number().over(w_rank))
+            .filter(F.col("rank") <= TOP_K))

@@ -63,6 +63,10 @@ HEADLINE = [
     "brands_never_discounted",
     "multimodal_frame_sample",
     "pipeline_clean_corpus",
+    "pipeline_split_assign",
+    "pipeline_domain_mix",
+    "contamination_ngram_overlap",
+    "similarity_pq_rerank",
 ]
 
 # documented-quadratic exactness baselines (scale paths are the LSH/IVF

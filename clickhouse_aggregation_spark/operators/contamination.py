@@ -22,6 +22,7 @@ both engines select identical sides without a seed channel.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..sources.tables import ensure_parallelism, load_table
@@ -53,17 +54,23 @@ sh AS (
 
 
 def _doc_shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (doc_id, md5-shingle) index, persisted: three consumers
+    (train side, eval side, per-eval-doc totals) read it, and the
+    distinct shuffles only the 2 narrow key columns — is_eval is
+    re-derived from doc_id afterwards, and the doc's source is joined
+    back onto the (tiny) flagged output, never carried per shingle."""
     docs = load_table(spark, sf_dir, "documents")
     words = F.split("text", " ")
     return (
         ensure_parallelism(docs)
         .filter(F.size(words) >= CONTAM_K)
-        .select("doc_id", "source",
-                (F.col("doc_id") % EVAL_MOD == 0).alias("is_eval"),
+        .select("doc_id",
                 F.explode(shingles_col(F.col("text"), k=CONTAM_K))
                  .alias("shingle"))
-        .select("doc_id", "source", "is_eval", F.md5("shingle").alias("h"))
+        .select("doc_id", F.md5("shingle").alias("h"))
         .distinct()
+        .withColumn("is_eval", F.col("doc_id") % EVAL_MOD == 0)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
 
@@ -94,17 +101,23 @@ WHERE p.common / n.n >= {CONTAM_THRESHOLD}""",
 def q_contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _doc_shingle_hashes(spark, sf_dir)
     train = sh.filter(~F.col("is_eval")).select(
-        F.col("doc_id").alias("train_doc"),
-        F.col("source").alias("train_source"), "h")
+        F.col("doc_id").alias("train_doc"), "h")
     ev = sh.filter(F.col("is_eval")).select(
         F.col("doc_id").alias("eval_doc"), "h")
     n_eval = ev.groupBy("eval_doc").agg(F.count(F.lit(1)).alias("n"))
     pairs = (train.join(ev, "h")
-             .groupBy("train_doc", "train_source", "eval_doc")
+             .groupBy("train_doc", "eval_doc")
              .agg(F.count(F.lit(1)).alias("common")))
     overlap = F.col("common") / F.col("n")
+    sources = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("train_doc"),
+        F.col("source").alias("train_source"))
+    # no broadcast hint: the flagged-pairs side is the small one (AQE
+    # broadcasts it at runtime); hinting `sources` would ship the whole
+    # doc->source map to every executor at corpus scale
     return (pairs.join(n_eval, "eval_doc")
             .filter(overlap >= CONTAM_THRESHOLD)
+            .join(sources, "train_doc")
             .select("train_doc", "train_source", "eval_doc",
                     F.col("common").cast("long").alias("common_shingles"),
                     F.col("n").cast("long").alias("n_eval_shingles"),

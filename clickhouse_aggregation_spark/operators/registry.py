@@ -67,22 +67,25 @@ EXTRAS: tuple[str, ...] = (
     # family's driver row is multimodal_feature_extract
     "multimodal_frame_sample",
     "multimodal_resize",
-    # capstone composition of three checked operators (minhash dedup,
-    # quality score, token accounting)
-    "pipeline_clean_corpus",
-    # reproducible hash-partitioning family: both are row-local md5
-    # gates + one tiny rollup; the hash-gate mechanism is also driver-
-    # checked via dedup_exact's md5 path
-    "pipeline_split_assign",
-    "pipeline_domain_mix",
-    # n-gram collision join — same join shape as dedup_minhash_lsh's
-    # band join, which holds a driver slot
-    "contamination_ngram_overlap",
-    # composes two checked queries (bruteforce + IVF) into a recall@k
-    # evaluation; its inputs each hold a driver slot already
-    "similarity_ivf_recall",
-    # third ANN scale path (after sign-LSH and IVF, which hold slots)
-    "similarity_pq_rerank",
+    # Round-2 rebalance: six same-family VARIANTS rotate out so six new
+    # operator FAMILIES (corpus pipeline, reproducible splits, domain
+    # mixing, contamination, PQ-ANN, ANN-recall eval) get driver rows.
+    # Every demoted query keeps a driver-checked sibling:
+    #   mv_usdc_daily_ts        — ts-bucketing via events_json_daily /
+    #                             events_hourly_window; daily MV via
+    #                             mv_usdc_daily_block
+    #   readme_size_distribution — histogram re-agg via
+    #                             mv_tx_size_distribution + readme_* ×2
+    #   monitoring_recent_sample — S11 via monitoring_global_stats;
+    #                             recency top-k via mv_recent_activity
+    #   entity_filter_paginated — S10 via entity_by_id
+    #   tpch_q10 / tpch_q14     — J family keeps q1, q3, q5, q6, q18
+    "mv_usdc_daily_ts",
+    "readme_size_distribution",
+    "monitoring_recent_sample",
+    "entity_filter_paginated",
+    "tpch_q10_returned_items",
+    "tpch_q14_conditional_share",
 )
 
 

@@ -59,3 +59,33 @@ def test_hot_path_is_whole_stage_codegen(spark, sf_dir):
 def test_topk_plans_take_ordered(spark, sf_dir):
     plan = _plan(spark, sf_dir, "readme_top_senders")
     assert "TakeOrderedAndProject" in plan  # true top-k, no global sort
+
+
+def test_split_assign_single_shuffle_no_join(spark, sf_dir):
+    """The hash-gate rollups are one linear pass: a single exchange
+    (the final tiny groupBy), never a join."""
+    for name in ("pipeline_split_assign", "pipeline_domain_mix"):
+        plan = _plan(spark, sf_dir, name)
+        assert "Join" not in plan, name
+        assert plan.count("Exchange") <= 2, name   # partial+final agg
+
+
+def test_contamination_equi_join_no_nested_loop(spark, sf_dir):
+    """Candidate generation must be an equi-join on the shingle hash —
+    a nested-loop/cartesian plan would be the quadratic anti-pattern."""
+    plan = _plan(spark, sf_dir, "contamination_ngram_overlap")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the persisted shingle index is reused, not recomputed per branch
+    assert "InMemoryTableScan" in plan
+
+
+def test_pq_broadcasts_codebooks_not_corpus(spark, sf_dir):
+    """PQ's joins ship the tiny side (codebooks / ADC tables / query
+    vectors); the corpus subtree must never sit under a broadcast."""
+    plan = _plan(spark, sf_dir, "similarity_pq_rerank")
+    assert "BroadcastHashJoin" in plan
+    for bcast in plan.split("BroadcastExchange")[1:]:
+        # each broadcast subtree must be rooted on a vec_id filter
+        head = bcast[:2000]
+        assert ("vec_id" in head), "broadcast side lost its filter"

@@ -67,6 +67,8 @@ HEADLINE = [
     "pipeline_domain_mix",
     "contamination_ngram_overlap",
     "similarity_pq_rerank",
+    "text_vocab_topk",
+    "pipeline_length_buckets",
 ]
 
 # documented-quadratic exactness baselines (scale paths are the LSH/IVF

@@ -214,3 +214,56 @@ def q_pipeline_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(kept, 1)).cast("long").alias("n_kept"),
         F.sum(F.when(kept, F.col("n_tokens")).otherwise(0))
          .cast("long").alias("kept_ws_tokens")))
+
+
+# ---------------------------------------------------------------------------
+# sequence-length bucketing: the batch-packing prepass. Training jobs
+# pack variable-length documents into fixed-length sequences; the
+# standard first cut is power-of-2 length buckets (pad within a bucket,
+# pack across). Bucket id = bit-length of the token count — integer-
+# exact in both engines (length(bin(n))), never floor(log2(double)).
+
+@register(
+    "pipeline_length_buckets",
+    oracle="""
+WITH t AS (
+  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+b AS (
+  SELECT n_tokens,
+         CAST(length(bin(n_tokens)) AS BIGINT) AS bucket_id
+  FROM t WHERE n_tokens >= 1
+)
+SELECT bucket_id,
+       CAST(1 << (bucket_id - 1) AS BIGINT) AS bucket_lo,
+       CAST((1 << bucket_id) - 1 AS BIGINT) AS bucket_hi,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS ws_tokens,
+       CAST(sum(((1 << bucket_id) - 1) - n_tokens) AS BIGINT)
+         AS pad_waste_tokens
+FROM b GROUP BY bucket_id""",
+    doc="Sequence-length bucketing for batch packing: docs binned by "
+        "power-of-2 token-length bucket (bit-length of the count), "
+        "with per-bucket doc/token totals and the padding waste of "
+        "padding every doc to the bucket ceiling — the accounting that "
+        "decides bucket boundaries before a packing job. One linear "
+        "pass + a ~15-group rollup.",
+)
+def q_pipeline_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"))
+    b = (t.filter(F.col("n_tokens") >= 1)
+         .withColumn("bucket_id",
+                     F.length(F.bin("n_tokens")).cast("long")))
+    # F.shiftleft only takes a literal bit count; the SQL form accepts
+    # a column expression
+    hi = F.expr("cast(shiftleft(1, cast(bucket_id as int)) as bigint) - 1")
+    lo = F.expr("cast(shiftleft(1, cast(bucket_id as int) - 1) as bigint)")
+    return (b.groupBy("bucket_id").agg(
+        F.max(lo).alias("bucket_lo"),
+        F.max(hi).alias("bucket_hi"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("ws_tokens"),
+        F.sum(hi - F.col("n_tokens")).cast("long").alias("pad_waste_tokens")))

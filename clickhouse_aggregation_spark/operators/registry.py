@@ -80,6 +80,11 @@ EXTRAS: tuple[str, ...] = (
     #                             recency top-k via mv_recent_activity
     #   entity_filter_paginated — S10 via entity_by_id
     #   tpch_q10 / tpch_q14     — J family keeps q1, q3, q5, q6, q18
+    # post-rebalance additions (sim-swept, awaiting a future rotation):
+    # top-k surface is driver-checked via readme_top_senders; rollup
+    # accounting via pipeline_split_assign
+    "text_vocab_topk",
+    "pipeline_length_buckets",
     "mv_usdc_daily_ts",
     "readme_size_distribution",
     "monitoring_recent_sample",

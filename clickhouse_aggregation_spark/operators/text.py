@@ -10,7 +10,8 @@ identical across engines); fingerprints are md5.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+from pyspark.sql import (Column, DataFrame, SparkSession, Window,
+                         functions as F)
 
 from ..sources.tables import load_table
 from .registry import register
@@ -191,3 +192,42 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(F.md5(F.array_join(F.slice(words, 1, 10), " ")), 1, 16)
          .alias("prefix_fingerprint"),
     )
+
+
+@register(
+    "text_vocab_topk",
+    oracle="""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+),
+counted AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS freq
+  FROM tok WHERE token <> '' GROUP BY token
+),
+ranked AS (
+  SELECT token, freq,
+         row_number() OVER (ORDER BY freq DESC, token) AS rank
+  FROM counted
+)
+SELECT rank, token, freq FROM ranked WHERE rank <= 50""",
+    doc="Vocabulary build: corpus-wide token frequencies, top-50 by "
+        "count (tie-broken lexically). The scale shape is explode -> "
+        "two-phase hash aggregate (map-side combine eats the token "
+        "explosion before the shuffle) -> TakeOrdered top-k; the "
+        "full frequency table this truncates IS the tokenizer-training "
+        "input at 100 TB.",
+)
+def q_text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    counted = (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    )
+    # top-k FIRST via TakeOrderedAndProject (distributed per-partition
+    # top-50 + merge), THEN rank — a global row_number window over the
+    # full vocabulary would funnel it through one reducer.
+    top = counted.orderBy(F.col("freq").desc(), "token").limit(50)
+    w = Window.orderBy(F.col("freq").desc(), "token")
+    return (top.withColumn("rank", F.row_number().over(w))
+            .select("rank", "token", "freq"))

@@ -1,0 +1,109 @@
+"""Behavioral tests for the training-data-pipeline operators beyond
+oracle parity: planted near-dups must be caught, split fractions must
+approach their targets, and the PQ index must actually find neighbors."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from clickhouse_aggregation_spark.operators.contamination import (
+    CONTAM_K, EVAL_MOD, q_contamination_ngram_overlap,
+)
+from clickhouse_aggregation_spark.operators.pipeline import (
+    TRAIN_END, VAL_END, q_pipeline_length_buckets, q_pipeline_split_assign,
+)
+from clickhouse_aggregation_spark.operators.similarity import (
+    TOP_K, q_similarity_pq_rerank, q_similarity_topk_bruteforce,
+)
+from clickhouse_aggregation_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def planted_dir(spark, sf_dir, tmp_path_factory):
+    """A documents table where doc 7 (train) is a verbatim copy of doc
+    10 (eval) and doc 3 shares half of doc 20's shingles."""
+    root = str(tmp_path_factory.mktemp("planted"))
+    docs = load_table(spark, sf_dir, "documents").toPandas()
+    docs = docs.set_index("doc_id", drop=False)
+    # 32 DISTINCT words: a periodic text would make every substring
+    # carry the full shingle set and defeat the partial-overlap case
+    words = [f"planted{i}" for i in range(32)]
+    eval_text = " ".join(words)
+    docs.loc[10, "text"] = eval_text
+    docs.loc[7, "text"] = eval_text                  # full copy -> overlap 1.0
+    # doc 3 carries only the first 16 words plus fresh filler:
+    # 9 of doc 10's 25 8-gram shingles = 36 % overlap, below threshold
+    docs.loc[3, "text"] = " ".join(
+        words[:16] + [f"filler{i}" for i in range(40)])
+    spark.createDataFrame(docs.reset_index(drop=True)) \
+        .coalesce(1).write.mode("overwrite") \
+        .parquet(os.path.join(root, "documents.parquet"))
+    return root
+
+
+def test_contamination_catches_planted_copy(spark, planted_dir):
+    pairs = {(r.train_doc, r.eval_doc): r.overlap
+             for r in q_contamination_ngram_overlap(spark, planted_dir)
+             .collect()}
+    assert pairs.get((7, 10)) == 1.0
+    # 36 % partial overlap sits below the 50 % threshold
+    assert (3, 10) not in pairs
+
+
+def test_split_fractions_near_targets(spark, sf_oracle_dir):
+    rows = q_pipeline_split_assign(spark, sf_oracle_dir).collect()
+    total = sum(r.n_docs for r in rows)
+    frac = {
+        s: sum(r.n_docs for r in rows if r.split == s) / total
+        for s in ("train", "val", "test")
+    }
+    assert abs(frac["train"] - TRAIN_END / 100) < 0.03
+    assert abs(frac["val"] - (VAL_END - TRAIN_END) / 100) < 0.02
+    assert abs(frac["test"] - (100 - VAL_END) / 100) < 0.02
+    # buckets must stay inside their split's range
+    for r in rows:
+        lo, hi = {"train": (0, TRAIN_END - 1),
+                  "val": (TRAIN_END, VAL_END - 1),
+                  "test": (VAL_END, 99)}[r.split]
+        assert lo <= r.min_bucket <= r.max_bucket <= hi
+
+
+def test_split_is_deterministic_across_runs(spark, sf_dir):
+    a = {(r.source, r.split): r.n_docs
+         for r in q_pipeline_split_assign(spark, sf_dir).collect()}
+    b = {(r.source, r.split): r.n_docs
+         for r in q_pipeline_split_assign(spark, sf_dir).collect()}
+    assert a == b
+
+
+def test_pq_recall_vs_bruteforce(spark, sf_dir):
+    """The PQ index is approximate but must find most of the exact
+    top-5 (both sides are deterministic, so this value is pinned)."""
+    bf = {(r.query_id, r.neighbor_id)
+          for r in q_similarity_topk_bruteforce(spark, sf_dir).collect()}
+    pq = {(r.query_id, r.neighbor_id)
+          for r in q_similarity_pq_rerank(spark, sf_dir).collect()}
+    recall = len(bf & pq) / len(bf)
+    assert recall >= 0.5, recall
+
+
+def test_length_buckets_partition_the_corpus(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.filter(
+        F.size(F.split("text", " ")) >= 1).count()
+    rows = q_pipeline_length_buckets(spark, sf_dir).collect()
+    assert sum(r.n_docs for r in rows) == n_docs
+    for r in rows:
+        assert r.bucket_lo <= r.bucket_hi
+        assert r.pad_waste_tokens >= 0
+        # every doc in the bucket fits under the ceiling
+        assert r.ws_tokens <= r.n_docs * r.bucket_hi
+
+
+def test_eval_docs_never_flagged_as_train(spark, sf_dir):
+    flagged = q_contamination_ngram_overlap(spark, sf_dir) \
+        .filter(F.col("train_doc") % EVAL_MOD == 0).count()
+    assert flagged == 0

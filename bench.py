@@ -69,6 +69,7 @@ HEADLINE = [
     "similarity_pq_rerank",
     "text_vocab_topk",
     "pipeline_length_buckets",
+    "embedding_label_centroids",
 ]
 
 # documented-quadratic exactness baselines (scale paths are the LSH/IVF

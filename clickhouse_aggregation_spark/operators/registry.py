@@ -85,6 +85,7 @@ EXTRAS: tuple[str, ...] = (
     # accounting via pipeline_split_assign
     "text_vocab_topk",
     "pipeline_length_buckets",
+    "embedding_label_centroids",
     "mv_usdc_daily_ts",
     "readme_size_distribution",
     "monitoring_recent_sample",

@@ -495,3 +495,45 @@ def q_similarity_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("query_id", "neighbor_id", cos.alias("cosine"))
             .withColumn("rank", F.row_number().over(w_rank))
             .filter(F.col("rank") <= TOP_K))
+
+
+# ---------------------------------------------------------------------------
+# per-label centroid analytics: the embedding-column diagnostic pass a
+# training pipeline runs to sanity-check label clusters (and the seed
+# step of a k-means refinement). posexplode turns the array column into
+# (label, dim, component) rows, and one map-side-combinable groupBy
+# produces exact integer sums per (label, dim) — order-independent, so
+# the derived double centroid is oracle-exact. 10 labels × 64 dims =
+# 640 output rows at any corpus size.
+
+@register(
+    "embedding_label_centroids",
+    oracle=f"""
+WITH q AS (
+  SELECT label, {quantize.SQL} AS qv FROM embeddings
+),
+comp AS (
+  SELECT label, dim, qv[dim] AS c
+  FROM q, (SELECT unnest(range(1, {DIM} + 1)) AS dim)
+)
+SELECT label, CAST(dim AS BIGINT) AS dim,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(c) AS BIGINT) AS sum_q,
+       CAST(sum(c) AS BIGINT) / count(*) AS centroid_q
+FROM comp GROUP BY label, dim""",
+    doc="Per-label embedding centroids: integer-quantized component "
+        "sums per (label, dimension) via posexplode + one combinable "
+        "groupBy — a linear pass whose shuffle is |labels|×|dims| "
+        "partial rows per map task, independent of corpus size.",
+)
+def q_embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select("label", quantize(F.col("embedding")).alias("qv"))
+    comp = q.select(
+        "label", F.posexplode("qv").alias("pos", "c")
+    ).select("label", (F.col("pos") + 1).cast("long").alias("dim"), "c")
+    return (comp.groupBy("label", "dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c").cast("long").alias("sum_q"))
+        .select("label", "dim", "n", "sum_q",
+                (F.col("sum_q") / F.col("n")).alias("centroid_q")))

@@ -53,13 +53,12 @@ sh AS (
 )"""
 
 
-def _doc_shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct (doc_id, md5-shingle) index, persisted: three consumers
-    (train side, eval side, per-eval-doc totals) read it, and the
-    distinct shuffles only the 2 narrow key columns — is_eval is
-    re-derived from doc_id afterwards, and the doc's source is joined
-    back onto the (tiny) flagged output, never carried per shingle."""
-    docs = load_table(spark, sf_dir, "documents")
+def doc_shingle_hashes_df(docs: DataFrame) -> DataFrame:
+    """Distinct (doc_id, md5-shingle, is_eval) index for any documents
+    frame: the distinct shuffles only the 2 narrow key columns —
+    is_eval is re-derived from doc_id afterwards, and a doc's source is
+    joined back onto the (tiny) flagged output, never carried per
+    shingle. Shared by the batch query and the streaming monitor."""
     words = F.split("text", " ")
     return (
         ensure_parallelism(docs)
@@ -70,8 +69,14 @@ def _doc_shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.md5("shingle").alias("h"))
         .distinct()
         .withColumn("is_eval", F.col("doc_id") % EVAL_MOD == 0)
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+
+
+def _doc_shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batch query's persisted index: three consumers (train side,
+    eval side, per-eval-doc totals) read it."""
+    return (doc_shingle_hashes_df(load_table(spark, sf_dir, "documents"))
+            .persist(StorageLevel.MEMORY_AND_DISK))
 
 
 @register(

@@ -236,11 +236,11 @@ b AS (
   FROM t WHERE n_tokens >= 1
 )
 SELECT bucket_id,
-       CAST(1 << (bucket_id - 1) AS BIGINT) AS bucket_lo,
-       CAST((1 << bucket_id) - 1 AS BIGINT) AS bucket_hi,
+       CAST(CAST(1 AS BIGINT) << (bucket_id - 1) AS BIGINT) AS bucket_lo,
+       CAST((CAST(1 AS BIGINT) << bucket_id) - 1 AS BIGINT) AS bucket_hi,
        CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(n_tokens) AS BIGINT) AS ws_tokens,
-       CAST(sum(((1 << bucket_id) - 1) - n_tokens) AS BIGINT)
+       CAST(sum(((CAST(1 AS BIGINT) << bucket_id) - 1) - n_tokens) AS BIGINT)
          AS pad_waste_tokens
 FROM b GROUP BY bucket_id""",
     doc="Sequence-length bucketing for batch packing: docs binned by "
@@ -258,9 +258,12 @@ def q_pipeline_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
          .withColumn("bucket_id",
                      F.length(F.bin("n_tokens")).cast("long")))
     # F.shiftleft only takes a literal bit count; the SQL form accepts
-    # a column expression
-    hi = F.expr("cast(shiftleft(1, cast(bucket_id as int)) as bigint) - 1")
-    lo = F.expr("cast(shiftleft(1, cast(bucket_id as int) - 1) as bigint)")
+    # a column expression. Shift a BIGINT one: shiftleft(1, 31+) in
+    # 32-bit space overflows negative (hypothesis-caught).
+    hi = F.expr(
+        "shiftleft(cast(1 as bigint), cast(bucket_id as int)) - 1")
+    lo = F.expr(
+        "shiftleft(cast(1 as bigint), cast(bucket_id as int) - 1)")
     return (b.groupBy("bucket_id").agg(
         F.max(lo).alias("bucket_lo"),
         F.max(hi).alias("bucket_hi"),

@@ -93,3 +93,43 @@ def test_block_day_consistent_with_hour(spark, block):
     # 24 hour-buckets per day-bucket: hour div 24 == day
     assert row["h"] // 24 == row["d"]
     assert row["d"] == block // BLOCKS_PER_DAY
+
+
+@_settings
+@given(st.lists(st.integers(min_value=0, max_value=2**62), min_size=1,
+                max_size=40))
+def test_hash_bucket_range_and_engine_parity(spark, doc_ids):
+    """The split hash gate must land in [0, 100) and agree with DuckDB
+    on arbitrary ids (the md5-hex → int path both engines share)."""
+    import duckdb
+
+    from clickhouse_aggregation_spark.operators.pipeline import (
+        SPLIT_BUCKETS, _hash_bucket,
+    )
+    df = spark.createDataFrame([Row(doc_id=d) for d in doc_ids])
+    got = [r[0] for r in df.select(_hash_bucket("split:")).collect()]
+    assert all(0 <= b < SPLIT_BUCKETS for b in got)
+    con = duckdb.connect()
+    want = [con.execute(
+        "SELECT ('0x' || substr(md5('split:' || CAST(? AS VARCHAR)), 1, 8))"
+        f"::BIGINT % {SPLIT_BUCKETS}", [d]).fetchone()[0] for d in doc_ids]
+    assert got == want
+
+
+@_settings
+@given(st.lists(st.integers(min_value=1, max_value=2**40), min_size=1,
+                max_size=40))
+def test_bit_length_bucket_bounds(spark, counts):
+    """Every n must satisfy bucket_lo <= n <= bucket_hi for the
+    power-of-2 bucket derived from length(bin(n))."""
+    df = spark.createDataFrame([Row(n_tokens=n) for n in counts])
+    rows = df.select(
+        "n_tokens",
+        F.length(F.bin("n_tokens")).cast("long").alias("bucket_id"),
+    ).selectExpr(
+        "n_tokens",
+        "shiftleft(cast(1 as bigint), cast(bucket_id as int) - 1) AS lo",
+        "shiftleft(cast(1 as bigint), cast(bucket_id as int)) - 1 AS hi",
+    ).collect()
+    for r in rows:
+        assert r.lo <= r.n_tokens <= r.hi, r

@@ -1,0 +1,60 @@
+"""Incrementally-maintained corpus rollups: the SummingMergeTree-style
+maintainer machinery (``maintainer.IncrementalRollup``) applied to a
+DOCUMENT stream — per-source token accounting and a live vocabulary.
+
+This is the streaming half of the training-data pipeline surface: as
+corpus shards land, the pipeline needs running token budgets per source
+(`text_token_count`'s online twin) and an up-to-date token frequency
+table (`text_vocab_topk`'s online twin — the tokenizer-training input).
+Both are additive counters, so the exact same partial-append +
+lazy-merge + compact machinery the reference MVs use applies unchanged;
+state lives in the rollup store, not executor memory, and each batch
+contributes one rollup-sized parquet append.
+
+Invariant (tests/test_corpus_rollups.py): replaying the corpus in
+chunks and reading the rollup equals the batch recompute over the full
+corpus — for the vocabulary, equality holds over the ENTIRE frequency
+table, not just the top-k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators.text import BPE_ISH_PATTERN
+from ..schemas import DOCUMENTS
+from .maintainer import IncrementalRollup, run_rollup_stream
+
+
+def _source_tokens_partial(batch: DataFrame) -> DataFrame:
+    return (
+        batch.groupBy("source")
+        .agg(F.sum(F.size(F.split("text", " "))).alias("ws_tokens"),
+             F.sum(F.regexp_count("text", F.lit(BPE_ISH_PATTERN)))
+              .alias("bpe_ish_tokens"),
+             F.sum(F.length("text")).alias("total_chars"),
+             F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def _vocab_partial(batch: DataFrame) -> DataFrame:
+    return (
+        batch.select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+CORPUS_ROLLUPS: tuple[IncrementalRollup, ...] = (
+    IncrementalRollup("source_tokens", ("source",),
+                      ("ws_tokens", "bpe_ish_tokens", "total_chars",
+                       "n_docs"), _source_tokens_partial),
+    IncrementalRollup("vocab", ("token",), ("freq",), _vocab_partial),
+)
+
+
+def run_corpus_rollup_stream(spark: SparkSession, docs_dir: str,
+                             store_root: str, available_now: bool = True):
+    """Tail a documents directory and maintain the corpus rollups."""
+    return run_rollup_stream(spark, docs_dir, DOCUMENTS, store_root,
+                             CORPUS_ROLLUPS, available_now)

@@ -263,12 +263,14 @@ INCREMENTAL_ROLLUPS: tuple[IncrementalRollup, ...] = (
 )
 
 
-def run_maintainer_stream(spark: SparkSession, transfers_dir: str,
-                          store_root: str,
-                          rollups: tuple[IncrementalRollup, ...] = INCREMENTAL_ROLLUPS,
-                          available_now: bool = True):
-    """Maintain all rollups from a streaming read of the transfers
-    directory. ``availableNow`` drains everything currently present and
+def run_rollup_stream(spark: SparkSession, src_dir: str, schema,
+                      store_root: str,
+                      rollups: tuple[IncrementalRollup, ...],
+                      available_now: bool = True):
+    """Maintain a set of rollups from a streaming read of any source
+    directory — the IncrementalRollup machinery is source-agnostic
+    (a partial maps a batch to state rows; schema comes from the
+    caller). ``availableNow`` drains everything currently present and
     stops (test/backfill mode); without it the query tails the
     directory like the reference processor tails the chain."""
     checkpoint = os.path.join(store_root, "_checkpoint")
@@ -296,7 +298,7 @@ def run_maintainer_stream(spark: SparkSession, transfers_dir: str,
             r.process_batch(batch, store_root, epoch_id)
 
     stream = (
-        spark.readStream.schema(TRANSFERS).parquet(transfers_dir)
+        spark.readStream.schema(schema).parquet(src_dir)
     )
     writer = (
         stream.writeStream.foreachBatch(handle)
@@ -305,6 +307,15 @@ def run_maintainer_stream(spark: SparkSession, transfers_dir: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def run_maintainer_stream(spark: SparkSession, transfers_dir: str,
+                          store_root: str,
+                          rollups: tuple[IncrementalRollup, ...] = INCREMENTAL_ROLLUPS,
+                          available_now: bool = True):
+    """The reference surface: maintain the transfers MVs."""
+    return run_rollup_stream(spark, transfers_dir, TRANSFERS, store_root,
+                             rollups, available_now)
 
 
 def streaming_dedup_24h(spark: SparkSession, transfers_dir: str):

@@ -45,11 +45,38 @@ def _vocab_partial(batch: DataFrame) -> DataFrame:
     )
 
 
+def _quality_partial(batch: DataFrame) -> DataFrame:
+    """Per-source quality envelope (the drift monitor): min/max of the
+    composite quality score plus doc counts. min/max are mergeable but
+    NOT additive — merge_exprs below carry them with min()/max() while
+    counts still sum (same mechanism as the HLL sketch rollup)."""
+    words = F.split("text", " ")
+    n_tokens = F.size(words)
+    n_chars = F.length("text")
+    avg_tok = (n_chars - n_tokens + 1) / n_tokens
+    quality = (
+        0.5 * F.least(n_tokens, F.lit(200)) / 200.0
+        + 0.3 * F.when(avg_tok.between(3, 10), 1.0).otherwise(0.0)
+        + 0.2 * (F.size(F.array_distinct(words)) / n_tokens)
+    )
+    return (batch.select("source", quality.alias("_q"))
+            .groupBy("source")
+            .agg(F.min("_q").alias("min_quality"),
+                 F.max("_q").alias("max_quality"),
+                 F.count(F.lit(1)).alias("n_docs")))
+
+
 CORPUS_ROLLUPS: tuple[IncrementalRollup, ...] = (
     IncrementalRollup("source_tokens", ("source",),
                       ("ws_tokens", "bpe_ish_tokens", "total_chars",
                        "n_docs"), _source_tokens_partial),
     IncrementalRollup("vocab", ("token",), ("freq",), _vocab_partial),
+    IncrementalRollup(
+        "quality_envelope", ("source",),
+        ("min_quality", "max_quality", "n_docs"), _quality_partial,
+        merge_exprs=("min(min_quality) AS min_quality",
+                     "max(max_quality) AS max_quality",
+                     "sum(n_docs) AS n_docs")),
 )
 
 

@@ -70,6 +70,8 @@ HEADLINE = [
     "text_vocab_topk",
     "pipeline_length_buckets",
     "embedding_label_centroids",
+    "text_tfidf_topk",
+    "pipeline_curate_topn",
 ]
 
 # documented-quadratic exactness baselines (scale paths are the LSH/IVF

@@ -17,7 +17,7 @@ Token counts are integer sums (exact).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..sources.tables import load_table
 from .dedup import (DOC_SETS_SQL, JACCARD_THRESHOLD, _minhash_sql,
@@ -270,3 +270,64 @@ def q_pipeline_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("ws_tokens"),
         F.sum(hi - F.col("n_tokens")).cast("long").alias("pad_waste_tokens")))
+
+
+# ---------------------------------------------------------------------------
+# per-source curation: keep the N best documents per source by quality
+# score. Low-cardinality group top-N is the classic skewed-sort trap (a
+# bare window over 20 sources = 20 reducers each sorting its whole
+# slice), so the Spark side runs two phases: a salted per-partition
+# top-N (parallel across 32 salts) whose survivors — at most
+# salts × N rows per source — feed the real per-source rank. Same
+# refine-don't-sort idea as the exact-quantile operator.
+
+CURATE_N = 10
+CURATE_SALTS = 32
+
+
+@register(
+    "pipeline_curate_topn",
+    oracle=f"""
+WITH q AS (
+  SELECT d.doc_id, d.source,
+         0.5 * (CASE WHEN len(string_split(text, ' ')) < 200
+                     THEN len(string_split(text, ' ')) ELSE 200 END) / 200.0
+         + 0.3 * (CASE WHEN (length(text) - len(string_split(text, ' ')) + 1)
+                            / len(string_split(text, ' ')) BETWEEN 3 AND 10
+                       THEN 1.0 ELSE 0.0 END)
+         + 0.2 * (len(list_distinct(string_split(text, ' ')))
+                  / len(string_split(text, ' '))) AS quality_score
+  FROM documents d
+),
+ranked AS (
+  SELECT source, doc_id, quality_score,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY quality_score DESC, doc_id) AS rank
+  FROM q
+)
+SELECT source, CAST(rank AS BIGINT) AS rank, doc_id, quality_score
+FROM ranked WHERE rank <= {CURATE_N}""",
+    doc="Per-source curation: the 10 best docs per source by quality. "
+        "Two-phase top-N — salted partial rank (parallel), then the "
+        "true rank over <= salts*N survivors per source — so no "
+        "reducer ever sorts a whole source's slice (20 sources would "
+        "mean 20 reducers owning 5 % of the corpus each).",
+)
+def q_pipeline_curate_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text import q_text_quality_score
+    q = q_text_quality_score(spark, sf_dir) \
+        .select("doc_id", "quality_score")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    scored = docs.join(q, "doc_id")
+    salted = scored.withColumn(
+        "_salt", (F.col("doc_id") % CURATE_SALTS).cast("int"))
+    w1 = Window.partitionBy("source", "_salt").orderBy(
+        F.col("quality_score").desc(), "doc_id")
+    survivors = (salted.withColumn("_r1", F.row_number().over(w1))
+                 .filter(F.col("_r1") <= CURATE_N))
+    w2 = Window.partitionBy("source").orderBy(
+        F.col("quality_score").desc(), "doc_id")
+    return (survivors.withColumn("rank", F.row_number().over(w2))
+            .filter(F.col("rank") <= CURATE_N)
+            .select("source", F.col("rank").cast("long").alias("rank"),
+                    "doc_id", "quality_score"))

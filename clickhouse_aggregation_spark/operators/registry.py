@@ -86,6 +86,8 @@ EXTRAS: tuple[str, ...] = (
     "text_vocab_topk",
     "pipeline_length_buckets",
     "embedding_label_centroids",
+    "text_tfidf_topk",
+    "pipeline_curate_topn",
     "mv_usdc_daily_ts",
     "readme_size_distribution",
     "monitoring_recent_sample",

@@ -231,3 +231,62 @@ def q_text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy(F.col("freq").desc(), "token")
     return (top.withColumn("rank", F.row_number().over(w))
             .select("rank", "token", "freq"))
+
+
+@register(
+    "text_tfidf_topk",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+tf AS (
+  SELECT doc_id, token, count(*) AS tf
+  FROM tok WHERE token <> '' GROUP BY doc_id, token
+),
+dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+n AS (SELECT count(*) AS n FROM documents),
+scored AS (
+  SELECT t.doc_id, t.token,
+         CAST(t.tf AS BIGINT) AS tf, CAST(d.df AS BIGINT) AS df,
+         CAST(t.tf * n.n AS BIGINT) / d.df AS rarity_score
+  FROM tf t JOIN dfreq d ON d.token = t.token, n
+  WHERE t.doc_id < 10
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY rarity_score DESC, token) AS rank
+  FROM scored
+)
+SELECT doc_id, rank, token, tf, df, rarity_score
+FROM ranked WHERE rank <= 5""",
+    doc="tf-idf-style keyword extraction: term frequency per (doc, "
+        "token), document frequency per token (one vocab-sized "
+        "combinable groupBy), score = tf*N/df as a single exact-int "
+        "division (no ln() — engine log implementations aren't "
+        "bit-identical), top-5 terms per probe doc. The standard "
+        "two-aggregation + token-keyed join dataflow; the df table is "
+        "vocabulary-sized, not corpus-sized.",
+)
+def q_text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (docs.select("doc_id",
+                      F.explode(F.split("text", " ")).alias("token"))
+          .filter(F.col("token") != "")
+          .groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf")))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.filter(F.col("doc_id") < 10)
+        .join(dfreq, "token")
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", "token",
+                F.col("tf").cast("long").alias("tf"),
+                F.col("df").cast("long").alias("df"),
+                ((F.col("tf") * F.col("n")).cast("long") / F.col("df"))
+                .alias("rarity_score"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("rarity_score").desc(), "token")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 5)
+            .select("doc_id", "rank", "token", "tf", "df", "rarity_score"))

@@ -331,3 +331,66 @@ def q_pipeline_curate_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rank") <= CURATE_N)
             .select("source", F.col("rank").cast("long").alias("rank"),
                     "doc_id", "quality_score"))
+
+
+# ---------------------------------------------------------------------------
+# sequence packing: assign documents to fixed-budget training sequences
+# (greedy next-fit over the deterministic doc_id order, per source).
+# Packing is inherently sequential state, so it runs as an Arrow-
+# grouped applyInPandas per source — each group's assignment depends
+# only on its own sorted rows, never on partitioning, so the output is
+# deterministic (unit-tested against a pure-Python reference; no SQL
+# oracle — a recursive running-capacity scan isn't reasonably
+# expressible in one DuckDB query).
+#
+# At scale: state is one counter per in-flight group; groups (sources)
+# partition across executors; a hot source can be pre-split by the
+# length-bucket key (pack within (source, bucket)) without changing the
+# algorithm.
+
+PACK_BUDGET = 512
+
+
+def pack_docs(pdf, budget: int = PACK_BUDGET):
+    """Pure-Python reference packer (also the UDF body): next-fit over
+    doc_id order; oversize docs get a singleton pack."""
+    pdf = pdf.sort_values("doc_id")
+    pack_id, fill = 0, 0
+    out = []
+    for n in pdf["n_tokens"]:
+        n_eff = min(n, budget)
+        if fill and fill + n_eff > budget:
+            pack_id += 1
+            fill = 0
+        fill += n_eff
+        out.append(pack_id)
+    return pdf.assign(pack_id=out)
+
+
+@register(
+    "pipeline_pack_sequences",
+    doc="Greedy next-fit sequence packing per source (budget 512 "
+        "whitespace tokens, doc_id order): (source, pack_id, doc_id, "
+        "n_tokens) assignments via applyInPandas — deterministic but "
+        "sequential, so rows-only (no SQL oracle); invariants + a "
+        "pure-Python reference pin it in tests/test_training_pipeline.py.",
+)
+def q_pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd  # noqa: F401  (Arrow batches arrive as pandas)
+
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "source", "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"))
+
+    def _pack(pdf):
+        return pack_docs(pdf)
+
+    return (sized.repartition("source")
+            .groupBy("source")
+            .applyInPandas(
+                _pack,
+                schema="source string, doc_id bigint, n_tokens bigint, "
+                       "pack_id bigint")
+            .select("source", F.col("pack_id").cast("long").alias("pack_id"),
+                    "doc_id", "n_tokens"))

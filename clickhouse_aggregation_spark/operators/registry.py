@@ -88,6 +88,9 @@ EXTRAS: tuple[str, ...] = (
     "embedding_label_centroids",
     "text_tfidf_topk",
     "pipeline_curate_topn",
+    # rows-only by design (sequential packing state, no SQL oracle);
+    # pinned by a pure-Python reference in test_training_pipeline.py
+    "pipeline_pack_sequences",
     "mv_usdc_daily_ts",
     "readme_size_distribution",
     "monitoring_recent_sample",

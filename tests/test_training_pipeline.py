@@ -107,3 +107,27 @@ def test_eval_docs_never_flagged_as_train(spark, sf_dir):
     flagged = q_contamination_ngram_overlap(spark, sf_dir) \
         .filter(F.col("train_doc") % EVAL_MOD == 0).count()
     assert flagged == 0
+
+
+def test_pack_sequences_matches_python_reference(spark, sf_dir):
+    from clickhouse_aggregation_spark.operators.pipeline import (
+        PACK_BUDGET, pack_docs, q_pipeline_pack_sequences,
+    )
+    got = (q_pipeline_pack_sequences(spark, sf_dir)
+           .toPandas().sort_values(["source", "doc_id"])
+           .reset_index(drop=True))
+    docs = load_table(spark, sf_dir, "documents")
+    ref_in = docs.select(
+        "source", "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    ).toPandas()
+    ref = (ref_in.groupby("source", group_keys=False)
+           .apply(pack_docs, include_groups=True)
+           .sort_values(["source", "doc_id"]).reset_index(drop=True))
+    assert got[["source", "doc_id", "n_tokens", "pack_id"]].equals(
+        ref[["source", "doc_id", "n_tokens", "pack_id"]].astype(
+            {"pack_id": "int64"}))
+    # invariants: packs respect the budget (oversize docs are singleton)
+    fills = (got.assign(n_eff=got["n_tokens"].clip(upper=PACK_BUDGET))
+             .groupby(["source", "pack_id"])["n_eff"].sum())
+    assert (fills <= PACK_BUDGET).all()

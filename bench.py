@@ -72,6 +72,8 @@ HEADLINE = [
     "embedding_label_centroids",
     "text_tfidf_topk",
     "pipeline_curate_topn",
+    "events_retention_cohorts",
+    "events_funnel_depth",
 ]
 
 # documented-quadratic exactness baselines (scale paths are the LSH/IVF

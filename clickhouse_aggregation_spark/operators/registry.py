@@ -91,6 +91,10 @@ EXTRAS: tuple[str, ...] = (
     # rows-only by design (sequential packing state, no SQL oracle);
     # pinned by a pure-Python reference in test_training_pipeline.py
     "pipeline_pack_sequences",
+    # behavioral analytics over events; the window/session/as-of family
+    # holds driver slots already
+    "events_retention_cohorts",
+    "events_funnel_depth",
     "mv_usdc_daily_ts",
     "readme_size_distribution",
     "monitoring_recent_sample",

@@ -101,6 +101,20 @@ EXTRAS: tuple[str, ...] = (
     "entity_filter_paginated",
     "tpch_q10_returned_items",
     "tpch_q14_conditional_share",
+    # tpch_suite.py: the remaining classic TPC-H shapes adapted to the
+    # reduced schema (Q2/Q7/Q8/Q9/Q11/Q13/Q15/Q17/Q19/Q21/Q22); the
+    # J-family driver rows cover the join machinery already
+    "cheapest_supplier_per_part",
+    "nation_trade_flows",
+    "market_share_by_year",
+    "product_profit_by_nation_year",
+    "supplier_revenue_share",
+    "customer_order_distribution",
+    "top_revenue_supplier",
+    "small_order_part_revenue",
+    "disjunctive_promo_revenue",
+    "late_sole_supplier",
+    "idle_rich_customers",
 )
 
 

@@ -1,0 +1,523 @@
+"""The remaining classic TPC-H query *shapes*, adapted to the driver's
+reduced star schema (no partsupp, no commit/receipt dates, no phone) —
+rounding out the join/subquery surface beyond `tpch.py`/`tpch_more.py`:
+
+  Q2  correlated-min subquery (decorrelated: aggregate + join-back)
+  Q7  bi-directional nation trade flows (two dim roles for one table)
+  Q8  market share (conditional numerator over a grouped denominator)
+  Q9  product profit (multi-dim join, decimal-exact profit arithmetic)
+  Q11 revenue-share threshold (1-row broadcast scalar subquery)
+  Q13 outer-join count distribution (double aggregation)
+  Q15 max-equality join (ties kept, as in the spec)
+  Q17 correlated-avg predicate (integer-exact: 5·qty·cnt < sum)
+  Q19 disjunctive predicate blocks (pushdown/codegen showcase)
+  Q21 sole-late-supplier (conditional distinct counts, not nested EXISTS)
+  Q22 anti-join + global-average scalar subquery
+
+All arithmetic is decimal-exact on both engines (doubles are summed
+nowhere): money casts to DECIMAL(18,2) first, correlated thresholds are
+cross-multiplied into integer/decimal comparisons instead of divided,
+and count factors are cast to narrow decimals so products stay under
+precision 38 (Spark would round above it, silently breaking exactness).
+
+Scalar subqueries (Q11/Q15/Q22) join their 1-row aggregate back with a
+broadcast nested-loop join — O(n) work, no shuffle, and unlike a
+global window function it never funnels rows to a single partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from ..sources.tables import load_table
+from .registry import register
+
+
+def _dec(col: str) -> Column:
+    return F.col(col).cast("decimal(18,2)")
+
+
+def _rev() -> Column:
+    """Exact line revenue: extendedprice * (1 - discount)."""
+    return _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+
+
+_REV_SQL = ("CAST(l_extendedprice AS DECIMAL(18,2))"
+            " * (1 - CAST(l_discount AS DECIMAL(18,2)))")
+
+
+def _nation_names(spark: SparkSession, sf_dir: str, key: str,
+                  name: str) -> DataFrame:
+    """The nation dim under role-specific column names (Q7/Q8/Q9 use the
+    same table on both the customer and supplier side of one plan)."""
+    n = load_table(spark, sf_dir, "nation")
+    return n.select(F.col("n_nationkey").alias(key),
+                    F.col("n_name").alias(name))
+
+
+@register(
+    "cheapest_supplier_per_part",
+    oracle="""
+WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+eur AS (
+  SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+  FROM supplier s
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  WHERE r.r_name = 'EUROPE'),
+pe AS (SELECT p.l_partkey, e.s_suppkey, e.s_name, e.s_acctbal, e.n_name
+       FROM pairs p JOIN eur e ON e.s_suppkey = p.l_suppkey),
+m AS (SELECT l_partkey, min(s_acctbal) AS min_bal FROM pe GROUP BY 1)
+SELECT pe.s_acctbal, pe.s_name, pe.n_name,
+       pe.l_partkey AS p_partkey, pe.s_suppkey
+FROM pe JOIN m ON m.l_partkey = pe.l_partkey AND pe.s_acctbal = m.min_bal
+ORDER BY s_acctbal DESC, p_partkey, s_suppkey LIMIT 20""",
+    doc="Q2-shaped correlated-min subquery, decorrelated the way "
+        "Catalyst/CBO engines do: per-part min over the (part, supplier)"
+        " pairs, joined back on equality so ties survive. The supplier×"
+        "nation×region side is dimension-sized and broadcast; only the "
+        "distinct pair projection of lineitem shuffles. Min over "
+        "unmodified doubles is arithmetic-free, hence engine-exact.",
+)
+def q_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = (load_table(spark, sf_dir, "lineitem")
+             .select("l_partkey", "l_suppkey").distinct())
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eur = (s.join(F.broadcast(n.join(F.broadcast(r),
+                                     n.n_regionkey == r.r_regionkey)),
+                  s.s_nationkey == F.col("n_nationkey"))
+           .select("s_suppkey", "s_name", "s_acctbal", "n_name"))
+    pe = pairs.join(F.broadcast(eur), pairs.l_suppkey == eur.s_suppkey)
+    m = (pe.groupBy(F.col("l_partkey").alias("mp_partkey"))
+         .agg(F.min("s_acctbal").alias("min_bal")))
+    return (
+        pe.join(m, (pe.l_partkey == m.mp_partkey)
+                & (pe.s_acctbal == m.min_bal))
+        .select("s_acctbal", "s_name", "n_name",
+                F.col("l_partkey").alias("p_partkey"), "s_suppkey")
+        .orderBy(F.col("s_acctbal").desc(), "p_partkey", "s_suppkey")
+        .limit(20)
+    )
+
+
+@register(
+    "nation_trade_flows",
+    oracle=f"""
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+       sum({_REV_SQL.replace('l_', 'l.l_')}) AS revenue
+FROM lineitem l
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation cn  ON cn.n_nationkey = c.c_nationkey
+JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+   OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+GROUP BY 1, 2, 3""",
+    doc="Q7-shaped bi-directional trade flows: the nation dim plays two "
+        "roles (customer side, supplier side) in one plan, renamed per "
+        "role. One fact-fact shuffle (lineitem×orders); every dim is "
+        "broadcast; the nation-pair filter prunes after the broadcasts "
+        "so Catalyst pushes the two small IN-filters into the dim scans.",
+)
+def q_nation_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    cn = _nation_names(spark, sf_dir, "cn_key", "cust_nation")
+    sn = _nation_names(spark, sf_dir, "sn_key", "supp_nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(cn), c.c_nationkey == cn.cn_key)
+        .join(F.broadcast(sn), s.s_nationkey == sn.sn_key)
+        .filter(((F.col("supp_nation") == "NATION_1")
+                 & (F.col("cust_nation") == "NATION_2"))
+                | ((F.col("supp_nation") == "NATION_2")
+                   & (F.col("cust_nation") == "NATION_1")))
+        .groupBy("supp_nation", "cust_nation",
+                 F.year("l_shipdate").cast("long").alias("l_year"))
+        .agg(F.sum(_rev()).alias("revenue"))
+    )
+
+
+@register(
+    "market_share_by_year",
+    oracle=f"""
+SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+       sum(CASE WHEN sn.n_name = 'NATION_6'
+                THEN {_REV_SQL.replace('l_', 'l.l_')}
+                ELSE CAST(0 AS DECIMAL(18,2)) END) AS target_volume,
+       sum({_REV_SQL.replace('l_', 'l.l_')}) AS total_volume
+FROM lineitem l
+JOIN part p     ON p.p_partkey = l.l_partkey
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation cn  ON cn.n_nationkey = c.c_nationkey
+JOIN region r   ON r.r_regionkey = cn.n_regionkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+WHERE r.r_name = 'AMERICA' AND p.p_type = 'ECONOMY'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY 1""",
+    doc="Q8-shaped market share: one target nation's revenue inside a "
+        "region/type/date slice, per year. The ratio is numerator + "
+        "denominator columns (exact decimals), never a divided double — "
+        "the Q14 pattern. part is pre-filtered to one p_type before its "
+        "broadcast, so the biggest dim ships reduced.",
+)
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")))
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    cn = _nation_names(spark, sf_dir, "cn_key", "cust_nation")
+    sn = _nation_names(spark, sf_dir, "sn_key", "supp_nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    n_region = load_table(spark, sf_dir, "nation")
+    cn_am = (cn.join(F.broadcast(
+        n_region.join(F.broadcast(r),
+                      n_region.n_regionkey == r.r_regionkey)
+        .select("n_nationkey")), cn.cn_key == F.col("n_nationkey"))
+        .select("cn_key", "cust_nation"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn_am), c.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), s.s_nationkey == sn.sn_key)
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(F.sum(F.when(F.col("supp_nation") == "NATION_6", _rev())
+                   .otherwise(F.lit(0).cast("decimal(18,2)")))
+             .alias("target_volume"),
+             F.sum(_rev()).alias("total_volume"))
+    )
+
+
+@register(
+    "product_profit_by_nation_year",
+    oracle="""
+SELECT sn.n_name AS nation, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+       sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+             * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+           - CAST(p.p_retailprice AS DECIMAL(18,2))
+             * CAST(l.l_quantity AS DECIMAL(18,2))) AS profit
+FROM lineitem l
+JOIN part p     ON p.p_partkey = l.l_partkey
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+WHERE p.p_name LIKE '%widget%'
+GROUP BY 1, 2""",
+    doc="Q9-shaped product profit by supplier nation and year; the "
+        "supply-cost term is p_retailprice*quantity (no partsupp table "
+        "in this schema). Both products are DECIMAL(18,2)×DECIMAL(18,2)"
+        " = (37,4) — exact, under Spark's precision-38 rounding cliff. "
+        "The LIKE filter prunes part before its broadcast.",
+)
+def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%widget%"))
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    sn = _nation_names(spark, sf_dir, "sn_key", "nation")
+    profit = _rev() - _dec("p_retailprice") * _dec("l_quantity")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), s.s_nationkey == sn.sn_key)
+        .groupBy("nation", F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(F.sum(profit).alias("profit"))
+    )
+
+
+@register(
+    "supplier_revenue_share",
+    oracle=f"""
+WITH rev AS (
+  SELECT l_suppkey, sum({_REV_SQL}) AS revenue
+  FROM lineitem GROUP BY 1),
+tot AS (SELECT sum(revenue) AS total FROM rev)
+SELECT r.l_suppkey AS s_suppkey, s.s_name, r.revenue
+FROM rev r JOIN tot t ON CAST(1000 AS DECIMAL(4,0))
+                         * CAST(r.revenue AS DECIMAL(30,4)) > t.total
+JOIN supplier s ON s.s_suppkey = r.l_suppkey
+ORDER BY revenue DESC, s_suppkey""",
+    doc="Q11-shaped share threshold: suppliers holding > 0.1% of total "
+        "revenue. The global total is a 1-row aggregate joined back by "
+        "broadcast nested loop (O(n), no single-partition window). The "
+        "threshold is cross-multiplied (1000·rev > total) in decimals "
+        "narrow enough to stay exact — never a divided double.",
+)
+def q_supplier_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    rev = (li.groupBy("l_suppkey").agg(F.sum(_rev()).alias("revenue")))
+    tot = rev.agg(F.sum("revenue").alias("total"))
+    scaled = (F.lit(1000).cast("decimal(4,0)")
+              * F.col("revenue").cast("decimal(30,4)"))
+    return (
+        rev.join(F.broadcast(tot), scaled > F.col("total"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select(F.col("l_suppkey").alias("s_suppkey"), "s_name", "revenue")
+        .orderBy(F.col("revenue").desc(), "s_suppkey")
+    )
+
+
+@register(
+    "customer_order_distribution",
+    oracle="""
+WITH counts AS (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY 1)
+SELECT c_count, count(*) AS custdist
+FROM counts GROUP BY 1
+ORDER BY custdist DESC, c_count DESC""",
+    doc="Q13-shaped double aggregation over a LEFT OUTER join: per-"
+        "customer order counts (zero preserved by count(o_orderkey) "
+        "over the null-extended rows), then the distribution of those "
+        "counts. Pure integer counting — nothing to normalize. The "
+        "second aggregate's input is customer-sized, already tiny.",
+)
+def q_customer_order_distribution(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    counts = (c.join(o, c.c_custkey == o.o_custkey, "left")
+              .groupBy(c.c_custkey)
+              .agg(F.count("o_orderkey").alias("c_count")))
+    return (counts.groupBy("c_count")
+            .agg(F.count(F.lit(1)).alias("custdist"))
+            .orderBy(F.col("custdist").desc(), F.col("c_count").desc()))
+
+
+@register(
+    "top_revenue_supplier",
+    oracle=f"""
+WITH rev AS (
+  SELECT l_suppkey, sum({_REV_SQL}) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+  GROUP BY 1),
+m AS (SELECT max(total_revenue) AS max_rev FROM rev)
+SELECT r.l_suppkey AS s_suppkey, s.s_name, r.total_revenue
+FROM rev r JOIN m ON r.total_revenue = m.max_rev
+JOIN supplier s ON s.s_suppkey = r.l_suppkey
+ORDER BY s_suppkey""",
+    doc="Q15-shaped max-equality join: the quarter's top-revenue "
+        "supplier(s), ties kept per the spec (equality against a 1-row "
+        "max, broadcast back — not LIMIT 1, which would drop ties). "
+        "Decimal revenue makes the equality well-defined across engines.",
+)
+def q_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp")))
+    s = load_table(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(F.sum(_rev()).alias("total_revenue"))
+    m = rev.agg(F.max("total_revenue").alias("max_rev"))
+    return (
+        rev.join(F.broadcast(m), F.col("total_revenue") == F.col("max_rev"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select(F.col("l_suppkey").alias("s_suppkey"), "s_name",
+                "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "small_order_part_revenue",
+    oracle="""
+WITH stats AS (
+  SELECT l_partkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+         count(*) AS cnt
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE p.p_brand = 'Brand#5'
+  GROUP BY 1)
+SELECT sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS total_revenue,
+       count(*) AS n_lines
+FROM lineitem l
+JOIN stats st ON st.l_partkey = l.l_partkey
+WHERE CAST(l.l_quantity AS DECIMAL(18,2))
+      * CAST(5 AS DECIMAL(2,0)) * CAST(st.cnt AS DECIMAL(10,0))
+      < st.sum_qty""",
+    doc="Q17-shaped correlated-average predicate (lines below 20% of "
+        "their part's mean quantity), decorrelated into per-part "
+        "(sum, count) + join-back. The avg comparison is cross-"
+        "multiplied — 5·qty·cnt < sum — all decimal-exact; a divided "
+        "double would tie-break differently per engine. The per-part "
+        "stats subtree is brand-filtered so the join-back is tiny.",
+)
+def q_small_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#5")
+    brand_lines = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    stats = (brand_lines.groupBy(F.col("l_partkey").alias("st_partkey"))
+             .agg(F.sum(_dec("l_quantity")).alias("sum_qty"),
+                  F.count(F.lit(1)).alias("cnt")))
+    cond = (_dec("l_quantity") * F.lit(5).cast("decimal(2,0)")
+            * F.col("cnt").cast("decimal(10,0)")) < F.col("sum_qty")
+    return (
+        li.join(F.broadcast(stats), li.l_partkey == F.col("st_partkey"))
+        .filter(cond)
+        .agg(F.sum(_dec("l_extendedprice")).alias("total_revenue"),
+             F.count(F.lit(1)).alias("n_lines"))
+    )
+
+
+@register(
+    "disjunctive_promo_revenue",
+    oracle=f"""
+SELECT sum({_REV_SQL.replace('l_', 'l.l_')}) AS revenue,
+       count(*) AS n_lines
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity BETWEEN 1 AND 15)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 11 AND 25
+       AND l.l_quantity BETWEEN 10 AND 25)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 26 AND 50
+       AND l.l_quantity BETWEEN 20 AND 35)""",
+    doc="Q19-shaped disjunctive predicate blocks spanning both join "
+        "sides. Catalyst extracts the common l_quantity/p_size bounds "
+        "as pushable conjuncts (quantity 1-35 reaches PushedFilters) "
+        "and evaluates the residual OR post-join in codegen; the part "
+        "side broadcasts after its own brand/size reduction.",
+)
+def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    block = [
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 10)
+         & F.col("l_quantity").between(1, 15)),
+        ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(11, 25)
+         & F.col("l_quantity").between(10, 25)),
+        ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(26, 50)
+         & F.col("l_quantity").between(20, 35)),
+    ]
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(block[0] | block[1] | block[2])
+        .agg(F.sum(_rev()).alias("revenue"),
+             F.count(F.lit(1)).alias("n_lines"))
+    )
+
+
+@register(
+    "late_sole_supplier",
+    oracle="""
+WITH lo AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+         l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY AS late
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+per_order AS (
+  SELECT l_orderkey,
+         count(DISTINCT l_suppkey) AS n_supp,
+         count(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late
+  FROM lo GROUP BY 1),
+culprits AS (
+  SELECT DISTINCT lo.l_orderkey, lo.l_suppkey
+  FROM lo JOIN per_order po ON po.l_orderkey = lo.l_orderkey
+  WHERE lo.late AND po.n_supp >= 2 AND po.n_late = 1)
+SELECT s.s_suppkey, s.s_name, count(*) AS numwait
+FROM culprits c JOIN supplier s ON s.s_suppkey = c.l_suppkey
+GROUP BY 1, 2
+ORDER BY numwait DESC, s_suppkey LIMIT 20""",
+    doc="Q21-shaped sole-late-supplier: in multi-supplier orders, the "
+        "one supplier that shipped > 90 days after the order date while "
+        "every co-supplier shipped on time. The classic nested EXISTS/"
+        "NOT-EXISTS pair collapses into one grouped pass of conditional "
+        "DISTINCT counts (n_supp >= 2 AND n_late = 1) — one shuffle "
+        "instead of two correlated join-backs, same semantics.",
+)
+def q_late_sole_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    lo = (li.join(o, li.l_orderkey == o.o_orderkey)
+          .select(li.l_orderkey, "l_suppkey",
+                  (F.col("l_shipdate")
+                   > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+                  .alias("late")))
+    per_order = (lo.groupBy(F.col("l_orderkey").alias("po_orderkey"))
+                 .agg(F.countDistinct("l_suppkey").alias("n_supp"),
+                      F.countDistinct(
+                          F.when(F.col("late"), F.col("l_suppkey")))
+                      .alias("n_late")))
+    culprits = (
+        lo.filter(F.col("late"))
+        .join(per_order, lo.l_orderkey == per_order.po_orderkey)
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+        .select("l_orderkey", "l_suppkey").distinct())
+    return (
+        culprits.join(F.broadcast(s), culprits.l_suppkey == s.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_suppkey")
+        .limit(20)
+    )
+
+
+@register(
+    "idle_rich_customers",
+    oracle="""
+WITH pos AS (
+  SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) AS tot,
+         count(*) AS cnt
+  FROM customer WHERE c_acctbal > 0.0),
+rich AS (
+  SELECT c.c_custkey, c.c_nationkey, CAST(c.c_acctbal AS DECIMAL(18,2)) AS bal
+  FROM customer c JOIN pos
+    ON CAST(c.c_acctbal AS DECIMAL(18,2)) * CAST(pos.cnt AS DECIMAL(12,0))
+       > pos.tot),
+idle AS (
+  SELECT r.* FROM rich r
+  WHERE NOT EXISTS (
+    SELECT 1 FROM orders o WHERE o.o_custkey = r.c_custkey
+      AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'))
+SELECT n.n_name, count(*) AS numcust, sum(i.bal) AS totacctbal
+FROM idle i JOIN nation n ON n.n_nationkey = i.c_nationkey
+GROUP BY 1""",
+    doc="Q22-shaped idle-rich-customers: above-average account balance "
+        "(global average via a 1-row broadcast scalar subquery, "
+        "compared cross-multiplied: bal·cnt > sum — exact) and no "
+        "recent orders (LeftAnti against the date-filtered order keys; "
+        "every synthetic customer has SOME order, so 'never ordered' "
+        "would be vacuous). Grouped per nation; counts and an exact "
+        "decimal balance sum out.",
+)
+def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    n = _nation_names(spark, sf_dir, "n_key", "n_name")
+    pos = (c.filter(F.col("c_acctbal") > 0.0)
+           .agg(F.sum(_dec("c_acctbal")).alias("tot"),
+                F.count(F.lit(1)).alias("cnt")))
+    rich = (c.join(F.broadcast(pos),
+                   _dec("c_acctbal") * F.col("cnt").cast("decimal(12,0)")
+                   > F.col("tot"))
+            .select("c_custkey", "c_nationkey",
+                    _dec("c_acctbal").alias("bal")))
+    recent = o.filter(F.col("o_orderdate")
+                      >= F.lit("2000-01-01 00:00:00").cast("timestamp"))
+    idle = rich.join(recent, rich.c_custkey == recent.o_custkey, "left_anti")
+    return (
+        idle.join(F.broadcast(n), idle.c_nationkey == n.n_key)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("numcust"),
+             F.sum("bal").alias("totacctbal"))
+    )

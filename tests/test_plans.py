@@ -89,3 +89,44 @@ def test_pq_broadcasts_codebooks_not_corpus(spark, sf_dir):
         # each broadcast subtree must be rooted on a vec_id filter
         head = bcast[:2000]
         assert ("vec_id" in head), "broadcast side lost its filter"
+
+
+def test_disjunctive_or_blocks_reach_the_scan(spark, sf_dir):
+    """Q19-shape: the OR of per-block quantity bounds must be pushed
+    into the lineitem scan (Catalyst extracts the per-side disjuncts),
+    and the part side must broadcast — never a nested loop."""
+    plan = _plan(spark, sf_dir, "disjunctive_promo_revenue")
+    assert "Or(" in plan.split("PushedFilters")[1][:400]
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_scalar_subqueries_are_one_row_broadcasts(spark, sf_dir):
+    """Q11/Q15/Q22-shape: a global threshold joins back as exactly one
+    broadcast nested-loop with a 1-row build — never a cartesian
+    product, and never a single-partition global window."""
+    for name in ("supplier_revenue_share", "top_revenue_supplier",
+                 "idle_rich_customers"):
+        plan = _plan(spark, sf_dir, name)
+        assert plan.count("CartesianProduct") == 0, name
+        assert plan.count("BroadcastNestedLoopJoin") <= 1, name
+        assert "Window" not in plan, name
+
+
+def test_late_sole_supplier_all_equi_joins(spark, sf_dir):
+    """Q21-shape: the EXISTS/NOT-EXISTS pair is folded into grouped
+    conditional-distinct counts — every join stays an equi hash/merge
+    join and the supplier dim broadcasts."""
+    plan = _plan(spark, sf_dir, "late_sole_supplier")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_idle_rich_anti_join_prunes_orders(spark, sf_dir):
+    """Q22-shape: the recency filter must reach the orders scan of the
+    anti-join side (the 100 TB posture: the anti build is the filtered
+    slice, not the whole orders table)."""
+    plan = _plan(spark, sf_dir, "idle_rich_customers")
+    assert "LeftAnti" in plan
+    assert "GreaterThanOrEqual(o_orderdate,2000-01-01" in plan

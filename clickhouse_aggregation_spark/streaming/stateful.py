@@ -117,9 +117,16 @@ def sessionize_batch(events: DataFrame,
     window-function sessionization) — the correctness oracle for the
     streaming operator."""
     w = Window.partitionBy("user_id").orderBy("ts")
+
+    # ts is TIMESTAMP_NTZ engine-wide (sources/tables.py); CAST(ntz AS
+    # BIGINT) is illegal in Spark 4, so measure the gap in epoch micros
+    # via an LTZ view (session tz is UTC, so the hop is the identity).
+    def _micros(c):
+        return F.unix_micros(c.cast("timestamp_ltz"))
+
     gap = F.coalesce(
-        (F.col("ts").cast("long") - F.lag("ts").over(w).cast("long"))
-        >= gap_min * 60, F.lit(False))
+        (_micros(F.col("ts")) - _micros(F.lag("ts").over(w)))
+        >= gap_min * 60 * 1_000_000, F.lit(False))
     with_id = (
         events.withColumn("_new", gap.cast("long"))
         .withColumn("_sid", F.sum("_new").over(

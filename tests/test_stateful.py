@@ -15,9 +15,14 @@ from clickhouse_aggregation_spark.streaming.stateful import (
 
 def test_stream_sessions_match_batch(spark, sf_dir, tmp_path):
     ev = load_table(spark, sf_dir, "events")
-    # truncate ts to ms so stream (ms-precision state) and batch agree
-    ev = ev.withColumn("ts", F.timestamp_millis(
-        (F.col("ts").cast("double") * 1000).cast("long")))
+    # truncate ts to ms so stream (ms-precision state) and batch agree.
+    # ts is TIMESTAMP_NTZ (engine-wide semantic, sources/tables.py):
+    # CAST(ntz AS DOUBLE) is illegal in Spark 4, so go through
+    # unix_micros on an LTZ view (session tz is UTC, so the round-trip
+    # is the identity) and come back to NTZ.
+    ev = ev.withColumn("ts", F.expr(
+        "cast(timestamp_micros(unix_micros(cast(ts as timestamp_ltz)) "
+        "div 1000 * 1000) as timestamp_ntz)"))
     edir = str(tmp_path / "events")
     ev.coalesce(1).write.parquet(edir)
     # sentinel far-future event per user forces every session to close

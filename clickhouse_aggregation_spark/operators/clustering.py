@@ -115,7 +115,9 @@ HAVING count(*) > 1""",
     tags=("iterative",),
 )
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = q_dedup_minhash_lsh(spark, sf_dir).localCheckpoint()
+    # the pair set is already session-persisted (dedup.py
+    # confirmed_minhash_pairs) — no private localCheckpoint needed
+    pairs = q_dedup_minhash_lsh(spark, sf_dir)
     members = (pairs.select(F.col("doc_a").alias("doc_id"))
                .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
                .distinct())

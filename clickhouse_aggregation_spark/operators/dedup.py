@@ -317,6 +317,30 @@ WHERE len(list_intersect(a.sh, b.sh))
         "surviving candidates — work ∝ collisions, not ∝ Σ df².",
 )
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return confirmed_minhash_pairs(spark, sf_dir)
+
+
+# one persisted CONFIRMED-PAIRS result per (session, sf_dir): the pair
+# set is consumed by four queries (lsh itself, survivors' anti-join,
+# pipeline_clean_corpus, dedup_clusters' iterative propagation) and
+# re-executing the band-key aggregation + candidate explosion + verify
+# joins per consumer both wastes the largest shuffle in the job and
+# lets AQE re-plan the subtree differently each time (observed: the
+# survivors query 5x slower than the lsh query it contains). At 100 TB
+# this is the materialized dup-pairs table every dedup pipeline writes
+# once and joins against many times.
+_PAIRS_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def confirmed_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (id(spark), sf_dir)
+    if key not in _PAIRS_CACHE:
+        _PAIRS_CACHE[key] = _build_minhash_pairs(spark, sf_dir) \
+            .persist(StorageLevel.MEMORY_AND_DISK)
+    return _PAIRS_CACHE[key]
+
+
+def _build_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sets = _persisted_shingle_sets(spark, sf_dir)
     bk = minhash_band_keys(sets)
     # candidate pairs via ONE pass over the band keys: group each

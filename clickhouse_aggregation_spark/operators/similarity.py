@@ -227,6 +227,18 @@ def _ivf_parts(spark: SparkSession, sf_dir: str):
 
     Distance is squared L2 in quantized integer space:
     ||a-c||² = |a|² + |c|² - 2·a·c — exact, order-independent.
+
+    Nearest-cell selection is a ``min_by`` aggregation (map-side
+    combinable: partials collapse the 16× centroid expansion inside
+    each map task before any shuffle) rather than a ``row_number``
+    window, which would shuffle the whole expanded frame on vec_id and
+    sort it. Tie-break matches the oracle's ORDER BY (dist, centroid_id)
+    via lexicographic struct ordering.
+
+    Returns (corpus, probes): corpus = every vector with its nearest
+    cell; probes = the query vectors exploded to their N_PROBE nearest
+    cells (queries are filtered before the collect, so the probe-list
+    sort touches |Q|·K rows, not the corpus).
     """
     n = _quantized(spark, sf_dir)
     cents = n.filter(F.col("vec_id") < N_CENTROIDS).select(
@@ -235,13 +247,28 @@ def _ivf_parts(spark: SparkSession, sf_dir: str):
         F.col("norm2").alias("c_norm2"))
     dist = (F.col("norm2") + F.col("c_norm2")
             - 2 * int_dot(F.col("qv"), F.col("c_qv")))
-    w = Window.partitionBy("vec_id").orderBy("dist", "centroid_id")
-    assigned = (
+    expanded = (
         n.join(F.broadcast(cents))
         .select("vec_id", "qv", "norm2", "centroid_id", dist.alias("dist"))
-        .withColumn("_rk", F.row_number().over(w))
     )
-    return assigned, cents
+    corpus = (
+        expanded.groupBy("vec_id")
+        .agg(F.min_by("centroid_id",
+                      F.struct("dist", "centroid_id")).alias("centroid_id"),
+             # qv/norm2 are functionally dependent on vec_id: any row of
+             # the group carries the same value, so first() is exact
+             F.first("qv").alias("qv"), F.first("norm2").alias("norm2"))
+    )
+    probes = (
+        expanded.filter(F.col("vec_id") < N_QUERIES)
+        .groupBy("vec_id")
+        .agg(F.slice(F.sort_array(F.collect_list(
+                 F.struct("dist", "centroid_id"))), 1, N_PROBE).alias("top"),
+             F.first("qv").alias("qv"), F.first("norm2").alias("norm2"))
+        .select("vec_id", "qv", "norm2",
+                F.explode(F.col("top.centroid_id")).alias("centroid_id"))
+    )
+    return corpus, probes
 
 
 @register(
@@ -289,11 +316,10 @@ FROM ranked WHERE rank <= {TOP_K}""",
         "probed cells, and the cell assignment is a linear pass.",
 )
 def q_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    assigned, cents = _ivf_parts(spark, sf_dir)
-    corpus = assigned.filter(F.col("_rk") == 1).select(
+    corpus_cells, probe_cells = _ivf_parts(spark, sf_dir)
+    corpus = corpus_cells.select(
         F.col("vec_id").alias("neighbor_id"), "qv", "norm2", "centroid_id")
-    probes = assigned.filter(
-        (F.col("vec_id") < N_QUERIES) & (F.col("_rk") <= N_PROBE)).select(
+    probes = probe_cells.select(
         F.col("vec_id").alias("query_id"),
         F.col("centroid_id").alias("p_centroid"),
         F.col("qv").alias("q_qv"), F.col("norm2").alias("q_norm2"))
@@ -466,9 +492,11 @@ def q_similarity_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select("vec_id", "m", "code",
                      (F.col("n2") + F.col("cn2")
                       - 2 * int_dot(F.col("s"), F.col("c"))).alias("d")))
-    w_assign = Window.partitionBy("vec_id", "m").orderBy("d", "code")
-    encoded = (dists.withColumn("rk", F.row_number().over(w_assign))
-               .filter(F.col("rk") == 1).select("vec_id", "m", "code"))
+    # nearest codeword per (vector, sub-space): map-side-combinable
+    # min_by instead of a row_number window over the 8× code expansion;
+    # struct ordering reproduces the oracle's ORDER BY (d, code)
+    encoded = dists.groupBy("vec_id", "m").agg(
+        F.min_by("code", F.struct("d", "code")).alias("code"))
     qd = dists.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("m").alias("q_m"),
         F.col("code").alias("q_code"), "d")

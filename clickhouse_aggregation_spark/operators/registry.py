@@ -67,54 +67,72 @@ EXTRAS: tuple[str, ...] = (
     # family's driver row is multimodal_feature_extract
     "multimodal_frame_sample",
     "multimodal_resize",
-    # Round-2 rebalance: six same-family VARIANTS rotate out so six new
-    # operator FAMILIES (corpus pipeline, reproducible splits, domain
-    # mixing, contamination, PQ-ANN, ANN-recall eval) get driver rows.
-    # Every demoted query keeps a driver-checked sibling:
-    #   mv_usdc_daily_ts        — ts-bucketing via events_json_daily /
-    #                             events_hourly_window; daily MV via
-    #                             mv_usdc_daily_block
-    #   readme_size_distribution — histogram re-agg via
-    #                             mv_tx_size_distribution + readme_* ×2
-    #   monitoring_recent_sample — S11 via monitoring_global_stats;
-    #                             recency top-k via mv_recent_activity
-    #   entity_filter_paginated — S10 via entity_by_id
-    #   tpch_q10 / tpch_q14     — J family keeps q1, q3, q5, q6, q18
-    # post-rebalance additions (sim-swept, awaiting a future rotation):
-    # top-k surface is driver-checked via readme_top_senders; rollup
-    # accounting via pipeline_split_assign
+    # Demoted in the round-2 rebalance (driver-green rounds 1-2; every
+    # one keeps a checked sibling — see that round's notes):
     "text_vocab_topk",
     "pipeline_length_buckets",
-    "embedding_label_centroids",
-    "text_tfidf_topk",
-    "pipeline_curate_topn",
-    # rows-only by design (sequential packing state, no SQL oracle);
-    # pinned by a pure-Python reference in test_training_pipeline.py
-    "pipeline_pack_sequences",
-    # behavioral analytics over events; the window/session/as-of family
-    # holds driver slots already
-    "events_retention_cohorts",
-    "events_funnel_depth",
     "mv_usdc_daily_ts",
     "readme_size_distribution",
     "monitoring_recent_sample",
     "entity_filter_paginated",
     "tpch_q10_returned_items",
     "tpch_q14_conditional_share",
-    # tpch_suite.py: the remaining classic TPC-H shapes adapted to the
-    # reduced schema (Q2/Q7/Q8/Q9/Q11/Q13/Q15/Q17/Q19/Q21/Q22); the
-    # J-family driver rows cover the join machinery already
-    "cheapest_supplier_per_part",
-    "nation_trade_flows",
-    "market_share_by_year",
-    "product_profit_by_nation_year",
-    "supplier_revenue_share",
-    "customer_order_distribution",
-    "top_revenue_supplier",
-    "small_order_part_revenue",
-    "disjunctive_promo_revenue",
-    "late_sole_supplier",
-    "idle_rich_customers",
+    # rows-only by design (sequential packing state, no SQL oracle);
+    # pinned by a pure-Python reference in test_training_pipeline.py
+    "pipeline_pack_sequences",
+    # Round-3 rotation: 18 long-stable same-family variants rotate out
+    # so the never-driver-checked round-2 flagships (11 TPC-H suite
+    # shapes, behavior analytics, tf-idf, curation top-N, label
+    # centroids) and the two new streaming-maintainer façades rotate
+    # in. Every demoted query was driver-green in rounds 1-2
+    # (CORRECTNESS_r01/r02.json) and keeps a driver-checked sibling:
+    #   mv_top_senders / mv_top_receivers — the same grouped-SUM/top-k
+    #     machinery stays checked via mv_top_addresses (U1 pivot over
+    #     both) and readme_daily_volume_7d
+    #   readme_top_senders     — A9 re-agg via readme_daily_volume_7d;
+    #                            measure-ordered top-k via mv_top_addresses
+    #   mv_usdc_hourly_block   — hourly bucketing via events_hourly_window;
+    #                            daily MV via mv_usdc_daily_block; exact
+    #                            uniq via monitoring_global_stats, sketch
+    #                            via approx_uniq_tolerance
+    #   dedup_exact / dedup_simhash — single-shuffle hash dedups; family
+    #     checked via dedup_minhash_lsh/survivors/clusters
+    #   dedup_ngram_jaccard / dedup_embedding_cosine — the quadratic
+    #     exactness BASELINES (bench-quarantined); their linear scale
+    #     paths stay checked (minhash_lsh, similarity_lsh/ivf/pq)
+    #   text_quality_score / text_fingerprint — native-expression text
+    #     ops; family checked via text_language_id, text_token_count,
+    #     and the promoted text_tfidf_topk
+    #   similarity_topk_bruteforce — embedded verbatim inside the
+    #     promoted-in-r2 similarity_ivf_recall extra and its exact
+    #     cosine machinery inside similarity_pq_rerank's re-rank
+    #   similarity_ivf_recall  — both of its inputs (bruteforce, ivf)
+    #                            remain oracle-paired; ivf_topk stays
+    #   multimodal_payload_stats — D1 Arrow path via
+    #                            multimodal_feature_extract
+    #   events_cooccurrence_5min — window family via events_sessionization,
+    #                            asof_signup_attribution
+    #   tpch_q3/q5/q6/q18      — J family keeps q1 + gains the 11
+    #                            promoted suite shapes (Q2/Q7/Q8/Q9/
+    #                            Q11/Q13/Q15/Q17/Q19/Q21/Q22)
+    "mv_top_senders",
+    "mv_top_receivers",
+    "readme_top_senders",
+    "mv_usdc_hourly_block",
+    "dedup_exact",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "text_quality_score",
+    "text_fingerprint",
+    "similarity_topk_bruteforce",
+    "similarity_ivf_recall",
+    "multimodal_payload_stats",
+    "events_cooccurrence_5min",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q18_large_orders",
 )
 
 

@@ -72,11 +72,23 @@ def doc_shingle_hashes_df(docs: DataFrame) -> DataFrame:
     )
 
 
+# one persisted hash index per (session, sf_dir) — same policy as the
+# MinHash shingle/pair caches in dedup.py: without it every invocation
+# pins a NEW duplicate copy in the block manager (repeated bench runs
+# accumulated copies until eviction pressure showed up as multi-x
+# first-run noise).
+_HASH_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
 def _doc_shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The batch query's persisted index: three consumers (train side,
     eval side, per-eval-doc totals) read it."""
-    return (doc_shingle_hashes_df(load_table(spark, sf_dir, "documents"))
+    key = (id(spark), sf_dir)
+    if key not in _HASH_CACHE:
+        _HASH_CACHE[key] = (
+            doc_shingle_hashes_df(load_table(spark, sf_dir, "documents"))
             .persist(StorageLevel.MEMORY_AND_DISK))
+    return _HASH_CACHE[key]
 
 
 @register(

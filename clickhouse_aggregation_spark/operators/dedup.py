@@ -29,7 +29,8 @@ from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from ..sources.tables import ensure_parallelism, load_table
 from .registry import register
-from .similarity import quantize, int_dot, int_norm2, COSINE_ORACLE_EXPR
+from .similarity import (COSINE_ORACLE_EXPR, _bucket_col, _bucket_sql,
+                         int_dot, int_norm2, quantize)
 
 SHINGLE_K = 3
 JACCARD_THRESHOLD = 0.8
@@ -460,6 +461,57 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
            / (F.sqrt(F.col("a.norm2")) * F.sqrt(F.col("b.norm2"))))
     return (
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(F.col("a.vec_id").alias("vec_a"),
+                F.col("b.vec_id").alias("vec_b"),
+                cos.alias("cosine"))
+        .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
+    )
+
+
+# the LSH scale path for embedding near-dup: candidates must share the
+# 8-bit sign-LSH bucket (the same seeded hyperplanes as
+# similarity_lsh_bucketed), so the join is an equi-join on the bucket
+# key and per-bucket work is |bucket|² instead of |corpus|². At 100 TB
+# you raise the plane count / band the signature exactly like MinHash
+# bands; the quadratic q_dedup_embedding_cosine above stays as the
+# exactness baseline this approximation is measured against.
+@register(
+    "dedup_embedding_lsh",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id, {quantize.SQL} AS qv FROM embeddings
+), n AS (
+  SELECT vec_id, qv, {int_norm2.SQL} AS norm2 FROM q
+), bkt AS (
+  SELECT vec_id, qv, norm2, {_bucket_sql()} AS bucket FROM n
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       {COSINE_ORACLE_EXPR} AS cosine
+FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE {COSINE_ORACLE_EXPR} >= {COSINE_DUP_THRESHOLD}""",
+    doc="Embedding near-dup pairs via sign-LSH bucketing: candidates "
+        "share an 8-hyperplane sign bucket (equi-join on the bucket "
+        "key), exact integer-quantized cosine verifies candidates "
+        "only. The scale path whose recall q_dedup_embedding_cosine "
+        "baselines; work ∝ in-bucket collisions, not |corpus|².",
+)
+def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_lsh_pairs(load_table(spark, sf_dir, "embeddings"))
+
+
+def embedding_lsh_pairs(emb: DataFrame) -> DataFrame:
+    """Core of the sign-LSH near-dup operator over any embeddings frame
+    (shared with the streaming maintainer's batch twin in tests)."""
+    q = emb.select("vec_id", quantize(F.col("embedding")).alias("qv"))
+    n = q.select("vec_id", "qv", int_norm2(F.col("qv")).alias("norm2"))
+    bkt = n.withColumn("bucket", _bucket_col(F.col("qv")))
+    a = bkt.alias("a")
+    b = bkt.alias("b")
+    cos = (int_dot(F.col("a.qv"), F.col("b.qv"))
+           / (F.sqrt(F.col("a.norm2")) * F.sqrt(F.col("b.norm2"))))
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.vec_id") < F.col("b.vec_id")))
         .select(F.col("a.vec_id").alias("vec_a"),
                 F.col("b.vec_id").alias("vec_b"),
                 cos.alias("cosine"))

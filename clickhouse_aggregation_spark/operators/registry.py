@@ -80,6 +80,19 @@ EXTRAS: tuple[str, ...] = (
     # rows-only by design (sequential packing state, no SQL oracle);
     # pinned by a pure-Python reference in test_training_pipeline.py
     "pipeline_pack_sequences",
+    # round-3 additions born as extras (declared surface already at 50;
+    # candidates for a future rotation):
+    #   dedup_embedding_lsh    — sign-LSH scale path for embedding
+    #     near-dup; its bucket machinery is driver-checked via
+    #     similarity_lsh_bucketed, its verify cosine via dedup family
+    #   mv_volume_rollup_subtotals — GROUPING SETS/ROLLUP subtotals;
+    #     base grouped-agg machinery driver-checked via mv_* rollups
+    "dedup_embedding_lsh",
+    "mv_volume_rollup_subtotals",
+    #   streaming_embedding_neardup_epochs — the embedding analog of
+    #     streaming_neardup_epochs (which holds a declared slot and
+    #     externally checks the same epoch-index design)
+    "streaming_embedding_neardup_epochs",
     # Round-3 rotation: 18 long-stable same-family variants rotate out
     # so the never-driver-checked round-2 flagships (11 TPC-H suite
     # shapes, behavior analytics, tf-idf, curation top-N, label

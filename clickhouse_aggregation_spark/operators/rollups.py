@@ -393,3 +393,40 @@ FROM live GROUP BY 1, 2, 5"""),
 )
 def q_mv_top_addresses(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mv_top_addresses(transfers_df(spark, sf_dir))
+
+
+@register(
+    "mv_volume_rollup_subtotals",
+    oracle=oracle(f"""
+, base AS (
+  SELECT cast(block_number as bigint) // 7200 AS day_bucket,
+         {SIZE_BUCKET_SQL} AS size_bucket, value
+  FROM transfers WHERE _sign = 1
+)
+SELECT coalesce(day_bucket, -1) AS day_bucket,
+       coalesce(size_bucket, 'ALL') AS size_bucket,
+       count(*) AS tx_count, sum(value) AS total_volume
+FROM base
+GROUP BY ROLLUP (day_bucket, size_bucket)"""),
+    doc="Hierarchical subtotals via GROUP BY ROLLUP(day, size bucket): "
+        "per-bucket rows, per-day subtotals, and the grand total in ONE "
+        "grouped aggregation (Spark expands the grouping sets inside a "
+        "single hash-aggregate pair — no self-union, no extra scans; "
+        "ClickHouse-parity for its GROUPING SETS/ROLLUP modifiers, "
+        "beyond the reference's plain GROUP BYs). Subtotal NULL keys "
+        "are canonicalized to -1/'ALL' sentinels (inputs are non-null) "
+        "so both engines hash identically.",
+)
+def q_mv_volume_rollup_subtotals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = live(transfers_df(spark, sf_dir))
+    base = t.select(
+        block_range_day(F.col("block_number")).alias("day_bucket"),
+        size_bucket(F.col("value")).alias("size_bucket"), "value")
+    return (
+        base.rollup("day_bucket", "size_bucket")
+        .agg(F.count(F.lit(1)).alias("tx_count"),
+             F.sum("value").alias("total_volume"))
+        .select(F.coalesce(F.col("day_bucket"), F.lit(-1)).alias("day_bucket"),
+                F.coalesce(F.col("size_bucket"), F.lit("ALL")).alias("size_bucket"),
+                "tx_count", "total_volume")
+    )

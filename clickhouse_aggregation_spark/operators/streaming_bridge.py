@@ -40,24 +40,29 @@ _STREAM_TIMEOUT_S = 600
 _STORE_CACHE: dict[tuple[str, int, str], str] = {}
 
 
-def _chunked_docs_dir(spark: SparkSession, sf_dir: str, prefix: str) -> tuple[str, str]:
-    """documents split into N_EPOCHS parquet files (one per micro-batch;
-    deterministic doc_id % N membership — the result is arrival-order
-    invariant anyway, by the maintainers' exactly-once-pair guarantee)."""
+def _chunked_table_dir(spark: SparkSession, sf_dir: str, prefix: str,
+                       table: str = "documents",
+                       id_col: str = "doc_id") -> tuple[str, str]:
+    """A driver table split into N_EPOCHS parquet files (one per
+    micro-batch; deterministic id % N membership — the result is
+    arrival-order invariant anyway, by the maintainers' exactly-once-
+    pair guarantee)."""
     root = tempfile.mkdtemp(prefix=prefix)
-    ddir = os.path.join(root, "docs")
-    docs = load_table(spark, sf_dir, "documents")
+    ddir = os.path.join(root, "chunks")
+    df = load_table(spark, sf_dir, table)
     for i in range(N_EPOCHS):
-        (docs.filter(F.col("doc_id") % N_EPOCHS == i)
+        (df.filter(F.col(id_col) % N_EPOCHS == i)
              .coalesce(1).write.mode("append").parquet(ddir))
     return root, ddir
 
 
 def _maintained_store(spark: SparkSession, sf_dir: str, kind: str,
-                      runner) -> str:
+                      runner, table: str = "documents",
+                      id_col: str = "doc_id") -> str:
     key = (kind, id(spark), sf_dir)
     if key not in _STORE_CACHE:
-        root, ddir = _chunked_docs_dir(spark, sf_dir, f"stream_{kind}_")
+        root, ddir = _chunked_table_dir(spark, sf_dir, f"stream_{kind}_",
+                                        table, id_col)
         store = os.path.join(root, "store")
         q = runner(spark, ddir, store)
         finished = q.awaitTermination(_STREAM_TIMEOUT_S)
@@ -108,3 +113,22 @@ def q_streaming_contamination_epochs(spark: SparkSession,
     return (flags.join(sources, "train_doc")
             .select("train_doc", "train_source", "eval_doc",
                     "common_shingles", "n_eval_shingles", "overlap"))
+
+
+@register(
+    "streaming_embedding_neardup_epochs",
+    oracle=REGISTRY["dedup_embedding_lsh"].raw_oracle,
+    doc="The streaming sign-LSH embedding near-dup maintainer driven "
+        "over the embeddings table in 3 micro-batch epochs; returns "
+        "the union of the persisted per-epoch dup-pair stores. Hash-"
+        "checked against the batch dedup_embedding_lsh oracle.",
+    tags=("streaming",),
+)
+def q_streaming_embedding_neardup_epochs(spark: SparkSession,
+                                         sf_dir: str) -> DataFrame:
+    from ..streaming.embedding_neardup import (read_dup_pairs as _read_vec_pairs,
+                                               run_embedding_neardup_stream)
+    store = _maintained_store(spark, sf_dir, "emb_neardup",
+                              run_embedding_neardup_stream,
+                              table="embeddings", id_col="vec_id")
+    return _read_vec_pairs(spark, store).select("vec_a", "vec_b", "cosine")

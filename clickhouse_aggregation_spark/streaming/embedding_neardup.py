@@ -1,0 +1,142 @@
+"""Streaming embedding near-duplicate detection: incremental sign-LSH
+over a vector stream (the embedding analog of ``streaming/neardup.py``,
+and the online form of ``operators/dedup.py::q_dedup_embedding_lsh``).
+
+As embedding shards arrive (fresh crawl batches, new model outputs),
+each batch must be near-dup-checked against everything already ingested
+without rescanning the corpus. Two epoch-partitioned parquet stores
+(the persisted LSH index):
+
+  bucket_index/epoch=N/   (vec_id, bucket)          8-bit sign buckets
+  vec_store/epoch=N/      (vec_id, qv, norm2)       quantized vectors
+
+Per micro-batch N:
+
+  1. quantize + bucket the batch (per-row, linear — the same seeded
+     hyperplanes as the batch operator, so buckets agree across epochs
+     and engines),
+  2. candidates = in-batch same-bucket pairs  UNION  batch-vs-index
+     equi-join on the bucket key (index read prunes to epochs < N),
+  3. exact integer-quantized cosine verifies candidates only, against
+     the union of the batch's and the stored vectors,
+  4. pairs and the batch's index rows land in epoch=N directories
+     (overwrite → replay-idempotent; a replayed batch joins against
+     exactly the index it saw the first time).
+
+Every unordered pair is emitted exactly once — when its LATER vector
+arrives — so the union of all epochs equals the batch operator's answer
+over the union of all batches (tests/test_streaming_embedding_neardup.py).
+
+At scale: the index grows as the corpus (it IS the index) but per-batch
+work is ∝ batch + in-bucket collisions; the cross-epoch join moves
+8-byte bucket keys and only candidates' vectors are re-read for verify.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators.dedup import COSINE_DUP_THRESHOLD
+from ..operators.similarity import _bucket_col, int_dot, int_norm2, quantize
+from ..schemas import EMBEDDINGS
+
+BUCKET_DIR = "bucket_index"
+VECS_DIR = "vec_store"
+PAIRS_DIR = "dup_pairs"
+
+
+def _read_epochs(spark: SparkSession, root: str, sub: str,
+                 before_epoch: int) -> DataFrame | None:
+    path = os.path.join(root, sub)
+    if not os.path.isdir(path) or not any(
+            e.name.startswith("epoch=") for e in os.scandir(path)):
+        return None
+    return (spark.read.parquet(path)
+            .filter(F.col("epoch") < before_epoch).drop("epoch"))
+
+
+def _write_epoch(df: DataFrame, root: str, sub: str, epoch: int) -> None:
+    df.write.mode("overwrite").parquet(
+        os.path.join(root, sub, f"epoch={epoch}"))
+
+
+def _canon(pairs: DataFrame) -> DataFrame:
+    return pairs.select(
+        F.least("vec_a", "vec_b").alias("vec_a"),
+        F.greatest("vec_a", "vec_b").alias("vec_b"))
+
+
+def process_batch(spark: SparkSession, batch: DataFrame, root: str,
+                  epoch_id: int) -> None:
+    q = batch.select("vec_id", quantize(F.col("embedding")).alias("qv"))
+    vecs = q.select("vec_id", "qv", int_norm2(F.col("qv")).alias("norm2")) \
+        .persist()
+    bk = vecs.select("vec_id", _bucket_col(F.col("qv")).alias("bucket")) \
+        .persist()
+    try:
+        # in-batch candidates: bucket collisions within this batch
+        in_batch = (
+            bk.groupBy("bucket")
+            .agg(F.sort_array(F.collect_list("vec_id")).alias("ids"))
+            .filter(F.size("ids") > 1)
+            .select(F.explode(F.expr(
+                "flatten(transform(ids, (x, i) -> "
+                "transform(slice(ids, i + 2, size(ids) - i - 1), "
+                "y -> struct(x AS vec_a, y AS vec_b))))")).alias("p"))
+            .select("p.vec_a", "p.vec_b"))
+
+        prior_bk = _read_epochs(spark, root, BUCKET_DIR, epoch_id)
+        prior_vecs = _read_epochs(spark, root, VECS_DIR, epoch_id)
+        cand = _canon(in_batch)
+        all_vecs = vecs
+        if prior_bk is not None:
+            cross = (bk.alias("new")
+                     .join(prior_bk.alias("old"), "bucket")
+                     .select(F.col("new.vec_id").alias("vec_a"),
+                             F.col("old.vec_id").alias("vec_b"))
+                     .filter(F.col("vec_a") != F.col("vec_b")))
+            cand = cand.unionByName(_canon(cross))
+            all_vecs = vecs.unionByName(prior_vecs)
+        cand = cand.distinct()
+
+        va, vb = all_vecs.alias("va"), all_vecs.alias("vb")
+        left = (va.join(cand, F.col("vec_a") == F.col("va.vec_id"))
+                .select("vec_a", "vec_b", F.col("va.qv").alias("qv_a"),
+                        F.col("va.norm2").alias("norm2_a")))
+        cos = (int_dot(F.col("qv_a"), F.col("vb.qv"))
+               / (F.sqrt(F.col("norm2_a")) * F.sqrt(F.col("vb.norm2"))))
+        pairs = (vb.join(left, F.col("vec_b") == F.col("vb.vec_id"))
+                 .select("vec_a", "vec_b", cos.alias("cosine"))
+                 .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD))
+
+        _write_epoch(pairs, root, PAIRS_DIR, epoch_id)
+        _write_epoch(bk, root, BUCKET_DIR, epoch_id)
+        _write_epoch(vecs, root, VECS_DIR, epoch_id)
+    finally:
+        vecs.unpersist()
+        bk.unpersist()
+
+
+def run_embedding_neardup_stream(spark: SparkSession, vecs_dir: str,
+                                 store_root: str,
+                                 available_now: bool = True):
+    """Tail an embeddings directory and maintain the dup-pair store.
+    One file per micro-batch, so arrival order defines "later"."""
+    checkpoint = os.path.join(store_root, "_checkpoint")
+    stream = (spark.readStream.schema(EMBEDDINGS)
+              .option("maxFilesPerTrigger", 1).parquet(vecs_dir))
+    writer = (stream.writeStream
+              .foreachBatch(lambda b, e: process_batch(spark, b,
+                                                       store_root, e))
+              .option("checkpointLocation", checkpoint))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_dup_pairs(spark: SparkSession, store_root: str) -> DataFrame:
+    """All near-dup pairs found so far (each unordered pair once)."""
+    return (spark.read.parquet(os.path.join(store_root, PAIRS_DIR))
+            .drop("epoch"))

@@ -130,3 +130,62 @@ def test_idle_rich_anti_join_prunes_orders(spark, sf_dir):
     plan = _plan(spark, sf_dir, "idle_rich_customers")
     assert "LeftAnti" in plan
     assert "GreaterThanOrEqual(o_orderdate,2000-01-01" in plan
+
+
+def test_ivf_assignment_aggregates_not_windows(spark, sf_dir):
+    """Round-3 plan change: nearest-centroid selection must be a
+    map-side-combinable aggregation (partial agg BEFORE the exchange
+    collapses the 16x centroid expansion inside each map task), never a
+    row_number window over the expanded frame."""
+    from clickhouse_aggregation_spark.operators.similarity import _ivf_parts
+    corpus, probes = _ivf_parts(spark, sf_dir)
+    plan = corpus._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "min_by" in plan or "Aggregate" in plan
+    for frame in (corpus, probes):
+        p = frame._jdf.queryExecution().executedPlan().toString()
+        # one shuffle (the agg's partial->final hop); broadcasts of the
+        # 16-centroid table don't count
+        assert p.count("Exchange hashpartitioning") <= 1, p
+
+
+def test_pq_encoding_aggregates_not_windows(spark, sf_dir):
+    """Same gate for the PQ corpus encoding: the final plan may window
+    only for the per-query candidate/output ranks (partitioned by
+    query_id), not for the (vec_id, m) codeword assignment."""
+    plan = _plan(spark, sf_dir, "similarity_pq_rerank")
+    for line in plan.splitlines():
+        if "row_number" in line:
+            assert "query_id" in line, line
+
+
+def test_minhash_pairs_cached_across_consumers(spark, sf_dir):
+    """The confirmed-pairs frame is session-persisted: survivors /
+    clean-corpus / clusters must reuse the same DataFrame object
+    instead of re-executing the LSH pipeline."""
+    from clickhouse_aggregation_spark.operators.dedup import (
+        confirmed_minhash_pairs, q_dedup_minhash_lsh)
+    a = q_dedup_minhash_lsh(spark, sf_dir)
+    b = confirmed_minhash_pairs(spark, sf_dir)
+    assert a is b
+    assert a.storageLevel.useMemory or a.storageLevel.useDisk
+
+
+def test_rollup_subtotals_single_scan_one_shuffle(spark, sf_dir):
+    """GROUPING SETS must expand inside ONE aggregation pair: one
+    Expand node feeding one partial+final hash-aggregate shuffle — not
+    a self-union of per-grouping-set scans. (The transfers derivation
+    itself contains the _sign=-1 retraction union; that is upstream of
+    the Expand and not what this gate is about.)"""
+    plan = _plan(spark, sf_dir, "mv_volume_rollup_subtotals")
+    assert plan.count("Expand") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_embedding_lsh_is_equi_join(spark, sf_dir):
+    """The embedding near-dup scale path must join on the bucket key
+    (hash-partitionable), never via nested-loop over all pairs."""
+    plan = _plan(spark, sf_dir, "dedup_embedding_lsh")
+    assert "BroadcastNestedLoopJoin" not in plan \
+        or "vec_id" in plan.split("BroadcastNestedLoopJoin")[1][:200]
+    assert "bucket" in plan

@@ -440,9 +440,12 @@ ORDER BY numwait DESC, s_suppkey LIMIT 20""",
     doc="Q21-shaped sole-late-supplier: in multi-supplier orders, the "
         "one supplier that shipped > 90 days after the order date while "
         "every co-supplier shipped on time. The classic nested EXISTS/"
-        "NOT-EXISTS pair collapses into one grouped pass of conditional "
-        "DISTINCT counts (n_supp >= 2 AND n_late = 1) — one shuffle "
-        "instead of two correlated join-backs, same semantics.",
+        "NOT-EXISTS pair collapses into ONE grouped pass: n_late = 1 "
+        "means the order has exactly one distinct late supplier, so "
+        "max(when(late, suppkey)) recovers the culprit inside the same "
+        "aggregation — no join-back, no second scan of the "
+        "lineitem-orders join (round 2 consumed that join twice, which "
+        "doubled the dominant shuffle and made the query AQE-volatile).",
 )
 def q_late_sole_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
@@ -453,16 +456,21 @@ def q_late_sole_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
                   (F.col("l_shipdate")
                    > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
                   .alias("late")))
-    per_order = (lo.groupBy(F.col("l_orderkey").alias("po_orderkey"))
-                 .agg(F.countDistinct("l_suppkey").alias("n_supp"),
-                      F.countDistinct(
-                          F.when(F.col("late"), F.col("l_suppkey")))
-                      .alias("n_late")))
+    # Two PLAIN hash aggregations instead of a double countDistinct:
+    # multiple distinct aggregates force an Expand (3x the rows through
+    # the shuffle); collapsing to per-(order, supplier) lateness first
+    # keeps both aggs partial-combinable. n_late == 1 ⇒ exactly one
+    # late supplier ⇒ max(when(late, suppkey)) IS the culprit: recovery
+    # rides the same aggregation, no join-back over a recomputed join.
+    per_supp = (lo.groupBy("l_orderkey", "l_suppkey")
+                .agg(F.max("late").alias("late")))
     culprits = (
-        lo.filter(F.col("late"))
-        .join(per_order, lo.l_orderkey == per_order.po_orderkey)
-        .filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
-        .select("l_orderkey", "l_suppkey").distinct())
+        per_supp.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_supp"),
+             F.sum(F.col("late").cast("long")).alias("n_late"),
+             F.max(F.when(F.col("late"), F.col("l_suppkey")))
+              .alias("l_suppkey"))
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1)))
     return (
         culprits.join(F.broadcast(s), culprits.l_suppkey == s.s_suppkey)
         .groupBy("s_suppkey", "s_name")

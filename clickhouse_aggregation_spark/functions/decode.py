@@ -45,6 +45,43 @@ def hex_uint256(data: pd.Series) -> pd.Series:
     return data.map(conv)
 
 
+# ---------------------------------------------------------------------------
+# Full-range uint256 (closing the Decimal(38,0) ceiling, SURVEY §1.2):
+# the reference itself never computes on full-range BigInt — it
+# MARSHALS it as a decimal string (usdc-transfers/src/model/generated/
+# marshal.ts:57-65, `fromJSON: ... BigInt(String(value))`). The engine
+# adopts the same contract: numeric work happens in Decimal(38,0)
+# (covers all real USDC values), and full-fidelity transport/compare
+# uses the exact decimal-string codec below. Comparison/sorting on the
+# string form is native (zero-pad to 78 digits → lexicographic order
+# IS numeric order), so only the edge codec itself leaves the JVM —
+# Arrow-batched, never row-at-a-time.
+
+UINT256_MAX_DIGITS = 78  # len(str(2**256 - 1))
+
+
+@F.pandas_udf(T.StringType())
+def hex_uint256_string(data: pd.Series) -> pd.Series:
+    """Exact full-range uint256 decode to a decimal string (the
+    reference's BigInt JSON-marshal form). Never overflows."""
+    return data.map(
+        lambda h: str(int(h[2:], 16)) if h and h != "0x" else "0")
+
+
+@F.pandas_udf(T.StringType())
+def uint256_string_to_hex(dec: pd.Series) -> pd.Series:
+    """Reverse marshal: decimal string -> 0x-padded 32-byte hex word."""
+    return dec.map(lambda s: "0x" + format(int(s), "064x"))
+
+
+def uint256_sort_key(dec_str: Column) -> Column:
+    """Native ordering key for decimal-string uint256: zero-pad to 78
+    digits so lexicographic order equals numeric order. Stays inside
+    whole-stage codegen — sorts/joins/comparisons on full-range values
+    never need Python."""
+    return F.lpad(dec_str, UINT256_MAX_DIGITS, "0")
+
+
 def abi_event_select(event: str) -> list[Column]:
     """D2 codegen: an ABI event signature -> decode expression list.
 

@@ -40,3 +40,28 @@ def test_hex_uint256_pandas_udf_full_range(spark):
     assert out[1] == Decimal(big)
     assert out[2] is None
     assert out[3] == Decimal(7)
+
+
+def test_uint256_string_marshal_full_range(spark):
+    """The reference's BigInt contract is a decimal-STRING marshal
+    (marshal.ts:57-65); the string codec must be exact over the whole
+    uint256 range — including values past Decimal(38,0) and DuckDB
+    HUGEINT — and round-trip through the hex word form."""
+    from clickhouse_aggregation_spark.functions.decode import (
+        hex_uint256_string, uint256_sort_key, uint256_string_to_hex,
+    )
+    u256_max = 2 ** 256 - 1
+    vals = [0, 7, 10 ** 38, u256_max, 2 ** 255, 12345678901234567890]
+    df = spark.createDataFrame([( _word(v),) for v in vals], "data string")
+    dec = df.select(F.col("data"),
+                    hex_uint256_string(F.col("data")).alias("s"))
+    out = dec.collect()
+    assert [r["s"] for r in out] == [str(v) for v in vals]
+    # round-trip: string -> hex == original word
+    rt = dec.select((uint256_string_to_hex(F.col("s")) == F.col("data"))
+                    .alias("ok")).collect()
+    assert all(r["ok"] for r in rt)
+    # native sort key: lexicographic order == numeric order
+    ordered = [r["s"] for r in
+               dec.orderBy(uint256_sort_key(F.col("s"))).collect()]
+    assert ordered == [str(v) for v in sorted(vals)]

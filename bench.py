@@ -91,6 +91,10 @@ HEADLINE = [
     "idle_rich_customers",
     "streaming_neardup_epochs",
     "streaming_contamination_epochs",
+    # round 3, second batch
+    "dedup_embedding_lsh",
+    "mv_volume_rollup_subtotals",
+    "events_top_transitions",
 ]
 
 # documented-quadratic exactness baselines (scale paths are the LSH/IVF

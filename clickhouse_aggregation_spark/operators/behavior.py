@@ -137,3 +137,47 @@ def q_events_funnel_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(depth.cast("long").alias("funnel_depth"))
             .groupBy("funnel_depth")
             .agg(F.count(F.lit(1)).cast("long").alias("n_users")))
+
+
+TRANSITIONS_TOP_K = 25
+
+
+@register(
+    "events_top_transitions",
+    oracle=f"""
+WITH ordered AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+),
+pairs AS (
+  SELECT prev_type, event_type AS next_type, count(*) AS n
+  FROM ordered WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT prev_type, next_type, CAST(n AS BIGINT) AS n
+FROM pairs
+ORDER BY n DESC, prev_type, next_type
+LIMIT {TRANSITIONS_TOP_K}""",
+    doc="Per-user event-path transition counts (the Markov-chain "
+        "rollup behind sankey/path analysis): lag(event_type) over each "
+        "user's timeline, grouped into (prev, next) pair counts, top-25. "
+        "The window shuffles once on user_id (per-user state like "
+        "ClickHouse's sequence functions); the pair rollup is map-side "
+        "combinable; output is TakeOrdered. Tie-broken by (ts, "
+        "event_id) so both engines order identically.",
+)
+def q_events_top_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = events.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type"))
+    return (
+        ordered.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "prev_type", "next_type")
+        .limit(TRANSITIONS_TOP_K)
+    )

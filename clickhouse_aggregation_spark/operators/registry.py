@@ -93,6 +93,15 @@ EXTRAS: tuple[str, ...] = (
     #     streaming_neardup_epochs (which holds a declared slot and
     #     externally checks the same epoch-index design)
     "streaming_embedding_neardup_epochs",
+    #   events_top_transitions — path-analysis rollup; the behavior
+    #     family holds two driver slots (retention, funnel) this round
+    "events_top_transitions",
+    #   streaming_corpus_tokens_epochs / streaming_quality_envelope_
+    #   epochs — rollup-maintainer façades (additive and non-additive
+    #   merge state); the façade pattern itself holds two declared
+    #   slots (neardup, contamination) this round
+    "streaming_corpus_tokens_epochs",
+    "streaming_quality_envelope_epochs",
     # Round-3 rotation: 18 long-stable same-family variants rotate out
     # so the never-driver-checked round-2 flagships (11 TPC-H suite
     # shapes, behavior analytics, tf-idf, curation top-N, label

@@ -116,6 +116,65 @@ def q_streaming_contamination_epochs(spark: SparkSession,
 
 
 @register(
+    "streaming_corpus_tokens_epochs",
+    # replay ≡ recompute: reading the maintained rollup equals the
+    # batch aggregation, so the oracle is text_token_count's verbatim
+    oracle=REGISTRY["text_token_count"].raw_oracle,
+    doc="The SummingMergeTree-style corpus rollup maintainer driven "
+        "over the documents table in 3 micro-batch epochs; returns the "
+        "merged read of the per-source token-accounting rollup. Hash-"
+        "checked against the batch token-count oracle — externally "
+        "proves the partial-append + lazy-merge read contract.",
+    tags=("streaming",),
+)
+def q_streaming_corpus_tokens_epochs(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    from ..streaming.corpus_rollups import (CORPUS_ROLLUPS,
+                                            run_corpus_rollup_stream)
+    store = _maintained_store(spark, sf_dir, "corpus_rollups",
+                              run_corpus_rollup_stream)
+    roll = next(r for r in CORPUS_ROLLUPS if r.name == "source_tokens")
+    return roll.read(spark, store)
+
+
+@register(
+    "streaming_quality_envelope_epochs",
+    oracle="""
+WITH m AS (
+  SELECT source,
+         length(text) AS n_chars_actual,
+         len(string_split(text, ' ')) AS n_tokens,
+         len(list_distinct(string_split(text, ' '))) AS n_distinct
+  FROM documents
+), q AS (
+  SELECT source,
+         0.5 * (CASE WHEN n_tokens < 200 THEN n_tokens ELSE 200 END) / 200.0
+         + 0.3 * (CASE WHEN (n_chars_actual - n_tokens + 1) / n_tokens
+                       BETWEEN 3 AND 10 THEN 1.0 ELSE 0.0 END)
+         + 0.2 * (n_distinct / n_tokens) AS quality
+  FROM m
+)
+SELECT source, min(quality) AS min_quality, max(quality) AS max_quality,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM q GROUP BY source""",
+    doc="The per-source quality-envelope maintainer (non-additive "
+        "min/max merge state — the AggregatingMergeTree path) driven "
+        "over 3 micro-batch epochs; the merged read must equal the "
+        "batch min/max/count per source. Externally checks the "
+        "mergeable-but-not-additive merge_exprs machinery.",
+    tags=("streaming",),
+)
+def q_streaming_quality_envelope_epochs(spark: SparkSession,
+                                        sf_dir: str) -> DataFrame:
+    from ..streaming.corpus_rollups import (CORPUS_ROLLUPS,
+                                            run_corpus_rollup_stream)
+    store = _maintained_store(spark, sf_dir, "corpus_rollups",
+                              run_corpus_rollup_stream)
+    roll = next(r for r in CORPUS_ROLLUPS if r.name == "quality_envelope")
+    return roll.read(spark, store)
+
+
+@register(
     "streaming_embedding_neardup_epochs",
     oracle=REGISTRY["dedup_embedding_lsh"].raw_oracle,
     doc="The streaming sign-LSH embedding near-dup maintainer driven "

@@ -9,12 +9,20 @@ without writing a bigger fixture. Usage:
 
     python tools/scale_probe.py [replicas]
 
-Round-2 numbers at 100 replicas (local[32]): 10.4M transfers — daily
-rollup 17s, signed retraction 19s, LWW window 17s; 10M events — exact
-quantiles via histogram refinement 3.2s vs 8.7s for the per-group
-reducer sort it replaces; 100k docs — minhash candidates 6.9s (4.08M
-pairs), contamination flags 14.8s (198k pairs on the dup-heavy
-amplified corpus); 100k vectors — PQ encode+ADC+re-rank 10.8s.
+Round-3 numbers at 100 replicas (local[32]): 10.4M transfers — daily
+rollup 19.7s, signed retraction 3.7s, LWW window 11.9s; 10M events —
+exact quantiles via histogram refinement 2.4s vs 6.5s for the
+per-group reducer sort it replaces; 100k docs — minhash candidates
+9.7s (4.08M pairs), contamination flags 17.2s (198k pairs on the
+dup-heavy amplified corpus); 100k vectors — PQ encode+ADC+re-rank
+15.0s, IVF min_by cell assignment 9.4s, sign-LSH embedding near-dup
+185s emitting 2.47M verified pairs. That last one deserves its
+caveat: the amplified corpus contains 50 EXACT copies of every
+vector, so the true near-dup pair count (the output itself) grows
+quadratically in the replica factor — the operator's work is ∝
+verified collisions by design, and here the collisions are the
+answer, not overhead. Real corpora carry percent-level dup density,
+not 50x saturation.
 """
 
 from __future__ import annotations
@@ -174,6 +182,23 @@ def main():
     top = sim.q_similarity_pq_rerank(spark, pq_dir)
     top.write.format("noop").mode("overwrite").save()
     print(f"PQ rerank over {n_emb:,} vectors: "
+          f"{time.perf_counter() - t0:.2f}s")
+
+    # round-3 paths: sign-LSH embedding near-dup (equi-join on bucket,
+    # work ~ in-bucket collisions) and the min_by IVF cell assignment
+    # (partial agg collapses the 16x centroid expansion map-side)
+    from clickhouse_aggregation_spark.operators.dedup import (
+        embedding_lsh_pairs,
+    )
+    t0 = time.perf_counter()
+    n_pairs = embedding_lsh_pairs(big_emb).count()
+    print(f"embedding sign-LSH near-dup over {n_emb:,} vectors: "
+          f"{time.perf_counter() - t0:.2f}s, pairs {n_pairs:,}")
+
+    t0 = time.perf_counter()
+    corpus_cells, _probes = sim._ivf_parts(spark, pq_dir)
+    corpus_cells.write.format("noop").mode("overwrite").save()
+    print(f"IVF min_by cell assignment over {n_emb:,} vectors: "
           f"{time.perf_counter() - t0:.2f}s")
 
 

@@ -102,6 +102,15 @@ EXTRAS: tuple[str, ...] = (
     #   slots (neardup, contamination) this round
     "streaming_corpus_tokens_epochs",
     "streaming_quality_envelope_epochs",
+    #   streaming_mv_daily_epochs — the reference MV maintainer façade
+    #     (signed daily rollup ≡ batch signed aggregation)
+    "streaming_mv_daily_epochs",
+    #   streaming_quantile_sketch_epochs — the applyInPandasWithState
+    #     sketch façade (deterministic histogram merge ≡ batch grid)
+    "streaming_quantile_sketch_epochs",
+    #   similarity_lsh_multiprobe — Hamming-1 multi-probe variant of
+    #     the declared similarity_lsh_bucketed
+    "similarity_lsh_multiprobe",
     # Round-3 rotation: 18 long-stable same-family variants rotate out
     # so the never-driver-checked round-2 flagships (11 TPC-H suite
     # shapes, behavior analytics, tf-idf, curation top-N, label

@@ -213,6 +213,82 @@ def q_similarity_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _flip_col(bucket: Column, i: int) -> Column:
+    """Bucket string with bit i (1-based) flipped — Spark twin of the
+    oracle's substr/CASE construction."""
+    flipped = F.when(F.substring(bucket, i, 1) == "0",
+                     F.lit("1")).otherwise(F.lit("0"))
+    return F.concat(F.substring(bucket, 1, i - 1), flipped,
+                    F.substring(bucket, i + 1, N_PLANES - i))
+
+
+@register(
+    "similarity_lsh_multiprobe",
+    oracle=f"""
+WITH {_QUANT_SQL.strip()},
+bucketed AS (
+  SELECT vec_id, qv, norm2, {_bucket_sql()} AS bucket FROM n
+),
+probes AS (
+  SELECT vec_id AS query_id, qv AS q_qv, norm2 AS q_norm2,
+         unnest(list_prepend(bucket,
+                list_transform(range(1, {N_PLANES} + 1), i ->
+                  substr(bucket, 1, CAST(i - 1 AS INTEGER)) ||
+                  (CASE substr(bucket, CAST(i AS INTEGER), 1)
+                        WHEN '0' THEN '1' ELSE '0' END) ||
+                  substr(bucket, CAST(i + 1 AS INTEGER))))) AS probe
+  FROM bucketed WHERE vec_id < {N_QUERIES}
+),
+scored AS (
+  SELECT p.query_id, b.vec_id AS neighbor_id,
+         CAST(list_sum(list_transform(range(1, len(p.q_qv) + 1),
+              i -> p.q_qv[i] * b.qv[i])) AS BIGINT)
+           / (sqrt(p.q_norm2) * sqrt(b.norm2)) AS cosine
+  FROM probes p JOIN bucketed b
+    ON b.bucket = p.probe AND b.vec_id <> p.query_id
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank
+FROM ranked WHERE rank <= {TOP_K}""",
+    doc="Multi-probe sign-LSH top-5: each query probes its own bucket "
+        "PLUS all 8 Hamming-distance-1 buckets (the standard recall/"
+        "cost knob — near neighbors that fall just across one "
+        "hyperplane are recovered without growing the index). Still an "
+        "equi-join on the bucket key: the probe explosion multiplies "
+        "only the tiny query side by planes+1, never the corpus.",
+)
+def q_similarity_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _quantized(spark, sf_dir)
+    bucketed = n.withColumn("bucket", _bucket_col(F.col("qv")))
+    probe_list = F.array(
+        F.col("bucket"),
+        *[_flip_col(F.col("bucket"), i) for i in range(1, N_PLANES + 1)])
+    queries = (bucketed.filter(F.col("vec_id") < N_QUERIES)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("qv").alias("q_qv"),
+                       F.col("norm2").alias("q_norm2"),
+                       F.explode(probe_list).alias("probe")))
+    corpus = bucketed.select(F.col("vec_id").alias("neighbor_id"),
+                             "qv", "norm2", "bucket")
+    cos = (int_dot(F.col("q_qv"), F.col("qv"))
+           / (F.sqrt(F.col("q_norm2")) * F.sqrt(F.col("norm2"))))
+    scored = (
+        corpus.join(F.broadcast(queries),
+                    (F.col("bucket") == F.col("probe"))
+                    & (F.col("neighbor_id") != F.col("query_id")))
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF-Flat: inverted-file index with seeded centroids
 

@@ -42,14 +42,16 @@ _STORE_CACHE: dict[tuple[str, int, str], str] = {}
 
 def _chunked_table_dir(spark: SparkSession, sf_dir: str, prefix: str,
                        table: str = "documents",
-                       id_col: str = "doc_id") -> tuple[str, str]:
-    """A driver table split into N_EPOCHS parquet files (one per
-    micro-batch; deterministic id % N membership — the result is
-    arrival-order invariant anyway, by the maintainers' exactly-once-
-    pair guarantee)."""
+                       id_col: str = "doc_id",
+                       df_fn=None) -> tuple[str, str]:
+    """A driver table (or a synthesized frame via ``df_fn``) split into
+    N_EPOCHS parquet files (one per micro-batch; deterministic id % N
+    membership — the result is arrival-order invariant anyway, by the
+    maintainers' exactly-once / order-independent-merge guarantees)."""
     root = tempfile.mkdtemp(prefix=prefix)
     ddir = os.path.join(root, "chunks")
-    df = load_table(spark, sf_dir, table)
+    df = df_fn(spark, sf_dir) if df_fn is not None \
+        else load_table(spark, sf_dir, table)
     for i in range(N_EPOCHS):
         (df.filter(F.col(id_col) % N_EPOCHS == i)
              .coalesce(1).write.mode("append").parquet(ddir))
@@ -58,11 +60,11 @@ def _chunked_table_dir(spark: SparkSession, sf_dir: str, prefix: str,
 
 def _maintained_store(spark: SparkSession, sf_dir: str, kind: str,
                       runner, table: str = "documents",
-                      id_col: str = "doc_id") -> str:
+                      id_col: str = "doc_id", df_fn=None) -> str:
     key = (kind, id(spark), sf_dir)
     if key not in _STORE_CACHE:
         root, ddir = _chunked_table_dir(spark, sf_dir, f"stream_{kind}_",
-                                        table, id_col)
+                                        table, id_col, df_fn)
         store = os.path.join(root, "store")
         q = runner(spark, ddir, store)
         finished = q.awaitTermination(_STREAM_TIMEOUT_S)
@@ -172,6 +174,102 @@ def q_streaming_quality_envelope_epochs(spark: SparkSession,
                               run_corpus_rollup_stream)
     roll = next(r for r in CORPUS_ROLLUPS if r.name == "quality_envelope")
     return roll.read(spark, store)
+
+
+def _signed_daily_oracle() -> str:
+    from ..sources.transfers import TRANSFERS_ORACLE_CTE
+    return f"""
+WITH {TRANSFERS_ORACLE_CTE}
+SELECT cast(block_number as bigint) // 7200 AS block_range,
+       from_address, to_address,
+       sum(value * _sign) AS total_usdc,
+       CAST(sum(_sign) AS BIGINT) AS tx_count
+FROM transfers
+GROUP BY 1, 2, 3"""
+
+
+@register(
+    "streaming_mv_daily_epochs",
+    # The maintained rollup carries SIGNED state (sum(value*_sign) /
+    # sum(_sign)) — the collapsed CDC answer a ClickHouse merge
+    # converges to — so the oracle is the signed aggregation over the
+    # full transfers table, exactly retraction_net_daily's algebra on
+    # the daily-MV grouping keys. Signed sums are order-independent,
+    # so any epoch chunking yields the same merged read.
+    oracle=_signed_daily_oracle(),
+    doc="THE reference surface, externally gated: the incremental MV "
+        "maintainer (SummingMergeTree partial-append + lazy-merge, "
+        "reorg-safe signed measures) driven over the transfers table "
+        "in 3 micro-batch epochs; returns the merged read of the "
+        "daily-volume rollup. Hash-checked against the signed batch "
+        "aggregation — proves chunked streaming maintenance converges "
+        "to exactly the batch answer.",
+    tags=("streaming",),
+)
+def q_streaming_mv_daily_epochs(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    from ..sources.transfers import transfers_df
+    from ..streaming.maintainer import (INCREMENTAL_ROLLUPS,
+                                        run_maintainer_stream)
+    store = _maintained_store(spark, sf_dir, "mv_maintainer",
+                              run_maintainer_stream,
+                              id_col="block_number", df_fn=transfers_df)
+    roll = next(r for r in INCREMENTAL_ROLLUPS if r.name == "daily")
+    return roll.read(spark, store)
+
+
+def _run_qsketch(spark: SparkSession, edir: str, store: str):
+    from ..streaming.quantile_sketch import quantile_sketch_stream
+    return (quantile_sketch_stream(spark, edir).writeStream
+            .format("parquet").option("path", os.path.join(store, "out"))
+            .option("checkpointLocation", os.path.join(store, "_ckpt"))
+            .outputMode("append").trigger(availableNow=True).start())
+
+
+@register(
+    "streaming_quantile_sketch_epochs",
+    # the sketch's merge is exact counter addition, so the final
+    # streamed estimate is DETERMINISTIC and equals the fixed-grid
+    # histogram estimate computed in one batch pass — SQL-expressible
+    oracle="""
+WITH hist AS (
+  SELECT event_type, CAST(floor(value * 16) AS BIGINT) AS b, count(*) AS c
+  FROM events GROUP BY 1, 2
+), cum AS (
+  SELECT event_type, b,
+         CAST(sum(c) OVER (PARTITION BY event_type ORDER BY b) AS BIGINT) AS cumc,
+         CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM hist
+), pcts AS (SELECT unnest([50, 90, 99]) AS pct),
+picked AS (
+  SELECT event_type, n, pct, min(b) AS qb
+  FROM cum, pcts
+  WHERE cumc >= (n * pct + 99) // 100
+  GROUP BY 1, 2, 3
+)
+SELECT event_type, n,
+       max(CASE WHEN pct = 50 THEN qb END) / 16.0 AS q_50,
+       max(CASE WHEN pct = 90 THEN qb END) / 16.0 AS q_90,
+       max(CASE WHEN pct = 99 THEN qb END) / 16.0 AS q_99
+FROM picked GROUP BY 1, 2""",
+    doc="The applyInPandasWithState grouped quantile sketch driven over "
+        "the events table in 3 micro-batch epochs; returns each key's "
+        "final (largest-n) estimate. The histogram merge is exact "
+        "counter addition, so the streamed estimate deterministically "
+        "equals the one-pass fixed-grid histogram estimate — the oracle "
+        "computes exactly that. Externally gates the custom-stateful-"
+        "operator machinery (per-key Arrow state, append-mode emits).",
+    tags=("streaming",),
+)
+def q_streaming_quantile_sketch_epochs(spark: SparkSession,
+                                       sf_dir: str) -> DataFrame:
+    from ..streaming.quantile_sketch import PCTS
+    store = _maintained_store(spark, sf_dir, "qsketch", _run_qsketch,
+                              table="events", id_col="event_id")
+    est = spark.read.parquet(os.path.join(store, "out"))
+    latest = est.groupBy("event_type").agg(F.max("n").alias("n"))
+    return (est.join(latest, ["event_type", "n"])
+            .select("event_type", "n", *[f"q_{p}" for p in PCTS]))
 
 
 @register(

@@ -133,3 +133,25 @@ def test_bit_length_bucket_bounds(spark, counts):
     ).collect()
     for r in rows:
         assert r.lo <= r.n_tokens <= r.hi, r
+
+
+def test_multiprobe_recall_dominates_single_probe(spark, sf_dir):
+    """Probing the 8 Hamming-1 buckets on top of the query's own bucket
+    must never lose a neighbor the single-probe variant found, and its
+    recall@5 against the exact top-5 must be at least as high."""
+    from clickhouse_aggregation_spark.operators.similarity import (
+        q_similarity_lsh_bucketed, q_similarity_lsh_multiprobe,
+        q_similarity_topk_bruteforce,
+    )
+    def top(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r.query_id, set()).add(r.neighbor_id)
+        return out
+    exact = top(q_similarity_topk_bruteforce(spark, sf_dir))
+    single = top(q_similarity_lsh_bucketed(spark, sf_dir))
+    multi = top(q_similarity_lsh_multiprobe(spark, sf_dir))
+    for q, truth in exact.items():
+        r_single = len(truth & single.get(q, set()))
+        r_multi = len(truth & multi.get(q, set()))
+        assert r_multi >= r_single, (q, r_single, r_multi)

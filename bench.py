@@ -95,6 +95,8 @@ HEADLINE = [
     "dedup_embedding_lsh",
     "mv_volume_rollup_subtotals",
     "events_top_transitions",
+    "streaming_mv_daily_epochs",
+    "similarity_lsh_multiprobe",
 ]
 
 # documented-quadratic exactness baselines (scale paths are the LSH/IVF

@@ -189,3 +189,11 @@ def test_embedding_lsh_is_equi_join(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan \
         or "vec_id" in plan.split("BroadcastNestedLoopJoin")[1][:200]
     assert "bucket" in plan
+
+
+def test_multiprobe_join_keyed_on_bucket(spark, sf_dir):
+    """Multi-probe LSH must stay an equi-join on the bucket key; the
+    9x probe explosion may only multiply the broadcast query side."""
+    plan = _plan(spark, sf_dir, "similarity_lsh_multiprobe")
+    assert "BroadcastHashJoin [bucket" in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -97,6 +97,12 @@ HEADLINE = [
     "events_top_transitions",
     "streaming_mv_daily_epochs",
     "similarity_lsh_multiprobe",
+    # round 3, third batch: TPC-H sweep completion + pivot
+    "late_order_priorities",
+    "returnflag_priority_mix",
+    "part_supplier_variety",
+    "bulk_part_suppliers",
+    "events_type_pivot",
 ]
 
 # documented-quadratic exactness baselines (scale paths are the LSH/IVF

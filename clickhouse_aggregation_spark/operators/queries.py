@@ -205,3 +205,34 @@ def q_events_json_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
              # decimal, not double: summation is exact → oracle-hash stable
              F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"))
     )
+
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@register(
+    "events_type_pivot",
+    oracle=f"""
+SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+       {", ".join(
+           f"CAST(sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END)"
+           f" AS BIGINT) AS n_{t}" for t in EVENT_TYPES)}
+FROM events
+GROUP BY 1""",
+    doc="PIVOT: one row per day, one count column per event type "
+        "(explicit value list, so Spark skips the extra distinct-"
+        "values pass and plans a single two-phase pivot aggregate — "
+        "the wide-rollup shape dashboards ask for). Oracle expresses "
+        "the identical result as conditional sums.",
+)
+def q_events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_table
+    ev = load_table(spark, sf_dir, "events")
+    pivoted = (
+        ev.groupBy(F.to_date(F.date_trunc("day", "ts")).alias("day"))
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    return pivoted.select(
+        "day", *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+                 for t in EVENT_TYPES])

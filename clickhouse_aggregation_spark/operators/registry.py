@@ -111,6 +111,19 @@ EXTRAS: tuple[str, ...] = (
     #   similarity_lsh_multiprobe — Hamming-1 multi-probe variant of
     #     the declared similarity_lsh_bucketed
     "similarity_lsh_multiprobe",
+    #   Q4/Q12/Q16/Q20 shapes completing the 22-query TPC-H sweep;
+    #   the declared J family (q1 + 11 suite shapes) covers the join
+    #   machinery
+    "late_order_priorities",
+    "returnflag_priority_mix",
+    "part_supplier_variety",
+    "bulk_part_suppliers",
+    #   streaming_corpus_tokens_compacted — compaction (background
+    #     merge) preserves the rollup read; sibling of the tokens façade
+    "streaming_corpus_tokens_compacted",
+    #   events_type_pivot — PIVOT with explicit values (wide rollup);
+    #     grouped-agg machinery driver-checked via the mv_* family
+    "events_type_pivot",
     # Round-3 rotation: 18 long-stable same-family variants rotate out
     # so the never-driver-checked round-2 flagships (11 TPC-H suite
     # shapes, behavior analytics, tf-idf, curation top-N, label

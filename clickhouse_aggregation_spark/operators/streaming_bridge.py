@@ -218,6 +218,28 @@ def q_streaming_mv_daily_epochs(spark: SparkSession,
     return roll.read(spark, store)
 
 
+@register(
+    "streaming_corpus_tokens_compacted",
+    oracle=REGISTRY["text_token_count"].raw_oracle,
+    doc="Compaction proof for the rollup maintainer: after the 3-epoch "
+        "run, compact() collapses the per-epoch partials into a single "
+        "merged state (the ClickHouse background merge) — and the read "
+        "must STILL equal the batch oracle. Idempotent and safe in any "
+        "order relative to the uncompacted façade (reads merge lazily "
+        "either way; that is the SummingMergeTree contract).",
+    tags=("streaming",),
+)
+def q_streaming_corpus_tokens_compacted(spark: SparkSession,
+                                        sf_dir: str) -> DataFrame:
+    from ..streaming.corpus_rollups import (CORPUS_ROLLUPS,
+                                            run_corpus_rollup_stream)
+    store = _maintained_store(spark, sf_dir, "corpus_rollups",
+                              run_corpus_rollup_stream)
+    roll = next(r for r in CORPUS_ROLLUPS if r.name == "source_tokens")
+    roll.compact(spark, store)
+    return roll.read(spark, store)
+
+
 def _run_qsketch(spark: SparkSession, edir: str, store: str):
     from ..streaming.quantile_sketch import quantile_sketch_stream
     return (quantile_sketch_stream(spark, edir).writeStream

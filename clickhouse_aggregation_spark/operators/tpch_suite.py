@@ -529,3 +529,153 @@ def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("numcust"),
              F.sum("bal").alias("totacctbal"))
     )
+
+
+# ---------------------------------------------------------------------------
+# The final four classic shapes (Q4/Q12/Q16/Q20), same adaptation rules
+
+
+@register(
+    "late_order_priorities",
+    oracle="""
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY 1""",
+    doc="Q4-shaped order-priority checking: orders in a one-year window "
+        "with at least one lineitem shipped > 60 days after the order "
+        "date (the reduced schema has no commit/receipt dates, so "
+        "lateness is ship-vs-order). The correlated EXISTS is a "
+        "LeftSemi join carrying the non-equi date predicate; counting "
+        "happens after the semi join so no order is double-counted.",
+)
+def q_late_order_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    window = o.filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz")))
+    late = window.join(
+        li, (li.l_orderkey == window.o_orderkey)
+        & (li.l_shipdate > window.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+        "leftsemi")
+    return (late.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("order_count")))
+
+
+@register(
+    "returnflag_priority_mix",
+    oracle="""
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+  AND l.l_shipdate <  TIMESTAMP '1999-01-01 00:00:00'
+GROUP BY 1""",
+    doc="Q12-shaped priority mix: lineitems shipped in one year, "
+        "bucketed by return flag (standing in for ship mode, absent "
+        "from the reduced schema), with conditional high/low-priority "
+        "counts. One broadcast join + one combinable aggregation.",
+)
+def q_returnflag_priority_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    year = li.filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp_ntz")))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        year.join(o.select("o_orderkey", "o_orderpriority"),
+                  year.l_orderkey == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+             F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"))
+    )
+
+
+@register(
+    "part_supplier_variety",
+    oracle="""
+SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+WHERE p.p_brand <> 'Brand#13'
+  AND p.p_type <> 'MEDIUM'
+  AND p.p_size IN (1, 2, 3, 4, 5)
+  AND l.l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_suppkey % 4 = 0)
+GROUP BY 1, 2, 3""",
+    doc="Q16-shaped supplier variety: distinct suppliers per (brand, "
+        "type, size) over selected parts, excluding a deterministic "
+        "'complaints' supplier set (suppkey % 4 — the reduced schema "
+        "has no comment text). lineitem stands in for partsupp as the "
+        "part-supplier relationship. Anti-join on the tiny excluded "
+        "set, broadcast part dim, one distinct-count aggregation.",
+)
+def q_part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    parts = p.filter((F.col("p_brand") != "Brand#13")
+                     & (F.col("p_type") != "MEDIUM")
+                     & F.col("p_size").isin(1, 2, 3, 4, 5))
+    complaints = sup.filter(F.col("s_suppkey") % 4 == 0).select("s_suppkey")
+    links = (li.select("l_partkey", "l_suppkey")
+             .join(F.broadcast(complaints),
+                   li.l_suppkey == F.col("s_suppkey"), "leftanti")
+             .join(F.broadcast(parts), li.l_partkey == parts.p_partkey))
+    return (links.groupBy("p_brand", "p_type",
+                          F.col("p_size").cast("long").alias("p_size"))
+            .agg(F.countDistinct("l_suppkey").alias("supplier_cnt")))
+
+
+BULK_QTY_THRESHOLD = 150
+
+
+@register(
+    "bulk_part_suppliers",
+    oracle=f"""
+WITH bulk AS (
+  SELECT l_suppkey, l_partkey
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '2000-01-01 00:00:00'
+  GROUP BY 1, 2
+  HAVING sum(l_quantity) > {BULK_QTY_THRESHOLD})
+SELECT s.s_suppkey, s.s_name, n.n_name,
+       CAST(count(*) AS BIGINT) AS n_bulk_parts
+FROM bulk b
+JOIN supplier s ON s.s_suppkey = b.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+GROUP BY 1, 2, 3""",
+    doc="Q20-shaped bulk suppliers: suppliers that shipped more than "
+        f"{BULK_QTY_THRESHOLD} units of some single part in one year "
+        "(lineitem quantity sums stand in for partsupp availqty), "
+        "enriched with their nation. The HAVING subquery is one "
+        "combinable aggregation; the join-back ships only qualifying "
+        "(supplier, part) keys; dims broadcast.",
+)
+def q_bulk_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    year = li.filter(
+        (F.col("l_shipdate") >= F.lit("1999-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("2000-01-01").cast("timestamp_ntz")))
+    bulk = (year.groupBy("l_suppkey", "l_partkey")
+            .agg(F.sum("l_quantity").alias("_q"))
+            .filter(F.col("_q") > BULK_QTY_THRESHOLD))
+    return (
+        bulk.join(F.broadcast(sup), bulk.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("s_suppkey", "s_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("n_bulk_parts"))
+    )

@@ -103,6 +103,8 @@ HEADLINE = [
     "part_supplier_variety",
     "bulk_part_suppliers",
     "events_type_pivot",
+    "events_running_user_stats",
+    "address_flow_setops",
 ]
 
 # documented-quadratic exactness baselines (scale paths are the LSH/IVF

@@ -124,6 +124,11 @@ EXTRAS: tuple[str, ...] = (
     #   events_type_pivot — PIVOT with explicit values (wide rollup);
     #     grouped-agg machinery driver-checked via the mv_* family
     "events_type_pivot",
+    #   events_running_user_stats — window FRAME specs (running sum,
+    #     moving avg); W family driver-checked via sessionization etc.
+    "events_running_user_stats",
+    #   address_flow_setops — INTERSECT/EXCEPT (SURVEY §2.7 'free')
+    "address_flow_setops",
     # Round-3 rotation: 18 long-stable same-family variants rotate out
     # so the never-driver-checked round-2 flagships (11 TPC-H suite
     # shapes, behavior analytics, tf-idf, curation top-N, label

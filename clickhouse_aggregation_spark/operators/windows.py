@@ -113,3 +113,99 @@ def q_events_cooccurrence_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return pairs.groupBy("type_a", "type_b").agg(
         F.count(F.lit(1)).alias("n_pairs"))
+
+
+@register(
+    "events_running_user_stats",
+    oracle="""
+WITH w AS (
+  SELECT user_id, event_id, CAST(value AS DECIMAL(18,2)) AS v,
+         sum(CAST(value AS DECIMAL(18,2))) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_value,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+         / count(*) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS avg_last3,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS seq
+  FROM events
+)
+SELECT user_id, event_id, running_value,
+       avg_last3, CAST(seq AS BIGINT) AS seq
+FROM w WHERE seq <= 5""",
+    doc="Window frame specs (beyond-reference W family): per-user "
+        "running sum (unbounded preceding) and 3-row moving average "
+        "over the event timeline, first 5 events per user. ONE window "
+        "shuffle serves all three functions (same partitioning/order); "
+        "sums run in DECIMAL so both engines agree exactly, and the "
+        "moving average is the exact decimal sum cast to double, "
+        "divided by the frame row count (one IEEE division; native "
+        "avg(decimal) rounds to a different scale per engine) — "
+        "deterministic on both engines. Tie-broken by (ts, event_id).",
+)
+def q_events_running_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("value").cast("decimal(18,2)")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    running = wo.rowsBetween(Window.unboundedPreceding, 0)
+    last3 = wo.rowsBetween(-2, 0)
+    out = ev.select(
+        "user_id", "event_id",
+        F.sum(v).over(running).alias("running_value"),
+        (F.sum(v).over(last3).cast("double")
+         / F.count(F.lit(1)).over(last3)).alias("avg_last3"),
+        F.row_number().over(wo).cast("long").alias("seq"))
+    return out.filter(F.col("seq") <= 5)
+
+
+def _setops_oracle() -> str:
+    from ..sources.transfers import TRANSFERS_ORACLE_CTE
+    return f"""
+WITH {TRANSFERS_ORACLE_CTE},
+live AS (SELECT * FROM transfers WHERE _sign = 1),
+both_roles AS (
+  SELECT from_address AS address FROM live
+  INTERSECT
+  SELECT to_address FROM live
+),
+send_only AS (
+  SELECT from_address AS address FROM live
+  EXCEPT
+  SELECT to_address FROM live
+)
+SELECT 'both' AS role, CAST(count(*) AS BIGINT) AS n_addresses
+FROM both_roles
+UNION ALL
+SELECT 'send_only' AS role, CAST(count(*) AS BIGINT) AS n_addresses
+FROM send_only"""
+
+
+@register(
+    "address_flow_setops",
+    oracle=_setops_oracle(),
+    doc="Set operations (SURVEY §2.7 'not present, free in Spark'): "
+        "addresses that both sent and received (INTERSECT) vs sent "
+        "only (EXCEPT), counted. Both set ops plan as hash aggregates "
+        "+ one semi/anti hash join on the address — no sort, no "
+        "cartesian anything.",
+)
+def q_address_flow_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.transfers import transfers_df
+    t = transfers_df(spark, sf_dir).filter(F.col("_sign") == 1)
+    senders = t.select(F.col("from_address").alias("address"))
+    receivers = t.select(F.col("to_address").alias("address"))
+    both = senders.intersect(receivers)
+    # subtract = EXCEPT DISTINCT (exceptAll would keep an address that
+    # sent more often than it received — different semantics)
+    send_only = senders.subtract(receivers)
+    return (
+        both.agg(F.count(F.lit(1)).alias("n_addresses"))
+        .select(F.lit("both").alias("role"), "n_addresses")
+        .unionByName(
+            send_only.agg(F.count(F.lit(1)).alias("n_addresses"))
+            .select(F.lit("send_only").alias("role"), "n_addresses"))
+    )

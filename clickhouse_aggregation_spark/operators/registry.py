@@ -102,9 +102,12 @@ EXTRAS: tuple[str, ...] = (
     #   slots (neardup, contamination) this round
     "streaming_corpus_tokens_epochs",
     "streaming_quality_envelope_epochs",
-    #   streaming_mv_daily_epochs — the reference MV maintainer façade
-    #     (signed daily rollup ≡ batch signed aggregation)
-    "streaming_mv_daily_epochs",
+    #   pipeline_domain_mix — demoted late in round 3 (driver-green in
+    #     r2) so the reference MV-maintainer façade streaming_mv_daily_
+    #     epochs gets the declared slot; the pipeline family keeps
+    #     pipeline_clean_corpus + pipeline_split_assign (domain_mix is
+    #     the same hash-gate machinery as split_assign)
+    "pipeline_domain_mix",
     #   streaming_quantile_sketch_epochs — the applyInPandasWithState
     #     sketch façade (deterministic histogram merge ≡ batch grid)
     "streaming_quantile_sketch_epochs",

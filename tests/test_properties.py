@@ -155,3 +155,27 @@ def test_multiprobe_recall_dominates_single_probe(spark, sf_dir):
         r_single = len(truth & single.get(q, set()))
         r_multi = len(truth & multi.get(q, set()))
         assert r_multi >= r_single, (q, r_single, r_multi)
+
+
+@_settings
+@given(st.lists(st.integers(min_value=0, max_value=2**256 - 1),
+                min_size=1, max_size=30))
+def test_uint256_string_marshal_roundtrip_property(spark, values):
+    """Any uint256: hex-word -> decimal string must equal Python's int,
+    the reverse marshal must reproduce the exact 32-byte word, and the
+    native lpad sort key must order like the integers."""
+    from clickhouse_aggregation_spark.functions.decode import (
+        hex_uint256_string, uint256_sort_key, uint256_string_to_hex,
+    )
+    rows = [Row(data="0x" + format(v, "064x")) for v in values]
+    df = spark.createDataFrame(rows)
+    dec = df.select("data", hex_uint256_string(F.col("data")).alias("s"))
+    got = {r["data"]: r["s"] for r in dec.collect()}
+    for v in values:
+        assert got["0x" + format(v, "064x")] == str(v)
+    back = dec.select((uint256_string_to_hex(F.col("s")) == F.col("data"))
+                      .alias("ok")).collect()
+    assert all(r["ok"] for r in back)
+    ordered = [r["s"] for r in
+               dec.orderBy(uint256_sort_key(F.col("s"))).collect()]
+    assert ordered == [str(v) for v in sorted(values)]

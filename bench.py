@@ -105,6 +105,7 @@ HEADLINE = [
     "events_type_pivot",
     "events_running_user_stats",
     "address_flow_setops",
+    "mv_daily_with_fill",
 ]
 
 # documented-quadratic exactness baselines (scale paths are the LSH/IVF

@@ -132,6 +132,9 @@ EXTRAS: tuple[str, ...] = (
     "events_running_user_stats",
     #   address_flow_setops — INTERSECT/EXCEPT (SURVEY §2.7 'free')
     "address_flow_setops",
+    #   mv_daily_with_fill — ClickHouse ORDER BY..WITH FILL parity
+    #     (dense date spine via sequence + broadcast left join)
+    "mv_daily_with_fill",
     # Round-3 rotation: 18 long-stable same-family variants rotate out
     # so the never-driver-checked round-2 flagships (11 TPC-H suite
     # shapes, behavior analytics, tf-idf, curation top-N, label

@@ -430,3 +430,47 @@ def q_mv_volume_rollup_subtotals(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.coalesce(F.col("size_bucket"), F.lit("ALL")).alias("size_bucket"),
                 "tx_count", "total_volume")
     )
+
+
+@register(
+    "mv_daily_with_fill",
+    oracle=oracle("""
+, daily AS (
+  SELECT CAST(block_timestamp AS DATE) AS day,
+         sum(value) AS total_usdc, count(*) AS tx_count
+  FROM transfers WHERE _sign = 1
+  GROUP BY 1
+), bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM daily),
+series AS (
+  SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+                                     CAST(hi AS TIMESTAMP),
+                                     INTERVAL 1 DAY)) AS DATE) AS day
+  FROM bounds
+)
+SELECT s.day,
+       coalesce(d.total_usdc, 0) AS total_usdc,
+       CAST(coalesce(d.tx_count, 0) AS BIGINT) AS tx_count
+FROM series s LEFT JOIN daily d ON d.day = s.day"""),
+    doc="ClickHouse ORDER BY ... WITH FILL parity: the daily volume "
+        "rollup densified to every calendar day between min and max, "
+        "missing days zero-filled. The date spine is sequence() over "
+        "the 1-row bounds aggregate (broadcast), exploded and left-"
+        "joined to the rollup — spine size ∝ days, never ∝ rows, so "
+        "the fill costs one broadcast join at any scale.",
+)
+def q_mv_daily_with_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = live(transfers_df(spark, sf_dir))
+    daily = (t.groupBy(to_day(F.col("block_timestamp")).alias("day"))
+             .agg(F.sum("value").alias("total_usdc"),
+                  F.count(F.lit(1)).alias("tx_count")))
+    spine = (daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+             .select(F.explode(F.expr(
+                 "sequence(lo, hi, interval 1 day)")).alias("day")))
+    return (
+        F.broadcast(spine).join(daily, "day", "left")
+        .select("day",
+                F.coalesce(F.col("total_usdc"),
+                           F.lit(0).cast("decimal(38,0)")).alias("total_usdc"),
+                F.coalesce(F.col("tx_count"), F.lit(0)).cast("long")
+                 .alias("tx_count"))
+    )

@@ -106,6 +106,7 @@ HEADLINE = [
     "events_running_user_stats",
     "address_flow_setops",
     "mv_daily_with_fill",
+    "text_heavy_hitters",
 ]
 
 # documented-quadratic exactness baselines (scale paths are the LSH/IVF

@@ -135,6 +135,9 @@ EXTRAS: tuple[str, ...] = (
     #   mv_daily_with_fill — ClickHouse ORDER BY..WITH FILL parity
     #     (dense date spine via sequence + broadcast left join)
     "mv_daily_with_fill",
+    #   text_heavy_hitters — ClickHouse topK's exact cousin: per-
+    #     partition Misra-Gries candidates + exact verify pass
+    "text_heavy_hitters",
     # Round-3 rotation: 18 long-stable same-family variants rotate out
     # so the never-driver-checked round-2 flagships (11 TPC-H suite
     # shapes, behavior analytics, tf-idf, curation top-N, label

@@ -290,3 +290,80 @@ def q_text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= 5)
             .select("doc_id", "rank", "token", "tf", "df", "rarity_score"))
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters: Misra-Gries candidate sketch + exact verify.
+
+HH_FRACTION = 200        # heavy hitter = token with freq > n_tokens / 200
+_MG_COUNTERS = 512       # per-partition counter budget (>= HH_FRACTION)
+
+
+def _mg_candidates_partition(pdfs):
+    """Per-partition Misra-Gries: emits every token that could be a
+    global heavy hitter. MG guarantee: any value with in-partition
+    frequency > partition_n / _MG_COUNTERS survives; since
+    _MG_COUNTERS >= HH_FRACTION, every global heavy hitter survives in
+    at least one partition — so the candidate UNION is a superset and
+    the exact verify pass makes the final answer deterministic
+    (independent of partitioning), hence oracle-checkable."""
+    import pandas as pd
+    for pdf in pdfs:
+        counters: dict[str, int] = {}
+        for text in pdf["text"]:
+            for tok in text.split(" "):
+                if not tok:
+                    continue
+                if tok in counters:
+                    counters[tok] += 1
+                elif len(counters) < _MG_COUNTERS:
+                    counters[tok] = 1
+                else:
+                    for k in list(counters):
+                        counters[k] -= 1
+                        if counters[k] == 0:
+                            del counters[k]
+        if counters:
+            yield pd.DataFrame({"token": list(counters)})
+
+
+@register(
+    "text_heavy_hitters",
+    oracle=f"""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+), nz AS (SELECT token FROM toks WHERE token <> ''),
+total AS (SELECT count(*) AS n FROM nz)
+SELECT token, CAST(count(*) AS BIGINT) AS freq
+FROM nz, total
+GROUP BY token, total.n
+HAVING count(*) * {HH_FRACTION} > total.n""",
+    doc="Frequent-items (ClickHouse topK's exact-answer cousin): "
+        "tokens with corpus frequency > n/200 via a per-partition "
+        "Misra-Gries sketch (mapInPandas, 512 counters) whose "
+        "candidate union provably contains every global heavy hitter, "
+        "then ONE exact counting pass restricted to candidates. The "
+        "sketch bounds the shuffle to counters-per-partition tokens "
+        "instead of the full vocabulary; the verify makes the output "
+        "deterministic and oracle-exact regardless of partitioning.",
+)
+def q_text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+    from ..sources.tables import ensure_parallelism
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    cand = (docs.select("text")
+            .mapInPandas(_mg_candidates_partition,
+                         T.StructType([T.StructField("token", T.StringType())]))
+            .distinct())
+    toks = (docs.select(F.explode(F.split("text", " ")).alias("token"))
+            .filter(F.col("token") != ""))
+    total = toks.agg(F.count(F.lit(1)).alias("n"))
+    # no broadcast hint on the candidate side: it is counters x
+    # partitions rows — tiny here, but at 100k-partition scale it can
+    # reach tens of millions, where AQE's runtime stats must be free
+    # to pick the shuffle join (same policy as the contamination join)
+    counts = (toks.join(cand, "token")
+              .groupBy("token").agg(F.count(F.lit(1)).alias("freq")))
+    return (counts.crossJoin(F.broadcast(total))
+            .filter(F.col("freq") * HH_FRACTION > F.col("n"))
+            .select("token", "freq"))

@@ -107,6 +107,7 @@ HEADLINE = [
     "address_flow_setops",
     "mv_daily_with_fill",
     "text_heavy_hitters",
+    "similarity_ivf_kmeans_refine",
 ]
 
 # documented-quadratic exactness baselines (scale paths are the LSH/IVF

@@ -138,6 +138,9 @@ EXTRAS: tuple[str, ...] = (
     #   text_heavy_hitters — ClickHouse topK's exact cousin: per-
     #     partition Misra-Gries candidates + exact verify pass
     "text_heavy_hitters",
+    #   similarity_ivf_kmeans_refine — Lloyd-iteration index build
+    #     quality loop (integer floor-mean centroids, per-iter inertia)
+    "similarity_ivf_kmeans_refine",
     # Round-3 rotation: 18 long-stable same-family variants rotate out
     # so the never-driver-checked round-2 flagships (11 TPC-H suite
     # shapes, behavior analytics, tf-idf, curation top-N, label

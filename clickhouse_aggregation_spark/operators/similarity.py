@@ -641,3 +641,129 @@ def q_embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").cast("long").alias("sum_q"))
         .select("label", "dim", "n", "sum_q",
                 (F.col("sum_q") / F.col("n")).alias("centroid_q")))
+
+
+# ---------------------------------------------------------------------------
+# k-means refinement of the IVF index (the iteration step the seeded
+# IVF-Flat build above deliberately skips). Fully deterministic and
+# oracle-paired: centroid updates are exact-integer FLOOR means
+# (floor(sum/count) per dimension — sums are exact int64, floor
+# division is engine-identical), so assignments, centroids, and the
+# per-iteration inertia agree bit-for-bit with the DuckDB oracle.
+# Convergence metric emitted per iteration: inertia = Σ ||a - c(a)||²
+# in quantized integer space.
+
+KMEANS_ITERS = 2
+
+
+def _assign_cells(n: DataFrame, cents: DataFrame):
+    """(vec_id, centroid_id, dist) nearest-cell assignment — min_by
+    aggregation over the broadcast centroid expansion (same shape as
+    _ivf_parts)."""
+    dist = (F.col("norm2") + F.col("c_norm2")
+            - 2 * int_dot(F.col("qv"), F.col("c_qv")))
+    expanded = (n.join(F.broadcast(cents))
+                .select("vec_id", "qv", "norm2", "centroid_id",
+                        dist.alias("dist")))
+    return expanded.groupBy("vec_id").agg(
+        F.min_by("centroid_id", F.struct("dist", "centroid_id"))
+         .alias("centroid_id"),
+        F.min(F.struct("dist", "centroid_id")).getField("dist").alias("dist"),
+        F.first("qv").alias("qv"))
+
+
+def _trunc_div(sum_col: Column, cnt_col: Column) -> Column:
+    """Integer division truncating toward zero on BOTH engines: Spark's
+    `%` keeps the dividend's sign, so (sum - sum % cnt) is the exact
+    truncated multiple; DuckDB's `//` also truncates (verified
+    -7 // 2 = -3). Negative sums happen (quantized embedding
+    components), so the rounding direction must match exactly. The
+    double division of the exact multiple is lossless below 2^53 —
+    per-cell per-dim sums here are ~1e9; document before reusing on
+    larger magnitudes."""
+    return (sum_col - sum_col % cnt_col) / cnt_col
+
+
+def _recompute_cents(assigned: DataFrame) -> DataFrame:
+    comp = assigned.select(
+        "centroid_id", F.posexplode("qv").alias("pos", "v"))
+    dims = (comp.groupBy("centroid_id", "pos")
+            .agg(_trunc_div(F.sum("v"), F.count(F.lit(1)))
+                 .cast("long").alias("c")))
+    return (dims.groupBy("centroid_id")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "c")))
+                  .getField("c").alias("c_qv"))
+            .select("centroid_id", "c_qv",
+                    int_norm2(F.col("c_qv")).alias("c_norm2")))
+
+
+def _kmeans_oracle() -> str:
+    assign = """
+  SELECT vec_id, qv, centroid_id, d AS dist FROM (
+    SELECT n.vec_id, n.qv, c.centroid_id,
+           n.norm2 + c.c_norm2
+             - 2 * CAST(list_sum(list_transform(range(1, {dim} + 1),
+                   i -> n.qv[i] * c.c_qv[i])) AS BIGINT) AS d,
+           row_number() OVER (PARTITION BY n.vec_id ORDER BY
+             n.norm2 + c.c_norm2
+             - 2 * CAST(list_sum(list_transform(range(1, {dim} + 1),
+                   i -> n.qv[i] * c.c_qv[i])) AS BIGINT), c.centroid_id) AS rk
+    FROM n, {cents} c) WHERE rk = 1"""
+    recompute = """
+  SELECT centroid_id, list(c ORDER BY dim) AS c_qv,
+         CAST(list_sum(list_transform(list(c ORDER BY dim), x -> x * x))
+              AS BIGINT) AS c_norm2
+  FROM (
+    SELECT centroid_id, dim, CAST(sum(qv[dim]) // count(*) AS BIGINT) AS c
+    FROM {assigned}, (SELECT unnest(range(1, {dim} + 1)) AS dim)
+    GROUP BY 1, 2)
+  GROUP BY 1"""
+    parts = [f"""
+c0 AS (
+  SELECT vec_id AS centroid_id, qv AS c_qv, norm2 AS c_norm2
+  FROM n WHERE vec_id < {N_CENTROIDS})"""]
+    for t in range(KMEANS_ITERS + 1):
+        parts.append(f"a{t} AS ({assign.format(dim=DIM, cents=f'c{t}')})")
+        if t < KMEANS_ITERS:
+            parts.append(
+                f"c{t + 1} AS ({recompute.format(dim=DIM, assigned=f'a{t}')})")
+    selects = " UNION ALL ".join(
+        f"SELECT {t} AS iteration, CAST(sum(dist) AS BIGINT) AS inertia,"
+        f" CAST(count(*) AS BIGINT) AS n_vectors FROM a{t}"
+        for t in range(KMEANS_ITERS + 1))
+    return (f"WITH {_QUANT_SQL.strip()},\n" + ",".join(parts)
+            + f"\n{selects}")
+
+
+@register(
+    "similarity_ivf_kmeans_refine",
+    oracle=_kmeans_oracle(),
+    doc="k-means refinement of the IVF index: starting from the seeded "
+        "centroids, 2 Lloyd iterations with exact-integer floor-mean "
+        "centroid updates; emits per-iteration inertia (sum of squared "
+        "quantized distances) — the index-build quality loop a real "
+        "ANN deployment runs before trusting cell assignments. Every "
+        "iteration is one broadcast-join min_by assignment plus one "
+        "combinable per-(cell, dim) aggregation; centroids stay "
+        "integer so both engines agree bit-for-bit.",
+)
+def q_similarity_ivf_kmeans_refine(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    n = _quantized(spark, sf_dir).select("vec_id", "qv", "norm2")
+    cents = n.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("qv").alias("c_qv"), F.col("norm2").alias("c_norm2"))
+    rows = []
+    for t in range(KMEANS_ITERS + 1):
+        assigned = _assign_cells(n, cents)
+        rows.append(assigned.agg(
+            F.lit(t).cast("long").alias("iteration"),
+            F.sum("dist").cast("long").alias("inertia"),
+            F.count(F.lit(1)).cast("long").alias("n_vectors")).select(
+            "iteration", "inertia", "n_vectors"))
+        if t < KMEANS_ITERS:
+            cents = _recompute_cents(assigned)
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

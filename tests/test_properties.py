@@ -179,3 +179,16 @@ def test_uint256_string_marshal_roundtrip_property(spark, values):
     ordered = [r["s"] for r in
                dec.orderBy(uint256_sort_key(F.col("s"))).collect()]
     assert ordered == [str(v) for v in sorted(values)]
+
+
+def test_kmeans_refinement_reduces_inertia(spark, sf_dir):
+    """Lloyd iterations with floor-mean centroids must not worsen the
+    clustering: inertia at the final iteration <= iteration 0 (strict
+    decrease is data-dependent; the fixture corpus does improve)."""
+    from clickhouse_aggregation_spark.operators.similarity import (
+        q_similarity_ivf_kmeans_refine,
+    )
+    rows = {r.iteration: r.inertia
+            for r in q_similarity_ivf_kmeans_refine(spark, sf_dir).collect()}
+    assert rows[max(rows)] <= rows[0]
+    assert all(r > 0 for r in rows.values())

@@ -197,3 +197,20 @@ def test_multiprobe_join_keyed_on_bucket(spark, sf_dir):
     plan = _plan(spark, sf_dir, "similarity_lsh_multiprobe")
     assert "BroadcastHashJoin [bucket" in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_heavy_hitters_no_cartesian_one_exact_pass(spark, sf_dir):
+    """The MG candidate join must stay an equi-join on token and the
+    1-row total may join only as a broadcast."""
+    plan = _plan(spark, sf_dir, "text_heavy_hitters")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1  # the 1-row total
+    assert "mapInPandas" in plan or "MapInPandas" in plan
+
+
+def test_with_fill_spine_broadcasts(spark, sf_dir):
+    """The WITH FILL date spine must broadcast into the left join —
+    never shuffle the rollup against a generated series."""
+    plan = _plan(spark, sf_dir, "mv_daily_with_fill")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

@@ -108,6 +108,15 @@ HEADLINE = [
     "mv_daily_with_fill",
     "text_heavy_hitters",
     "similarity_ivf_kmeans_refine",
+    # round 3, ninth/tenth batches: repetition quality rules, sequence
+    # match, sampling, outliers, weighted quantiles, IVF-PQ residual
+    "text_repetition_stats",
+    "events_sequence_match",
+    "pipeline_bottomk_sample",
+    "pipeline_bottomk_per_source",
+    "events_value_outliers",
+    "text_weighted_length_quantiles",
+    "similarity_ivfpq_residual",
 ]
 
 # documented-quadratic exactness baselines (scale paths are the LSH/IVF

@@ -181,3 +181,104 @@ def q_events_top_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "prev_type", "next_type")
         .limit(TRANSITIONS_TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# sequenceMatch parity: ClickHouse's
+# sequenceMatch('(?1).*(?2).*(?3)')(ts, cond1, cond2, cond3) asks, per
+# key, whether the condition-bearing steps occur in order anywhere in
+# the timeline (no window bound — that is windowFunnel's job, covered
+# by events_funnel_depth). Steps here are *qualified* events
+# (props.k < 10 — a tenth of the stream), which keeps the answer
+# selective and lets the plan pre-filter: only qualified events reach
+# the per-user state. Spark side: ONE shuffle on the qualified subset,
+# then a per-user sorted-array fold (the same per-key state machine
+# ClickHouse runs) — no join chain, no repeated scans. The DuckDB
+# oracle uses the classic greedy-equivalence instead: a subsequence
+# exists iff each step exists strictly after the *earliest* match of
+# the previous step, which is plain min()/EXISTS SQL. Greedy
+# earliest-first matching is exact for unbounded subsequence
+# existence (NOT for windowed variants), so both formulations agree.
+# Determinism: (user_id, ts) is unique in the driver fixtures at every
+# SF (verified), so ordering by ts alone is total.
+
+SEQ_STEPS = ("signup", "click", "purchase")
+SEQ_K_MAX = 10           # step condition: props.k < 10
+_SEQ_K_SQL = "CAST(json_extract_string(props, '$.k') AS BIGINT)"
+
+
+def _seq_fold(seq_col: str, steps: tuple[str, ...]):
+    """Fold a sorted array of (ts, event_id, event_type) structs into
+    the deepest prefix of ``steps`` matched in order (greedy)."""
+    def step(acc, x):
+        out = acc
+        for i, s in enumerate(steps):
+            out = F.when((acc == i) & (x["event_type"] == s),
+                         F.lit(i + 1)).otherwise(out)
+        return out
+    return F.aggregate(F.col(seq_col), F.lit(0), step)
+
+
+@register(
+    "events_sequence_match",
+    oracle=f"""
+WITH q AS (
+  SELECT user_id, ts, event_type FROM events
+  WHERE {_SEQ_K_SQL} < {SEQ_K_MAX}
+),
+t1 AS (
+  SELECT user_id, min(ts) AS ts1 FROM q
+  WHERE event_type = '{SEQ_STEPS[0]}' GROUP BY user_id
+),
+m2 AS (
+  SELECT t1.user_id FROM t1
+  WHERE EXISTS (SELECT 1 FROM q e
+                WHERE e.user_id = t1.user_id
+                  AND e.event_type = '{SEQ_STEPS[2]}' AND e.ts > t1.ts1)
+),
+t2 AS (
+  SELECT e.user_id, min(e.ts) AS ts2
+  FROM q e JOIN t1 ON e.user_id = t1.user_id
+  WHERE e.event_type = '{SEQ_STEPS[1]}' AND e.ts > t1.ts1
+  GROUP BY e.user_id
+),
+m3 AS (
+  SELECT t2.user_id FROM t2
+  WHERE EXISTS (SELECT 1 FROM q e
+                WHERE e.user_id = t2.user_id
+                  AND e.event_type = '{SEQ_STEPS[2]}' AND e.ts > t2.ts2)
+)
+SELECT CAST((SELECT count(DISTINCT user_id) FROM events) AS BIGINT)
+         AS n_users,
+       CAST((SELECT count(*) FROM m2) AS BIGINT)
+         AS n_matched_signup_purchase,
+       CAST((SELECT count(*) FROM m3) AS BIGINT)
+         AS n_matched_signup_click_purchase""",
+    doc="ClickHouse sequenceMatch parity (unbounded ordered-steps "
+        "pattern with per-step conditions): per user, do qualified "
+        "(props.k < 10) signup .. purchase / signup .. click .. "
+        "purchase events occur in timeline order. The step condition "
+        "pre-filters before the user shuffle, so per-user state holds "
+        "only qualified events; the fold is the ClickHouse state "
+        "machine, and the oracle proves it against the greedy "
+        "min()/EXISTS formulation (exact for unbounded patterns).",
+)
+def q_events_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    users = events.select("user_id").distinct()
+    qual = events.filter(
+        F.get_json_object("props", "$.k").cast("long") < SEQ_K_MAX)
+    per_user = (qual
+                .groupBy("user_id")
+                .agg(F.array_sort(F.collect_list(
+                    F.struct("ts", "event_id", "event_type"))).alias("seq")))
+    two = _seq_fold("seq", (SEQ_STEPS[0], SEQ_STEPS[2]))
+    three = _seq_fold("seq", SEQ_STEPS)
+    folded = per_user.select(
+        "user_id", (two == 2).alias("m2"), (three == 3).alias("m3"))
+    return (users.join(folded, "user_id", "left")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_users"),
+                 F.count(F.when(F.col("m2"), 1)).cast("long")
+                  .alias("n_matched_signup_purchase"),
+                 F.count(F.when(F.col("m3"), 1)).cast("long")
+                  .alias("n_matched_signup_click_purchase")))

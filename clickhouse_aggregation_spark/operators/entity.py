@@ -161,3 +161,75 @@ def q_events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "p50", "p90", "p99",
                     (within(0, 50) + within(1, 90) + within(2, 99))
                     .cast("long").alias("approx_within_tol")))
+
+
+# ---------------------------------------------------------------------------
+# Integer-exact z-score outlier detection over event values.
+#
+# Anomaly flagging (|x - mean| > 3 sigma per event type) normally runs
+# on floating moments, whose partition-order-dependent double sums
+# would flake a byte-exact cross-engine gate. Here every value is an
+# exact cent count, and the 3-sigma test is algebraically cleared of
+# division:   (n*x - s)^2 > 9 * (n*ss - s^2)
+# with n = count, s = sum(cents), ss = sum(cents^2) — all integer
+# arithmetic (Spark DECIMAL(38,0) / DuckDB HUGEINT for the wide
+# intermediates), so the flags are engine-exact. 100 TB note: the
+# decimal accumulators exist precisely because n*ss overflows int64
+# well below cluster scale; DECIMAL(38,0) gives 1e38 of headroom.
+
+OUTLIER_SIGMAS_SQ = 9      # 3 sigma
+
+
+@register(
+    "events_value_outliers",
+    oracle=f"""
+WITH c AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+stats AS (
+  SELECT event_type,
+         CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(cents) AS HUGEINT) AS s,
+         sum(CAST(cents AS HUGEINT) * CAST(cents AS HUGEINT)) AS ss
+  FROM c GROUP BY event_type
+)
+SELECT c.event_type,
+       CAST(max(stats.n) AS BIGINT) AS n_events,
+       CAST(max(stats.s) AS BIGINT) AS sum_cents,
+       CAST(max(c.cents) AS BIGINT) AS max_cents,
+       CAST(count(CASE WHEN
+              (stats.n * c.cents - stats.s) * (stats.n * c.cents - stats.s)
+              > {OUTLIER_SIGMAS_SQ} * (stats.n * stats.ss - stats.s * stats.s)
+            THEN 1 END) AS BIGINT) AS n_outliers_3sigma
+FROM c JOIN stats ON stats.event_type = c.event_type
+GROUP BY c.event_type""",
+    doc="Per-event-type 3-sigma outlier counts with integer-exact "
+        "moments: cents are exact, the sigma test is cleared of "
+        "division, and wide intermediates ride DECIMAL(38,0)/HUGEINT. "
+        "Plan: one map-side-combinable stats aggregate (5 groups), "
+        "broadcast back over the scan, one tiny rollup — two passes "
+        "over the data, zero wide shuffles.",
+)
+def q_events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    c = events.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"))
+    dec = "decimal(38,0)"
+    stats = (c.groupBy("event_type")
+             .agg(F.count(F.lit(1)).cast(dec).alias("n"),
+                  F.sum("cents").cast(dec).alias("s"),
+                  F.sum(F.col("cents").cast(dec) * F.col("cents").cast(dec))
+                   .alias("ss")))
+    j = c.join(F.broadcast(stats), "event_type")
+    diff = F.col("n") * F.col("cents") - F.col("s")
+    is_out = (diff * diff
+              > OUTLIER_SIGMAS_SQ * (F.col("n") * F.col("ss")
+                                     - F.col("s") * F.col("s")))
+    return (j.groupBy("event_type")
+            .agg(F.max("n").cast("long").alias("n_events"),
+                 F.max("s").cast("long").alias("sum_cents"),
+                 F.max("cents").cast("long").alias("max_cents"),
+                 F.count(F.when(is_out, 1)).cast("long")
+                  .alias("n_outliers_3sigma")))

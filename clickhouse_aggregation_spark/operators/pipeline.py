@@ -394,3 +394,87 @@ def q_pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
                        "pack_id bigint")
             .select("source", F.col("pack_id").cast("long").alias("pack_id"),
                     "doc_id", "n_tokens"))
+
+
+# ---------------------------------------------------------------------------
+# Bottom-k-by-hash sampling: the distributed way to take a uniform
+# "exactly k documents" sample without rand() or a global shuffle —
+# keep the k smallest salted-hash values (a.k.a. minwise / consistent
+# sampling; the same primitive KMV distinct-count sketches are built
+# on). Deterministic: the sample is a pure function of doc ids, so
+# re-runs, other engines, and incremental refreshes agree row-for-row.
+
+BOTTOMK_K = 25
+
+
+@register(
+    "pipeline_bottomk_sample",
+    oracle=f"""
+SELECT doc_id, source,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       md5('sample:' || CAST(doc_id AS VARCHAR)) AS sample_hash
+FROM documents
+ORDER BY sample_hash
+LIMIT {BOTTOMK_K}""",
+    doc="Uniform exactly-k document sample via bottom-k salted hash "
+        "(minwise sampling). The Spark plan is TakeOrderedAndProject: "
+        "each task keeps its local k smallest hashes and the driver "
+        "merges k-sized heaps — no global sort, no rand(), shuffle "
+        "volume k x partitions rows at any corpus size. md5 hex "
+        "compares identically (lowercase, fixed width) in both "
+        "engines, and doc_id uniqueness makes the order total.",
+)
+def q_pipeline_bottomk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (docs.select(
+        "doc_id", "source",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        F.md5(F.concat(F.lit("sample:"), F.col("doc_id").cast("string")))
+         .alias("sample_hash"))
+        .orderBy("sample_hash")
+        .limit(BOTTOMK_K))
+
+
+# ---------------------------------------------------------------------------
+# Per-group bottom-k: ClickHouse's `LIMIT k BY group` applied to the
+# minwise sample — k deterministic sample docs from EVERY source (the
+# stratified flavor of pipeline_bottomk_sample). One shuffle on source;
+# each reducer ranks only its group's hashes.
+
+BOTTOMK_PER_SOURCE = 3
+
+
+@register(
+    "pipeline_bottomk_per_source",
+    oracle=f"""
+WITH h AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         md5('sample:' || CAST(doc_id AS VARCHAR)) AS sample_hash
+  FROM documents
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY source ORDER BY sample_hash)
+           AS rk
+  FROM h
+)
+SELECT doc_id, source, n_tokens, sample_hash, CAST(rk AS BIGINT) AS rk
+FROM r WHERE rk <= {BOTTOMK_PER_SOURCE}""",
+    doc="ClickHouse `LIMIT k BY source` parity as stratified minwise "
+        "sampling: the k hash-smallest docs of every source. Window "
+        "rank over the salted hash inside each source partition — "
+        "reuses the same deterministic hash as the global bottom-k, so "
+        "the strata compose (a doc in the global sample is in its "
+        "stratum's sample whenever rates align).",
+)
+def q_pipeline_bottomk_per_source(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.select(
+        "doc_id", "source",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        F.md5(F.concat(F.lit("sample:"), F.col("doc_id").cast("string")))
+         .alias("sample_hash"))
+    w = Window.partitionBy("source").orderBy("sample_hash")
+    return (h.withColumn("rk", F.row_number().over(w).cast("long"))
+            .filter(F.col("rk") <= BOTTOMK_PER_SOURCE))

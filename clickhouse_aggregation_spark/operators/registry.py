@@ -141,6 +141,33 @@ EXTRAS: tuple[str, ...] = (
     #   similarity_ivf_kmeans_refine — Lloyd-iteration index build
     #     quality loop (integer floor-mean centroids, per-iter inertia)
     "similarity_ivf_kmeans_refine",
+    #   text_repetition_stats — Gopher/C4 repetition quality rules
+    #     (integer-exact dup-word and top-word flags per doc); quality-
+    #     rule family driver-checked via pipeline_clean_corpus
+    "text_repetition_stats",
+    #   events_sequence_match — ClickHouse sequenceMatch parity via a
+    #     one-shuffle sorted-array fold; windowed sibling
+    #     events_funnel_depth holds a declared slot
+    "events_sequence_match",
+    #   pipeline_bottomk_sample — deterministic exactly-k minwise
+    #     sample (TakeOrdered plan, no global sort); hash-gate family
+    #     driver-checked via pipeline_split_assign
+    "pipeline_bottomk_sample",
+    #   events_value_outliers — 3-sigma anomaly counts on integer-
+    #     exact moments (decimal/hugeint intermediates); agg family
+    #     driver-checked via the mv_* rollups
+    "events_value_outliers",
+    #   text_weighted_length_quantiles — quantileExactWeighted parity
+    #     (value-frequency rollup + integer cumulative-weight rank);
+    #     exact-quantile family driver-checked via events_value_quantiles
+    "text_weighted_length_quantiles",
+    #   pipeline_bottomk_per_source — LIMIT k BY parity / stratified
+    #     minwise sample; sibling of pipeline_bottomk_sample
+    "pipeline_bottomk_per_source",
+    #   similarity_ivfpq_residual — IVF-PQ with residual encoding (the
+    #     FAISS production composition of the driver-checked IVF and PQ
+    #     paths)
+    "similarity_ivfpq_residual",
     # Round-3 rotation: 18 long-stable same-family variants rotate out
     # so the never-driver-checked round-2 flagships (11 TPC-H suite
     # shapes, behavior analytics, tf-idf, curation top-N, label

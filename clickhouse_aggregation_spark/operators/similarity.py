@@ -767,3 +767,205 @@ def q_similarity_ivf_kmeans_refine(spark: SparkSession,
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ with residual encoding — the composition FAISS ships as its
+# production index (coarse quantizer + PQ over residuals): vectors are
+# assigned to a coarse IVF cell, the *residual* to the cell centroid is
+# PQ-encoded (residuals are smaller than raw vectors, so the same
+# codebook budget quantizes them more finely), and a query scores a
+# probed cell by ADC distance between its own residual in that cell and
+# the stored codes. Candidates get an exact cosine re-rank. Everything
+# is quantized-integer arithmetic end-to-end, so assignment, codes, ADC
+# sums and ranks are engine-exact.
+#
+# Scale shape: the index build is two broadcast joins + min_by
+# aggregations (no windows over expanded frames); the search join moves
+# (cell, m, code) triples for probed cells only; re-rank touches
+# PQ_CAND vectors per query.
+
+_RES_SUB_DOT = ("CAST(list_sum(list_transform(range(1, {n} + 1), "
+                "i -> {a}[i] * {b}[i])) AS BIGINT)")
+
+
+def _ivfpq_oracle() -> str:
+    dot_nc = _RES_SUB_DOT.format(n=DIM, a="n.qv", b="c.c_qv")
+    sub_dot = _RES_SUB_DOT.format(n=PQ_SUB, a="s.s", b="c.c")
+    qsub_dot = _RES_SUB_DOT.format(n=PQ_SUB, a="q.s", b="c.c")
+    ms = ", ".join(str(i) for i in range(PQ_M))
+    return f"""
+WITH {_QUANT_SQL.strip()},
+cents AS (
+  SELECT vec_id AS centroid_id, qv AS c_qv, norm2 AS c_norm2
+  FROM n WHERE vec_id < {N_CENTROIDS}
+),
+cdists AS (
+  SELECT n.vec_id, n.qv, c.centroid_id,
+         n.norm2 + c.c_norm2 - 2 * {dot_nc} AS dist
+  FROM n, cents c
+),
+crank AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id
+                               ORDER BY dist, centroid_id) AS _rk
+  FROM cdists
+),
+assign AS (SELECT vec_id, qv, centroid_id FROM crank WHERE _rk = 1),
+probes AS (SELECT vec_id AS query_id, qv, centroid_id
+           FROM crank WHERE vec_id < {N_QUERIES} AND _rk <= {N_PROBE}),
+resid AS (
+  SELECT a.vec_id, a.centroid_id,
+         list_transform(range(1, {DIM} + 1), i -> a.qv[i] - c.c_qv[i]) AS rv
+  FROM assign a JOIN cents c USING (centroid_id)
+),
+rsubs AS (
+  SELECT vec_id, centroid_id, m,
+         list_slice(rv, m * {PQ_SUB} + 1, m * {PQ_SUB} + {PQ_SUB}) AS s
+  FROM resid, (SELECT unnest([{ms}]) AS m)
+),
+rsubs_n AS (
+  SELECT *, CAST(list_sum(list_transform(s, x -> x * x)) AS BIGINT) AS n2
+  FROM rsubs
+),
+codes AS (
+  SELECT m, vec_id AS code, s AS c, n2 AS cn2 FROM rsubs_n
+  WHERE vec_id < {PQ_CODES}
+),
+encd AS (
+  SELECT s.vec_id, s.centroid_id, s.m, c.code,
+         s.n2 + c.cn2 - 2 * {sub_dot} AS d
+  FROM rsubs_n s JOIN codes c ON c.m = s.m
+),
+encoded AS (
+  SELECT vec_id, centroid_id, m, code FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                                 ORDER BY d, code) AS rk FROM encd
+  ) WHERE rk = 1
+),
+qres AS (
+  SELECT p.query_id, p.centroid_id,
+         list_transform(range(1, {DIM} + 1), i -> p.qv[i] - c.c_qv[i]) AS rv
+  FROM probes p JOIN cents c USING (centroid_id)
+),
+qsubs AS (
+  SELECT query_id, centroid_id, m,
+         list_slice(rv, m * {PQ_SUB} + 1, m * {PQ_SUB} + {PQ_SUB}) AS s
+  FROM qres, (SELECT unnest([{ms}]) AS m)
+),
+qsubs_n AS (
+  SELECT *, CAST(list_sum(list_transform(s, x -> x * x)) AS BIGINT) AS n2
+  FROM qsubs
+),
+adc AS (
+  SELECT q.query_id, q.centroid_id, q.m, c.code,
+         q.n2 + c.cn2 - 2 * {qsub_dot} AS qd
+  FROM qsubs_n q JOIN codes c ON c.m = q.m
+),
+approx AS (
+  SELECT a.query_id, x.vec_id AS neighbor_id, sum(a.qd) AS adist
+  FROM encoded x
+  JOIN adc a ON a.centroid_id = x.centroid_id
+            AND a.m = x.m AND a.code = x.code
+  WHERE x.vec_id <> a.query_id
+  GROUP BY 1, 2
+),
+cand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY adist, neighbor_id) AS crk
+    FROM approx
+  ) WHERE crk <= {PQ_CAND}
+),
+scored AS (
+  SELECT k.query_id, k.neighbor_id, {COSINE_ORACLE_EXPR} AS cosine
+  FROM cand k
+  JOIN n a ON a.vec_id = k.query_id
+  JOIN n b ON b.vec_id = k.neighbor_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank
+FROM ranked WHERE rank <= {TOP_K}"""
+
+
+@register(
+    "similarity_ivfpq_residual",
+    oracle=_ivfpq_oracle(),
+    doc="IVF-PQ with residual encoding (the FAISS production-index "
+        "composition): coarse assignment to 16 seeded cells, PQ codes "
+        "over the residual to the cell centroid, query-residual ADC "
+        "scoring restricted to the 2 probed cells, exact top-20 "
+        "re-rank. Index build = broadcast joins + min_by aggregations; "
+        "search moves (cell, m, code) triples only; all arithmetic is "
+        "quantized-integer so the driver hash-checks codes and ranks.",
+)
+def q_similarity_ivfpq_residual(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    n = _quantized(spark, sf_dir)
+    corpus_cells, probe_cells = _ivf_parts(spark, sf_dir)
+    cents = n.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("qv").alias("c_qv"))
+
+    def residual_subs(df: DataFrame, id_col: str) -> DataFrame:
+        """(id, centroid_id, m, s, n2): PQ sub-vectors of the residual
+        to the assigned/probed cell centroid."""
+        ms = F.explode(F.array(*[F.lit(i) for i in range(PQ_M)])).alias("m")
+        rv = (df.join(F.broadcast(cents), "centroid_id")
+              .select(F.col(id_col), "centroid_id",
+                      F.zip_with("qv", "c_qv",
+                                 lambda a, b: a - b).alias("rv")))
+        subs = (rv.select(id_col, "centroid_id", ms, "rv")
+                .select(id_col, "centroid_id", "m",
+                        F.slice("rv", F.col("m") * PQ_SUB + 1, PQ_SUB)
+                         .alias("s")))
+        return subs.withColumn("n2", int_norm2(F.col("s")))
+
+    rsubs = residual_subs(
+        corpus_cells.select("vec_id", "centroid_id", "qv"), "vec_id")
+    codes = rsubs.filter(F.col("vec_id") < PQ_CODES).select(
+        F.col("m").alias("c_m"), F.col("vec_id").alias("code"),
+        F.col("s").alias("c"), F.col("n2").alias("cn2"))
+    encd = (rsubs.join(F.broadcast(codes), F.col("m") == F.col("c_m"))
+            .select("vec_id", "centroid_id", "m", "code",
+                    (F.col("n2") + F.col("cn2")
+                     - 2 * int_dot(F.col("s"), F.col("c"))).alias("d")))
+    encoded = encd.groupBy("vec_id", "centroid_id", "m").agg(
+        F.min_by("code", F.struct("d", "code")).alias("code"))
+
+    qsubs = residual_subs(
+        probe_cells.select(F.col("vec_id").alias("query_id"),
+                           "centroid_id", "qv"), "query_id")
+    adc = (qsubs.join(F.broadcast(codes), F.col("m") == F.col("c_m"))
+           .select(F.col("query_id"), F.col("centroid_id").alias("a_cell"),
+                   F.col("m").alias("a_m"), F.col("code").alias("a_code"),
+                   (F.col("n2") + F.col("cn2")
+                    - 2 * int_dot(F.col("s"), F.col("c"))).alias("qd")))
+    approx = (
+        encoded.join(F.broadcast(adc),
+                     (F.col("centroid_id") == F.col("a_cell"))
+                     & (F.col("m") == F.col("a_m"))
+                     & (F.col("code") == F.col("a_code"))
+                     & (F.col("vec_id") != F.col("query_id")))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("qd").alias("adist")))
+    w_cand = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
+    cand = (approx.withColumn("crk", F.row_number().over(w_cand))
+            .filter(F.col("crk") <= PQ_CAND)
+            .select("query_id", "neighbor_id"))
+
+    qside = n.select(F.col("vec_id").alias("query_id"),
+                     F.col("qv").alias("q_qv"),
+                     F.col("norm2").alias("q_norm2"))
+    xside = n.select(F.col("vec_id").alias("neighbor_id"), "qv", "norm2")
+    cos = (int_dot(F.col("q_qv"), F.col("qv"))
+           / (F.sqrt(F.col("q_norm2")) * F.sqrt(F.col("norm2"))))
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id"))
+    return (cand.join(F.broadcast(qside), "query_id")
+            .join(xside, "neighbor_id")
+            .select("query_id", "neighbor_id", cos.alias("cosine"))
+            .withColumn("rank", F.row_number().over(w_rank))
+            .filter(F.col("rank") <= TOP_K))

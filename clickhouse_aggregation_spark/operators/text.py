@@ -367,3 +367,152 @@ def q_text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (counts.crossJoin(F.broadcast(total))
             .filter(F.col("freq") * HH_FRACTION > F.col("n"))
             .select("token", "freq"))
+
+
+# ---------------------------------------------------------------------------
+# Repetition-based quality rules (the Gopher/C4 repetition family):
+# documents dominated by repeated words are boilerplate/spam signals a
+# training pipeline drops before tokenization. Two per-document rules:
+#   dupwords — distinct-word fraction < 45 %  (heavy word reuse)
+#   topword  — most frequent word > 10 % of the document
+# Both thresholds compare products of exact integers (never a float
+# ratio), so the flags — and therefore the hash gate — are engine-exact.
+
+REP_DISTINCT_NUM, REP_DISTINCT_DEN = 9, 20     # distinct/n < 9/20 = 0.45
+REP_TOP_DEN = 10                               # top/n > 1/10
+
+
+@register(
+    "text_repetition_stats",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+  FROM documents
+), nz AS (SELECT * FROM toks WHERE token <> ''),
+per_tok AS (
+  SELECT doc_id, lang, token, count(*) AS c FROM nz GROUP BY 1, 2, 3
+),
+per_doc AS (
+  SELECT doc_id, lang, sum(c) AS n_tokens, count(*) AS n_distinct,
+         max(c) AS top_freq
+  FROM per_tok GROUP BY 1, 2
+),
+flagged AS (
+  SELECT lang, n_tokens,
+         n_distinct * {REP_DISTINCT_DEN} < n_tokens * {REP_DISTINCT_NUM}
+           AS f_dup,
+         top_freq * {REP_TOP_DEN} > n_tokens AS f_top
+  FROM per_doc
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(CASE WHEN f_dup THEN 1 END) AS BIGINT) AS n_flag_dupwords,
+       CAST(count(CASE WHEN f_top THEN 1 END) AS BIGINT) AS n_flag_topword,
+       CAST(count(CASE WHEN NOT f_dup AND NOT f_top THEN 1 END) AS BIGINT)
+         AS n_clean,
+       CAST(sum(CASE WHEN NOT f_dup AND NOT f_top THEN n_tokens ELSE 0 END)
+            AS BIGINT) AS clean_ws_tokens
+FROM flagged GROUP BY lang""",
+    doc="Gopher-style repetition quality rules: per-document "
+        "distinct-word fraction and top-word fraction, flagged by "
+        "integer-exact threshold compares and rolled up per language. "
+        "Two-phase plan: the (doc, token) count is map-side combinable "
+        "(the shuffle moves one row per distinct word per doc, not one "
+        "per token), the per-doc collapse reuses the same doc_id "
+        "partitioning, and the final per-lang rollup is tiny.",
+)
+def q_text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (docs.select("doc_id", "lang",
+                        F.explode(F.split("text", " ")).alias("token"))
+            .filter(F.col("token") != ""))
+    per_tok = (toks.groupBy("doc_id", "lang", "token")
+               .agg(F.count(F.lit(1)).alias("c")))
+    per_doc = (per_tok.groupBy("doc_id", "lang")
+               .agg(F.sum("c").alias("n_tokens"),
+                    F.count(F.lit(1)).alias("n_distinct"),
+                    F.max("c").alias("top_freq")))
+    f_dup = (F.col("n_distinct") * REP_DISTINCT_DEN
+             < F.col("n_tokens") * REP_DISTINCT_NUM)
+    f_top = F.col("top_freq") * REP_TOP_DEN > F.col("n_tokens")
+    clean = ~f_dup & ~f_top
+    return (per_doc.select("lang", "n_tokens",
+                           f_dup.alias("f_dup"), f_top.alias("f_top"),
+                           clean.alias("f_clean"))
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.count(F.when(F.col("f_dup"), 1)).cast("long")
+                  .alias("n_flag_dupwords"),
+                 F.count(F.when(F.col("f_top"), 1)).cast("long")
+                  .alias("n_flag_topword"),
+                 F.count(F.when(F.col("f_clean"), 1)).cast("long")
+                  .alias("n_clean"),
+                 F.sum(F.when(F.col("f_clean"), F.col("n_tokens"))
+                       .otherwise(0)).cast("long")
+                  .alias("clean_ws_tokens")))
+
+
+# ---------------------------------------------------------------------------
+# quantileExactWeighted parity: exact quantiles of a value where each
+# row carries an integer weight (ClickHouse's value-frequency form).
+# Rank rule over cumulative weight: k = ceil(p * W / 100), answer =
+# smallest value whose running weight reaches k. The engine first
+# collapses rows to a (group, value) -> total-weight rollup — the same
+# move ClickHouse's implementation makes — so the quantile window runs
+# over the value-frequency table (|groups| x |distinct values| rows),
+# never over raw rows. Weights and values are integers, so results are
+# engine-exact.
+
+WQ_PCTS = (25, 50, 75)
+
+
+@register(
+    "text_weighted_length_quantiles",
+    oracle=f"""
+WITH vf AS (
+  SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS v,
+         sum(CAST(n_chars AS BIGINT)) AS w
+  FROM documents GROUP BY 1, 2
+),
+cum AS (
+  SELECT lang, v, w,
+         sum(w) OVER (PARTITION BY lang ORDER BY v) AS cw,
+         sum(w) OVER (PARTITION BY lang) AS tw
+  FROM vf
+),
+px AS (SELECT unnest([{", ".join(str(p) for p in WQ_PCTS)}]) AS pct)
+SELECT c.lang, CAST(px.pct AS BIGINT) AS pct,
+       CAST(min(c.v) AS BIGINT) AS wq_tokens,
+       CAST(max(c.tw) AS BIGINT) AS total_weight
+FROM cum c, px
+WHERE c.cw >= (c.tw * px.pct + 99) // 100
+GROUP BY c.lang, px.pct""",
+    doc="ClickHouse quantileExactWeighted parity: char-count-weighted "
+        "exact token-length quantiles per language. One map-side-"
+        "combinable (lang, value) weight rollup, then windows over the "
+        "value-frequency table only — the raw corpus is scanned once "
+        "and never sorted. Integer rank rule k = ceil(p*W/100) on "
+        "cumulative weights; all-integer output.",
+)
+def q_text_weighted_length_quantiles(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    vf = (docs.select(
+            "lang",
+            F.size(F.split("text", " ")).cast("long").alias("v"),
+            F.col("n_chars").cast("long").alias("w"))
+          .groupBy("lang", "v").agg(F.sum("w").alias("w")))
+    wcum = (Window.partitionBy("lang").orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wall = Window.partitionBy("lang")
+    cum = vf.select(
+        "lang", "v", "w",
+        F.sum("w").over(wcum).alias("cw"),
+        F.sum("w").over(wall).alias("tw"))
+    pcts = F.explode(F.array(*[F.lit(p) for p in WQ_PCTS])).alias("pct")
+    k = F.expr(f"(tw * pct + 99) DIV 100")
+    return (cum.select("lang", "v", "cw", "tw", pcts)
+            .filter(F.col("cw") >= k)
+            .groupBy("lang", F.col("pct").cast("long").alias("pct"))
+            .agg(F.min("v").cast("long").alias("wq_tokens"),
+                 F.max("tw").cast("long").alias("total_weight")))

@@ -214,3 +214,50 @@ def test_with_fill_spine_broadcasts(spark, sf_dir):
     plan = _plan(spark, sf_dir, "mv_daily_with_fill")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bottomk_sample_is_take_ordered(spark, sf_dir):
+    """Bottom-k-by-hash sampling must plan as TakeOrderedAndProject
+    (per-task k-heaps merged on the driver), never a global sort."""
+    plan = _plan(spark, sf_dir, "pipeline_bottomk_sample")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_repetition_stats_two_combinable_aggregates(spark, sf_dir):
+    """(doc, token) count then per-doc collapse then per-lang rollup:
+    partial aggregation everywhere, no join anywhere."""
+    plan = _plan(spark, sf_dir, "text_repetition_stats")
+    assert "Join" not in plan
+    assert "partial" in plan.lower()
+
+
+def test_sequence_match_prefilters_before_user_shuffle(spark, sf_dir):
+    """Only qualified (props.k < 10) events may reach the per-user
+    fold: the JSON filter must sit below the aggregate, and the fold
+    itself is a higher-order expression — no Python UDF."""
+    plan = _plan(spark, sf_dir, "events_sequence_match")
+    assert "get_json_object" in plan
+    assert "aggregate(" in plan          # the HOF fold, JVM-side
+    assert "BatchEvalPython" not in plan
+    assert "mapInPandas" not in plan and "MapInPandas" not in plan
+
+
+def test_value_outliers_broadcasts_stats(spark, sf_dir):
+    """The 5-row per-type stats frame joins back over the scan as a
+    broadcast — shuffling the events by type (5 keys!) would be a
+    skew trap at scale."""
+    plan = _plan(spark, sf_dir, "events_value_outliers")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_ivfpq_residual_broadcasts_index_sides(spark, sf_dir):
+    """IVF-PQ residual: centroids, codebooks and the query-side ADC
+    table must all broadcast; nearest-code selection must be min_by
+    aggregation (no row_number window over the corpus expansion); the
+    only windows left are the per-query candidate/final ranks."""
+    plan = _plan(spark, sf_dir, "similarity_ivfpq_residual")
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan
+    assert "min_by" in plan

@@ -553,3 +553,91 @@ def q_dedup_minhash_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.join(dropped, "doc_id", "left_anti")
         .select("doc_id", "lang", "source", "n_chars")
     )
+
+
+# ---------------------------------------------------------------------------
+# Asymmetric containment near-dup: catches A-contained-in-B pairs
+# (sub-document duplication — a doc embedded inside a longer one) that
+# symmetric Jaccard under-scores: J = |A|/|B| for full containment, so
+# a short doc inside a 10x longer one scores 0.1 and never trips the
+# 0.8 Jaccard gate, while containment |A∩B|/min(|A|,|B|) = 1.0.
+# Candidate generation is the rare-shingle inverted index: only
+# shingles with document frequency in [2, DF_CAP] emit in-bucket pairs
+# (work bounded by DF_CAP² per shingle, never by corpus size — the
+# same df-capped postings trick Google's near-dup and suffix-index
+# dedup pipelines use). Recall caveat (documented, shared by the
+# oracle): a pair must share at least one rare shingle; pairs whose
+# every common shingle is corpus-frequent are not candidates.
+
+CONTAINMENT_DF_CAP = 5          # max document frequency of an index shingle
+CONTAINMENT_NUM = 9             # threshold 9/10: common*10 >= 9*min(n)
+CONTAINMENT_DEN = 10
+
+
+@register(
+    "dedup_containment",
+    oracle=f"""
+WITH {DOC_SETS_SQL.strip()},
+posts AS (
+  SELECT doc_id, unnest(sh) AS s FROM doc_sets
+),
+rare AS (
+  SELECT s FROM posts GROUP BY s
+  HAVING count(*) BETWEEN 2 AND {CONTAINMENT_DF_CAP}
+),
+cand AS (
+  SELECT DISTINCT p1.doc_id AS doc_a, p2.doc_id AS doc_b
+  FROM posts p1
+  JOIN rare r ON p1.s = r.s
+  JOIN posts p2 ON p2.s = p1.s AND p1.doc_id < p2.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       len(list_intersect(a.sh, b.sh)) AS n_common,
+       len(list_intersect(a.sh, b.sh))
+         / (CASE WHEN a.n < b.n THEN a.n ELSE b.n END) AS containment
+FROM cand c
+JOIN doc_sets_n a ON a.doc_id = c.doc_a
+JOIN doc_sets_n b ON b.doc_id = c.doc_b
+WHERE len(list_intersect(a.sh, b.sh)) * {CONTAINMENT_DEN}
+      >= {CONTAINMENT_NUM} * (CASE WHEN a.n < b.n THEN a.n ELSE b.n END)""",
+    doc="Containment (asymmetric) near-dup: |A∩B|/min(|A|,|B|) >= 0.9 "
+        "over candidates that share a rare shingle (df <= 5 inverted "
+        "index). Finds sub-document duplication Jaccard misses. The "
+        "threshold is an integer-product compare; verification joins "
+        "the persisted shingle index for candidates only. Work ∝ "
+        "df-capped collisions, not Σdf² and not corpus².",
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sets = _persisted_shingle_sets(spark, sf_dir)
+    posts = sets.select("doc_id", F.explode("sh").alias("s"))
+    # one pass over the postings: group by shingle, keep rare buckets,
+    # emit sorted in-bucket pair combinations (same combination expr as
+    # the LSH band buckets — no postings self-join, the 16-byte shingle
+    # keys shuffle once)
+    cand = (
+        posts.groupBy("s")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= CONTAINMENT_DF_CAP))
+        .select(F.explode(F.expr(
+            "flatten(transform(ids, (x, i) -> "
+            "transform(slice(ids, i + 2, size(ids) - i - 1), "
+            "y -> struct(x AS doc_a, y AS doc_b))))")).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
+    sa = sets.alias("ca")
+    sb = sets.alias("cb")
+    left = sa.join(cand, F.col("doc_a") == F.col("ca.doc_id")) \
+             .select("doc_a", "doc_b",
+                     F.col("ca.sh").alias("sh_a"), F.col("ca.n").alias("n_a"))
+    common = F.size(F.array_intersect(F.col("sh_a"), F.col("cb.sh")))
+    min_n = F.least(F.col("n_a"), F.col("cb.n"))
+    return (
+        sb.join(left, F.col("doc_b") == F.col("cb.doc_id"))
+        .select("doc_a", "doc_b",
+                common.cast("long").alias("n_common"),
+                (common / min_n).alias("containment"),
+                (common * CONTAINMENT_DEN >= CONTAINMENT_NUM * min_n)
+                .alias("_keep"))
+        .filter(F.col("_keep")).drop("_keep")
+    )

@@ -233,3 +233,49 @@ def q_events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.max("cents").cast("long").alias("max_cents"),
                  F.count(F.when(is_out, 1)).cast("long")
                   .alias("n_outliers_3sigma")))
+
+
+# ---------------------------------------------------------------------------
+# JSON property extraction rollup — ClickHouse's JSONExtract* family
+# (reference model stores typed props; semi-structured event payloads
+# are the common real-world shape). The extraction is a row-local
+# expression (Spark get_json_object / DuckDB json_extract_string), so
+# the scan stays a linear pass and the only shuffle is the 5-group
+# rollup. All reported moments are integer-exact (k is an integer in
+# the corpus; no double sums cross the hash gate).
+
+
+@register(
+    "events_props_json_stats",
+    oracle="""
+WITH k AS (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(k) AS BIGINT) AS n_with_k,
+       CAST(min(k) AS BIGINT) AS min_k,
+       CAST(max(k) AS BIGINT) AS max_k,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       CAST(count(DISTINCT k) AS BIGINT) AS distinct_k
+FROM k GROUP BY event_type""",
+    doc="JSONExtract parity: per-event-type rollup of the integer "
+        "props.k JSON field (count/min/max/sum/distinct). Extraction "
+        "is a row-local JVM expression — no UDF, no shuffle beyond "
+        "the tiny rollup; at scale the JSON parse fuses into the scan "
+        "pipeline under whole-stage codegen.",
+)
+def q_events_props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    k = events.select(
+        "event_type",
+        F.get_json_object("props", "$.k").cast("long").alias("k"))
+    return (k.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.count("k").cast("long").alias("n_with_k"),
+        F.min("k").cast("long").alias("min_k"),
+        F.max("k").cast("long").alias("max_k"),
+        F.sum("k").cast("long").alias("sum_k"),
+        F.countDistinct("k").cast("long").alias("distinct_k")))

@@ -478,3 +478,122 @@ def q_pipeline_bottomk_per_source(spark: SparkSession,
     w = Window.partitionBy("source").orderBy("sample_hash")
     return (h.withColumn("rk", F.row_number().over(w).cast("long"))
             .filter(F.col("rk") <= BOTTOMK_PER_SOURCE))
+
+
+# ---------------------------------------------------------------------------
+# Blocklist scrubbing: the C4-style bad-words pass every web-scale
+# training pipeline runs (C4 drops pages containing listed words;
+# production variants redact instead of dropping). Both behaviors in
+# one operator: occurrences are counted and REDACTED per doc, and docs
+# whose blocked-token ratio exceeds 5% are dropped. The blocklist terms
+# are chosen to be frequent in the synthetic corpus so both branches
+# are exercised at every SF. The ratio test is an integer-product
+# compare (n_blocked * 20 > n_tokens), never a float ratio, and the
+# redacted corpus is pinned by a per-source md5 checksum so the oracle
+# verifies byte-identical scrub output, not just counts.
+
+BLOCK_PATTERN = r"\b(slow|dup|spark)\b"   # word-boundary, RE2+Java compatible
+BLOCK_REDACTION = "[X]"
+
+
+@register(
+    "pipeline_blocklist_scrub",
+    oracle=rf"""
+WITH m AS (
+  SELECT source,
+         len(string_split(text, ' ')) AS n_tokens,
+         len(regexp_extract_all(text, '{BLOCK_PATTERN}')) AS n_blocked,
+         regexp_replace(text, '{BLOCK_PATTERN}', '{BLOCK_REDACTION}', 'g')
+           AS scrubbed
+  FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(CASE WHEN n_blocked * 20 > n_tokens THEN 1 END) AS BIGINT)
+         AS n_dropped,
+       CAST(sum(n_blocked) AS BIGINT) AS blocked_tokens,
+       CAST(sum(CASE WHEN n_blocked * 20 <= n_tokens
+                THEN ('0x' || substr(md5(scrubbed), 1, 8))::BIGINT
+                ELSE 0 END) AS BIGINT) AS scrub_checksum
+FROM m GROUP BY source""",
+    doc="C4-style blocklist pass: count + redact blocklisted words "
+        "(word-boundary regex, applied globally), drop docs whose "
+        "blocked ratio exceeds 5% (integer-product compare), and "
+        "checksum the redacted text of kept docs per source so the "
+        "oracle pins the scrub output byte-for-byte. Row-local regex "
+        "work stays JVM-side (regexp_count / regexp_replace); the only "
+        "shuffle is the final per-source rollup.",
+)
+def q_pipeline_blocklist_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    m = docs.select(
+        "source",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        F.regexp_count("text", F.lit(BLOCK_PATTERN)).cast("long")
+         .alias("n_blocked"),
+        F.regexp_replace("text", BLOCK_PATTERN, BLOCK_REDACTION)
+         .alias("scrubbed"))
+    dropped = F.col("n_blocked") * 20 > F.col("n_tokens")
+    kept_checksum = F.when(
+        ~dropped,
+        F.conv(F.substring(F.md5("scrubbed"), 1, 8), 16, 10).cast("long")
+    ).otherwise(F.lit(0))
+    return (m.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count(F.when(dropped, 1)).cast("long").alias("n_dropped"),
+        F.sum("n_blocked").cast("long").alias("blocked_tokens"),
+        F.sum(kept_checksum).cast("long").alias("scrub_checksum")))
+
+
+# ---------------------------------------------------------------------------
+# Deterministic epoch shuffle: the global training-order permutation +
+# shard assignment a dataloader consumes. Classic two-level design:
+# shard = hash bucket (pure row-local function), position within shard
+# = rank of the same hash. Reproducible across runs AND engines (no
+# rand()); changing EPOCH_SEED re-permutes everything. At 100 TB the
+# per-shard rank is the only non-row-local step, and it sorts each
+# shard independently after a shuffle on the shard key — raise
+# EPOCH_SHARDS so shards fit a reducer; there is never a global sort.
+
+EPOCH_SEED = "epoch0|"
+EPOCH_SHARDS = 8
+
+
+@register(
+    "pipeline_epoch_shuffle",
+    oracle=f"""
+WITH h AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         md5('{EPOCH_SEED}' || CAST(doc_id AS VARCHAR)) AS shuffle_hash
+  FROM documents
+),
+s AS (
+  SELECT *, ('0x' || substr(shuffle_hash, 1, 8))::BIGINT % {EPOCH_SHARDS}
+           AS shard
+  FROM h
+)
+SELECT doc_id, n_tokens, shuffle_hash, CAST(shard AS BIGINT) AS shard,
+       CAST(row_number() OVER (PARTITION BY shard
+                               ORDER BY shuffle_hash, doc_id) AS BIGINT)
+         AS pos
+FROM s""",
+    doc="Deterministic epoch shuffle for training dataloaders: salted-"
+        "hash permutation split into hash shards with an in-shard "
+        "position rank. Seed change => new permutation; identical "
+        "output on every engine/run (no rand()). One shuffle on the "
+        "shard key; per-shard sort only — no global sort at any scale.",
+)
+def q_pipeline_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        F.md5(F.concat(F.lit(EPOCH_SEED), F.col("doc_id").cast("string")))
+         .alias("shuffle_hash"))
+    s = h.withColumn(
+        "shard",
+        (F.conv(F.substring("shuffle_hash", 1, 8), 16, 10).cast("long")
+         % EPOCH_SHARDS))
+    w = Window.partitionBy("shard").orderBy("shuffle_hash", "doc_id")
+    return s.withColumn("pos", F.row_number().over(w).cast("long"))

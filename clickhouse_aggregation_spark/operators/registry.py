@@ -168,6 +168,22 @@ EXTRAS: tuple[str, ...] = (
     #     FAISS production composition of the driver-checked IVF and PQ
     #     paths)
     "similarity_ivfpq_residual",
+    #   pipeline_blocklist_scrub — C4-style bad-words redaction + drop
+    #     gate with a byte-exact scrub checksum; quality-gate family
+    #     driver-checked via pipeline_clean_corpus
+    "pipeline_blocklist_scrub",
+    #   pipeline_epoch_shuffle — deterministic training-order shard +
+    #     position permutation; hash-gate family driver-checked via
+    #     pipeline_split_assign
+    "pipeline_epoch_shuffle",
+    #   events_props_json_stats — JSONExtract rollup parity (row-local
+    #     JSON parse); JSON path machinery also inside the declared
+    #     events_funnel_depth's sibling events_sequence_match
+    "events_props_json_stats",
+    #   dedup_containment — asymmetric containment near-dup over a
+    #     df-capped rare-shingle inverted index; dedup family driver-
+    #     checked via dedup_minhash_lsh/survivors/clusters
+    "dedup_containment",
     # Round-3 rotation: 18 long-stable same-family variants rotate out
     # so the never-driver-checked round-2 flagships (11 TPC-H suite
     # shapes, behavior analytics, tf-idf, curation top-N, label

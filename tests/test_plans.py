@@ -261,3 +261,41 @@ def test_ivfpq_residual_broadcasts_index_sides(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") >= 4
     assert "CartesianProduct" not in plan
     assert "min_by" in plan
+
+
+def test_blocklist_scrub_single_pass_no_join(spark, sf_dir):
+    """Redaction + ratio gate + checksum are row-local expressions:
+    one linear scan, the only exchange pair is the per-source rollup,
+    and the regex work stays inside whole-stage codegen."""
+    plan = _plan(spark, sf_dir, "pipeline_blocklist_scrub")
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 2          # partial + final agg
+    assert "BatchEvalPython" not in plan        # no Python in the path
+
+
+def test_epoch_shuffle_partitions_by_shard_no_global_sort(spark, sf_dir):
+    """The epoch permutation ranks within hash shards: the exchange is
+    hashpartitioning on the shard key, and every Sort is per-partition
+    (global=false) — a global sort would serialize the corpus."""
+    plan = _plan(spark, sf_dir, "pipeline_epoch_shuffle")
+    assert "hashpartitioning(shard" in plan
+    assert "rangepartitioning" not in plan      # = no global sort
+    assert "Join" not in plan
+
+
+def test_props_json_stats_no_python_no_join(spark, sf_dir):
+    """get_json_object must stay a JVM expression fused into the scan
+    stage — a Python UDF here would put every row through Arrow."""
+    plan = _plan(spark, sf_dir, "events_props_json_stats")
+    assert "BatchEvalPython" not in plan
+    assert "Join" not in plan
+
+
+def test_containment_candidates_no_cartesian_reuse_index(spark, sf_dir):
+    """Containment candidates come from the df-capped inverted index
+    (groupBy + in-bucket combinations), never a postings self-join or
+    cartesian; verification reuses the persisted shingle index."""
+    plan = _plan(spark, sf_dir, "dedup_containment")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "InMemoryTableScan" in plan          # persisted shingle sets

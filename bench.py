@@ -117,6 +117,15 @@ HEADLINE = [
     "events_value_outliers",
     "text_weighted_length_quantiles",
     "similarity_ivfpq_residual",
+    # round 3, eleventh/twelfth batches: blocklist scrub, epoch
+    # shuffle, JSON stats, containment dedup, HLL merge, novelty rate
+    "pipeline_blocklist_scrub",
+    "pipeline_epoch_shuffle",
+    "events_props_json_stats",
+    "dedup_containment",
+    "uniq_hll_merge_rollup",
+    "text_novel_trigram_rate",
+    "dedup_simhash_hamming",
 ]
 
 # documented-quadratic exactness baselines (scale paths are the LSH/IVF

@@ -641,3 +641,131 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("_keep"))
         .filter(F.col("_keep")).drop("_keep")
     )
+
+
+# ---------------------------------------------------------------------------
+# Manku-style SimHash Hamming-distance neighbor join (Manku, Jain &
+# Sarma, WWW'07 — the production Google near-dup algorithm). The
+# 16-bit dedup_simhash groups only IDENTICAL fingerprints; real
+# near-dups differ in a few bits. This operator widens the fingerprint
+# to 60 bits (15 md5 hex chars; stays positive in int64) and finds all
+# pairs with Hamming distance <= 3 via the block-pigeonhole trick:
+# split the code into 6 blocks of 10 bits — 3 differing bits can ruin
+# at most 3 blocks, so every Hamming<=3 pair agrees on >= 1 whole
+# block. Candidates = pairs sharing any (block_id, block_value) key;
+# verification = one bit_count(xor) per candidate. Random 60-bit codes
+# collide on a block with p = 6/1024, so candidate volume is ~0.6% of
+# all pairs and survivors are genuine near-dups, not noise.
+
+SIMHASH_NBITS = 60
+SIMHASH_BLOCK_BITS = 10
+SIMHASH_NBLOCKS = 6            # 60 / 10; >= HAMMING_MAX + 1 (pigeonhole)
+HAMMING_MAX = 3
+_BLOCK_MASK = (1 << SIMHASH_BLOCK_BITS) - 1
+
+
+def _simhash60_sql() -> str:
+    """DuckDB CTEs computing the 60-bit sign-sum simhash per doc."""
+    sums = ",\n         ".join(
+        f"sum(2 * ((instr('0123456789abcdef', substr(h, {1 + b // 4}, 1)) - 1)"
+        f" // {2 ** (3 - b % 4)} % 2) - 1) AS s{b}"
+        for b in range(SIMHASH_NBITS))
+    code = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(SIMHASH_NBITS))
+    return f"""
+toks AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+th AS (
+  SELECT doc_id, md5(tok) AS h FROM toks
+),
+bits AS (
+  SELECT doc_id,
+         {sums}
+  FROM th GROUP BY doc_id
+),
+codes AS (
+  SELECT doc_id, CAST({code} AS BIGINT) AS code FROM bits
+)"""
+
+
+def simhash60_codes(docs: DataFrame) -> DataFrame:
+    """(doc_id, code): 60-bit sign-sum simhash over distinct tokens.
+    One map-side-combinable groupBy — linear at any corpus size."""
+    toks = (ensure_parallelism(docs)
+            .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+            .distinct()
+            .select("doc_id", F.md5("tok").alias("h")))
+    bit_sums = [
+        F.sum(
+            2 * ((F.expr(f"instr('0123456789abcdef', substr(h, {1 + b // 4}, 1)) - 1")
+                  .cast("long") / (2 ** (3 - b % 4))).cast("long") % 2) - 1
+        ).alias(f"s{b}")
+        for b in range(SIMHASH_NBITS)
+    ]
+    agg = toks.groupBy("doc_id").agg(*bit_sums)
+    code = None
+    for b in range(SIMHASH_NBITS):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        code = term if code is None else code + term
+    return agg.select("doc_id", code.cast("long").alias("code"))
+
+
+@register(
+    "dedup_simhash_hamming",
+    oracle=f"""
+WITH {_simhash60_sql().strip()},
+posts AS (
+  SELECT doc_id, code, j, (code >> (CAST(j AS INTEGER) * {SIMHASH_BLOCK_BITS}))
+                          & {_BLOCK_MASK} AS v
+  FROM codes, (SELECT unnest(range({SIMHASH_NBLOCKS})) AS j)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.code AS ca, b.code AS cb
+  FROM posts a
+  JOIN posts b ON a.j = b.j AND a.v = b.v AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(ca, cb)) AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(xor(ca, cb)) <= {HAMMING_MAX}""",
+    doc="Manku/WWW'07 simhash near-dup: 60-bit fingerprints, all pairs "
+        "at Hamming distance <= 3 via the block-pigeonhole candidate "
+        "join (6 blocks of 10 bits; any <=3-bit difference leaves a "
+        "whole block intact). One combinable fingerprint aggregate, "
+        "one equi-join on (block, value) keys via in-bucket "
+        "combinations, one bit_count(xor) verify per candidate — "
+        "work ∝ block collisions, never corpus².",
+)
+def q_dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    codes = simhash60_codes(docs)
+    block_structs = [
+        F.struct(F.lit(j).alias("j"),
+                 F.shiftright(F.col("code"), j * SIMHASH_BLOCK_BITS)
+                  .bitwiseAND(F.lit(_BLOCK_MASK)).alias("v"))
+        for j in range(SIMHASH_NBLOCKS)]
+    posts = (codes.select("doc_id", "code",
+                          F.explode(F.array(*block_structs)).alias("bv"))
+             .select("doc_id", "code", "bv.j", "bv.v"))
+    # in-bucket combinations (one shuffle on the block keys), same
+    # pattern as the MinHash band buckets — no posts self-join
+    cand = (
+        posts.groupBy("j", "v")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "code")))
+              .alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(F.explode(F.expr(
+            "flatten(transform(ids, (x, i) -> "
+            "transform(slice(ids, i + 2, size(ids) - i - 1), "
+            "y -> struct(x.doc_id AS doc_a, y.doc_id AS doc_b, "
+            "x.code AS ca, y.code AS cb))))")).alias("p"))
+        .select("p.doc_a", "p.doc_b", "p.ca", "p.cb")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("ca").bitwiseXOR(F.col("cb")))
+    return (cand.select("doc_a", "doc_b",
+                        hamming.cast("long").alias("hamming"))
+            .filter(F.col("hamming") <= HAMMING_MAX))

@@ -184,6 +184,19 @@ EXTRAS: tuple[str, ...] = (
     #     df-capped rare-shingle inverted index; dedup family driver-
     #     checked via dedup_minhash_lsh/survivors/clusters
     "dedup_containment",
+    #   uniq_hll_merge_rollup — uniqState/uniqMerge parity (daily HLL
+    #     sketches union-merged, tolerance-gated vs exact); sketch
+    #     family driver-checked via approx_uniq_tolerance
+    "uniq_hll_merge_rollup",
+    #   text_novel_trigram_rate — cross-doc novelty (corpus-rare
+    #     trigram share) quality rule; within-doc sibling
+    #     text_repetition_stats, df machinery via text_tfidf_topk
+    "text_novel_trigram_rate",
+    #   dedup_simhash_hamming — Manku-style Hamming<=3 simhash
+    #     neighbor join (60-bit codes, block-pigeonhole candidates);
+    #     identical-code sibling dedup_simhash, LSH-bucket machinery
+    #     driver-checked via dedup_minhash_lsh
+    "dedup_simhash_hamming",
     # Round-3 rotation: 18 long-stable same-family variants rotate out
     # so the never-driver-checked round-2 flagships (11 TPC-H suite
     # shapes, behavior analytics, tf-idf, curation top-N, label

@@ -474,3 +474,61 @@ def q_mv_daily_with_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.coalesce(F.col("tx_count"), F.lit(0)).cast("long")
                  .alias("tx_count"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable-sketch re-aggregation (A3 + A5 composed, batch form): the
+# ClickHouse uniqState/uniqMerge contract — per-day HLL sketch states
+# union-merged into a global estimate WITHOUT touching raw rows again.
+# This is the sketch path the streaming maintainer uses incrementally
+# (streaming/maintainer.py hll_union_agg); here it gets a batch twin
+# under the external hash gate. Estimates are engine-specific, so the
+# checked claim is the approx_uniq_tolerance pattern: the merged
+# estimate must land within 5% (+3 absolute) of the exact global
+# distinct — the oracle predicts within-tolerance for the merge, and
+# exact values for everything else. At 100 TB the daily sketch table
+# is ~KB per day; re-aggregation cost is independent of corpus size.
+
+
+@register(
+    "uniq_hll_merge_rollup",
+    oracle=oracle("""
+, daily AS (
+  SELECT cast(block_number as bigint) // 7200 AS block_range,
+         count(DISTINCT from_address) AS exact_day
+  FROM transfers WHERE _sign = 1 GROUP BY 1
+),
+tot AS (
+  SELECT count(DISTINCT from_address) AS exact_total
+  FROM transfers WHERE _sign = 1
+)
+SELECT CAST((SELECT count(*) FROM daily) AS BIGINT) AS n_days,
+       CAST((SELECT sum(exact_day) FROM daily) AS BIGINT) AS sum_daily_exact,
+       CAST((SELECT exact_total FROM tot) AS BIGINT) AS exact_total,
+       CAST(1 AS BIGINT) AS merged_within_tol"""),
+    doc="uniqState/uniqMerge parity: per-day HLL sketches (lgK=14) "
+        "union-merged to one global estimate, gated within 5%+3 of "
+        "the exact global count(DISTINCT). Daily partials + exact "
+        "totals are hash-checked exactly; the estimate crosses the "
+        "gate as a within-tolerance boolean (sketch bits are engine-"
+        "specific by design). Merge cost ∝ days, not rows.",
+    tags=("approx",),
+)
+def q_uniq_hll_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lv = live(transfers_df(spark, sf_dir))
+    daily = (
+        lv.groupBy(block_range_day(F.col("block_number")).alias("block_range"))
+        .agg(F.expr("hll_sketch_agg(from_address, 14)").alias("sk"),
+             F.countDistinct("from_address").alias("exact_day")))
+    merged = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("exact_day").cast("long").alias("sum_daily_exact"),
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est"))
+    total = lv.agg(
+        F.countDistinct("from_address").cast("long").alias("exact_total"))
+    j = merged.crossJoin(F.broadcast(total))   # two 1-row frames
+    tol = F.greatest(F.lit(0.05) * F.col("exact_total"), F.lit(3))
+    return j.select(
+        "n_days", "sum_daily_exact", "exact_total",
+        (F.abs(F.col("est") - F.col("exact_total")) <= tol)
+        .cast("long").alias("merged_within_tol"))

@@ -516,3 +516,87 @@ def q_text_weighted_length_quantiles(spark: SparkSession,
             .groupBy("lang", F.col("pct").cast("long").alias("pct"))
             .agg(F.min("v").cast("long").alias("wq_tokens"),
                  F.max("tw").cast("long").alias("total_weight")))
+
+
+# ---------------------------------------------------------------------------
+# Cross-document novelty: the fraction of a doc's distinct trigrams
+# that are corpus-rare (document frequency <= 2). High novelty = text
+# sharing almost no phrasing with the rest of the corpus — the
+# gibberish/noise signal quality pipelines pair with the WITHIN-doc
+# repetition rules (text_repetition_stats). Same df-index machinery as
+# tf-idf, different consumer: a per-doc integer rate + threshold flag
+# instead of a per-term score. All compares are integer products.
+
+NOVEL_DF_CAP = 2        # trigram is "rare" when its doc frequency <= 2
+NOVEL_NUM = 3           # flag when rare_trigram share > 3/4
+NOVEL_DEN = 4
+
+
+@register(
+    "text_novel_trigram_rate",
+    oracle=f"""
+WITH words AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+),
+tg AS (
+  SELECT doc_id, lang,
+         list_distinct(list_transform(range(1, len(w) - 1),
+                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS tgs
+  FROM words
+),
+posts AS (
+  SELECT doc_id, unnest(tgs) AS t FROM tg
+),
+dfreq AS (
+  SELECT t FROM posts GROUP BY t HAVING count(*) <= {NOVEL_DF_CAP}
+),
+rare_per_doc AS (
+  SELECT p.doc_id, count(*) AS n_rare
+  FROM posts p JOIN dfreq d ON d.t = p.t
+  GROUP BY p.doc_id
+),
+m AS (
+  SELECT tg.doc_id, tg.lang, len(tgs) AS n_tg,
+         COALESCE(r.n_rare, 0) AS n_rare
+  FROM tg LEFT JOIN rare_per_doc r ON r.doc_id = tg.doc_id
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tg) AS BIGINT) AS sum_trigrams,
+       CAST(sum(n_rare) AS BIGINT) AS sum_rare,
+       CAST(count(CASE WHEN n_rare * {NOVEL_DEN} > {NOVEL_NUM} * n_tg
+                  THEN 1 END) AS BIGINT) AS n_flagged
+FROM m GROUP BY lang""",
+    doc="Cross-doc novelty rate: share of each doc's distinct trigrams "
+        "with corpus df <= 2, flagged when above 3/4 (integer-product "
+        "compare), rolled up per lang. The complement of the within-"
+        "doc repetition rules — catches text that shares no phrasing "
+        "with the corpus. Inverted-index equi-joins only; the df "
+        "filter keeps the rare-postings join small.",
+)
+def q_text_novel_trigram_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # consume the session-persisted trigram-set index (same trigrams as
+    # the dedup family: distinct whitespace 3-grams, docs >= 3 words) —
+    # three consumers below (df counts, rare join, per-doc totals)
+    # would otherwise each recompute the trigram arrays from text
+    from .dedup import _persisted_shingle_sets
+    docs = load_table(spark, sf_dir, "documents")
+    sets = _persisted_shingle_sets(spark, sf_dir)      # doc_id, sh, n
+    posts = sets.select("doc_id", F.explode("sh").alias("t"))
+    dfreq = posts.groupBy("t").agg(F.count(F.lit(1)).alias("c")) \
+                 .filter(F.col("c") <= NOVEL_DF_CAP).select("t")
+    rare = (posts.join(dfreq, "t")
+            .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_rare")))
+    m = (sets.select("doc_id", F.col("n").alias("n_tg"))
+         .join(docs.select("doc_id", "lang"), "doc_id")
+         .join(rare, "doc_id", "left")
+         .select("lang", "n_tg",
+                 F.coalesce(F.col("n_rare"), F.lit(0)).alias("n_rare")))
+    return (m.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tg").cast("long").alias("sum_trigrams"),
+        F.sum("n_rare").cast("long").alias("sum_rare"),
+        F.count(F.when(F.col("n_rare") * NOVEL_DEN
+                       > NOVEL_NUM * F.col("n_tg"), 1)).cast("long")
+         .alias("n_flagged")))

@@ -299,3 +299,33 @@ def test_containment_candidates_no_cartesian_reuse_index(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "InMemoryTableScan" in plan          # persisted shingle sets
+
+
+def test_hll_merge_rollup_one_row_broadcast_join(spark, sf_dir):
+    """The exact-total frame is one row: it must join the merged-
+    sketch row as a broadcast (1x1), never shuffle, and the sketch
+    merge itself is a two-phase aggregate over the daily partials."""
+    plan = _plan(spark, sf_dir, "uniq_hll_merge_rollup")
+    assert plan.count("CartesianProduct") == 0
+    assert plan.count("BroadcastNestedLoopJoin") <= 1   # the 1x1 join
+    assert "hll_union_agg" in plan or "hll_sketch" in plan.lower()
+
+
+def test_novel_trigram_rate_equi_joins_only(spark, sf_dir):
+    """df-index and rare-postings joins must be equi hash/merge joins
+    on the trigram / doc_id keys — no cartesian, no Python."""
+    plan = _plan(spark, sf_dir, "text_novel_trigram_rate")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_simhash_hamming_bucket_join_no_cartesian(spark, sf_dir):
+    """Hamming-neighbor candidates come from in-bucket combinations
+    over (block, value) keys — one fingerprint aggregate, no posts
+    self-join recomputing it, no cartesian verify."""
+    plan = _plan(spark, sf_dir, "dedup_simhash_hamming")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the 60-bit fingerprint groupBy appears once, not once per side
+    assert plan.count("partial_sum") <= 70

@@ -126,6 +126,8 @@ HEADLINE = [
     "uniq_hll_merge_rollup",
     "text_novel_trigram_rate",
     "dedup_simhash_hamming",
+    "orders_brand_basket_lift",
+    "dedup_source_overlap",
 ]
 
 # documented-quadratic exactness baselines (scale paths are the LSH/IVF

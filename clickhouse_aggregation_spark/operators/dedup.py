@@ -644,31 +644,45 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Manku-style SimHash Hamming-distance neighbor join (Manku, Jain &
-# Sarma, WWW'07 — the production Google near-dup algorithm). The
-# 16-bit dedup_simhash groups only IDENTICAL fingerprints; real
-# near-dups differ in a few bits. This operator widens the fingerprint
-# to 60 bits (15 md5 hex chars; stays positive in int64) and finds all
-# pairs with Hamming distance <= 3 via the block-pigeonhole trick:
-# split the code into 6 blocks of 10 bits — 3 differing bits can ruin
-# at most 3 blocks, so every Hamming<=3 pair agrees on >= 1 whole
-# block. Candidates = pairs sharing any (block_id, block_value) key;
-# verification = one bit_count(xor) per candidate. Random 60-bit codes
-# collide on a block with p = 6/1024, so candidate volume is ~0.6% of
-# all pairs and survivors are genuine near-dups, not noise.
+# Manku-style SimHash Hamming-distance near-dup (Manku, Jain & Sarma,
+# WWW'07 — the production Google near-dup algorithm). The 16-bit
+# dedup_simhash groups only IDENTICAL fingerprints; real near-dups
+# differ in a few bits. This operator widens the fingerprint to 60
+# bits (15 md5 hex chars; stays positive in int64) and counts all doc
+# pairs at Hamming distance <= 3, reported as a distance histogram.
+#
+# Scale design (the Manku table construction): docs collapse to
+# DISTINCT codes with multiplicities first (identical-code groups are
+# exactly the dup clusters), then candidates come from C(6,3) = 20
+# super-block keys — each key concatenates 3 of the 6 ten-bit blocks
+# into a 30-bit value. Any <= 3 differing bits ruin at most 3 blocks,
+# leaving 3 intact blocks whose combination is one of the 20 keys, so
+# recall is exact (pigeonhole); 30-bit agreement makes random
+# collisions ~2^-30, so candidate volume tracks true near-dups, not
+# block-level noise (the first cut used single 10-bit block keys and
+# drowned in 8M candidates on a clustered corpus). The ORACLE is the
+# all-code-pairs brute force over the distinct-code groups — candidate
+# generation does not appear in it at all, so the hash gate
+# independently PROVES the pigeonhole recall claim, not just
+# consistency with the same candidate rule.
 
 SIMHASH_NBITS = 60
 SIMHASH_BLOCK_BITS = 10
 SIMHASH_NBLOCKS = 6            # 60 / 10; >= HAMMING_MAX + 1 (pigeonhole)
 HAMMING_MAX = 3
 _BLOCK_MASK = (1 << SIMHASH_BLOCK_BITS) - 1
+_BLOCK_TRIPLES = [(a, b, c)
+                  for a in range(SIMHASH_NBLOCKS)
+                  for b in range(a + 1, SIMHASH_NBLOCKS)
+                  for c in range(b + 1, SIMHASH_NBLOCKS)]   # C(6,3) = 20
 
 
 def _simhash60_sql() -> str:
-    """DuckDB CTEs computing the 60-bit sign-sum simhash per doc."""
+    """DuckDB CTEs: distinct-code groups of the 60-bit sign-sum
+    simhash. Bit b of md5's leading 15 hex chars via one integer
+    parse + shift/and (cheap), sign-summed over distinct tokens."""
     sums = ",\n         ".join(
-        f"sum(2 * ((instr('0123456789abcdef', substr(h, {1 + b // 4}, 1)) - 1)"
-        f" // {2 ** (3 - b % 4)} % 2) - 1) AS s{b}"
+        f"sum(2 * ((hv >> {b}) & 1) - 1) AS s{b}"
         for b in range(SIMHASH_NBITS))
     code = " + ".join(
         f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)"
@@ -677,95 +691,160 @@ def _simhash60_sql() -> str:
 toks AS (
   SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
 ),
-th AS (
-  SELECT doc_id, md5(tok) AS h FROM toks
+tv AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv FROM toks
 ),
 bits AS (
   SELECT doc_id,
          {sums}
-  FROM th GROUP BY doc_id
+  FROM tv GROUP BY doc_id
 ),
 codes AS (
   SELECT doc_id, CAST({code} AS BIGINT) AS code FROM bits
+),
+groups AS (
+  SELECT code, count(*) AS cnt FROM codes GROUP BY code
 )"""
 
 
-def simhash60_codes(docs: DataFrame) -> DataFrame:
-    """(doc_id, code): 60-bit sign-sum simhash over distinct tokens.
-    One map-side-combinable groupBy — linear at any corpus size."""
-    toks = (ensure_parallelism(docs)
-            .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
-            .distinct()
-            .select("doc_id", F.md5("tok").alias("h")))
+def simhash60_groups(docs: DataFrame) -> DataFrame:
+    """(code, cnt): distinct 60-bit sign-sum simhash codes with their
+    multiplicities. Two combinable groupBys — linear at any scale; the
+    group table is |distinct codes| rows, the dup-compressed corpus."""
+    tv = (ensure_parallelism(docs)
+          .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+          .distinct()
+          .select("doc_id",
+                  F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10)
+                  .cast("long").alias("hv")))
     bit_sums = [
-        F.sum(
-            2 * ((F.expr(f"instr('0123456789abcdef', substr(h, {1 + b // 4}, 1)) - 1")
-                  .cast("long") / (2 ** (3 - b % 4))).cast("long") % 2) - 1
-        ).alias(f"s{b}")
+        F.sum(2 * F.shiftright(F.col("hv"), b).bitwiseAND(F.lit(1)) - 1)
+         .alias(f"s{b}")
         for b in range(SIMHASH_NBITS)
     ]
-    agg = toks.groupBy("doc_id").agg(*bit_sums)
+    agg = tv.groupBy("doc_id").agg(*bit_sums)
     code = None
     for b in range(SIMHASH_NBITS):
         term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
         code = term if code is None else code + term
-    return agg.select("doc_id", code.cast("long").alias("code"))
+    return (agg.select(code.cast("long").alias("code"))
+            .groupBy("code").agg(F.count(F.lit(1)).alias("cnt")))
 
 
 @register(
     "dedup_simhash_hamming",
     oracle=f"""
 WITH {_simhash60_sql().strip()},
-posts AS (
-  SELECT doc_id, code, j, (code >> (CAST(j AS INTEGER) * {SIMHASH_BLOCK_BITS}))
-                          & {_BLOCK_MASK} AS v
-  FROM codes, (SELECT unnest(range({SIMHASH_NBLOCKS})) AS j)
+inter AS (
+  SELECT bit_count(xor(a.code, b.code)) AS hamming,
+         a.cnt * b.cnt AS w
+  FROM groups a JOIN groups b ON a.code < b.code
+  WHERE bit_count(xor(a.code, b.code)) <= {HAMMING_MAX}
 ),
-cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                  a.code AS ca, b.code AS cb
-  FROM posts a
-  JOIN posts b ON a.j = b.j AND a.v = b.v AND a.doc_id < b.doc_id
+rows_ AS (
+  SELECT 0 AS hamming, cnt * (cnt - 1) // 2 AS w FROM groups WHERE cnt > 1
+  UNION ALL
+  SELECT hamming, w FROM inter
 )
-SELECT doc_a, doc_b,
-       CAST(bit_count(xor(ca, cb)) AS BIGINT) AS hamming
-FROM cand
-WHERE bit_count(xor(ca, cb)) <= {HAMMING_MAX}""",
-    doc="Manku/WWW'07 simhash near-dup: 60-bit fingerprints, all pairs "
-        "at Hamming distance <= 3 via the block-pigeonhole candidate "
-        "join (6 blocks of 10 bits; any <=3-bit difference leaves a "
-        "whole block intact). One combinable fingerprint aggregate, "
-        "one equi-join on (block, value) keys via in-bucket "
-        "combinations, one bit_count(xor) verify per candidate — "
-        "work ∝ block collisions, never corpus².",
+SELECT CAST(hamming AS BIGINT) AS hamming,
+       CAST(sum(w) AS BIGINT) AS n_pairs
+FROM rows_ GROUP BY hamming""",
+    doc="Manku/WWW'07 simhash near-dup: 60-bit fingerprints, doc-pair "
+        "counts per Hamming distance <= 3. Docs collapse to distinct-"
+        "code groups; candidates come from the 20 three-block "
+        "super-keys (exact recall by pigeonhole); verify is one "
+        "bit_count(xor) per candidate; pair counts weight by group "
+        "multiplicities. The oracle brute-forces ALL code pairs — it "
+        "never sees the candidate rule, so the gate proves recall.",
 )
 def q_dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    codes = simhash60_codes(docs)
-    block_structs = [
-        F.struct(F.lit(j).alias("j"),
-                 F.shiftright(F.col("code"), j * SIMHASH_BLOCK_BITS)
-                  .bitwiseAND(F.lit(_BLOCK_MASK)).alias("v"))
-        for j in range(SIMHASH_NBLOCKS)]
-    posts = (codes.select("doc_id", "code",
-                          F.explode(F.array(*block_structs)).alias("bv"))
-             .select("doc_id", "code", "bv.j", "bv.v"))
-    # in-bucket combinations (one shuffle on the block keys), same
-    # pattern as the MinHash band buckets — no posts self-join
+    groups = simhash60_groups(docs)
+    key_structs = []
+    for t, (a, b, c) in enumerate(_BLOCK_TRIPLES):
+        kv = None
+        for blk in (a, b, c):
+            part = F.shiftright(F.col("code"), blk * SIMHASH_BLOCK_BITS)                     .bitwiseAND(F.lit(_BLOCK_MASK))
+            kv = part if kv is None else                 F.shiftleft(kv, SIMHASH_BLOCK_BITS) + part
+        key_structs.append(F.struct(F.lit(t).alias("t"), kv.alias("kv")))
+    posts = (groups.select("code", "cnt",
+                           F.explode(F.array(*key_structs)).alias("k"))
+             .select("code", "cnt", "k.t", "k.kv"))
+    # in-bucket combinations over (table, super-key) — candidates are
+    # DISTINCT-code pairs agreeing on >= 3 whole blocks
     cand = (
-        posts.groupBy("j", "v")
-        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "code")))
+        posts.groupBy("t", "kv")
+        .agg(F.sort_array(F.collect_list(F.struct("code", "cnt")))
               .alias("ids"))
         .filter(F.size("ids") > 1)
         .select(F.explode(F.expr(
             "flatten(transform(ids, (x, i) -> "
             "transform(slice(ids, i + 2, size(ids) - i - 1), "
-            "y -> struct(x.doc_id AS doc_a, y.doc_id AS doc_b, "
-            "x.code AS ca, y.code AS cb))))")).alias("p"))
-        .select("p.doc_a", "p.doc_b", "p.ca", "p.cb")
+            "y -> struct(x.code AS ca, y.code AS cb, "
+            "x.cnt AS cnt_a, y.cnt AS cnt_b))))")).alias("p"))
+        .select("p.ca", "p.cb", "p.cnt_a", "p.cnt_b")
         .distinct()
     )
     hamming = F.bit_count(F.col("ca").bitwiseXOR(F.col("cb")))
-    return (cand.select("doc_a", "doc_b",
-                        hamming.cast("long").alias("hamming"))
-            .filter(F.col("hamming") <= HAMMING_MAX))
+    inter = (cand.select(hamming.alias("hamming"),
+                         (F.col("cnt_a") * F.col("cnt_b")).alias("w"))
+             .filter(F.col("hamming") <= HAMMING_MAX))
+    intra = (groups.filter(F.col("cnt") > 1)
+             .select(F.lit(0).alias("hamming"),
+                     (F.col("cnt") * (F.col("cnt") - 1) / F.lit(2))
+                     .cast("long").alias("w")))
+    return (intra.unionByName(inter)
+            .groupBy(F.col("hamming").cast("long").alias("hamming"))
+            .agg(F.sum("w").cast("long").alias("n_pairs")))
+
+
+# ---------------------------------------------------------------------------
+# Cross-source duplication overlap: the "how much of source A is
+# duplicated in source B" matrix every corpus-curation team builds
+# before deciding mixture weights (duplicated web dumps inflate a
+# source's apparent size). Consumes the session-persisted confirmed
+# MinHash pair set — zero LSH work here, just two dimension joins on
+# doc_id and a tiny rollup.
+
+
+@register(
+    "dedup_source_overlap",
+    oracle=f"""
+WITH {DOC_SETS_SQL.strip()},
+{_minhash_sql().strip()},
+pairs AS (
+  SELECT c.doc_a, c.doc_b
+  FROM candidates c
+  JOIN doc_sets_n a ON a.doc_id = c.doc_a
+  JOIN doc_sets_n b ON b.doc_id = c.doc_b
+  WHERE len(list_intersect(a.sh, b.sh))
+          / (a.n + b.n - len(list_intersect(a.sh, b.sh)))
+        >= {JACCARD_THRESHOLD}
+)
+SELECT da.source AS source_a, db.source AS source_b,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(count(DISTINCT p.doc_a) AS BIGINT) AS n_docs_a,
+       CAST(count(DISTINCT p.doc_b) AS BIGINT) AS n_docs_b
+FROM pairs p
+JOIN documents da ON da.doc_id = p.doc_a
+JOIN documents db ON db.doc_id = p.doc_b
+GROUP BY 1, 2""",
+    doc="Near-dup overlap matrix between sources: confirmed MinHash "
+        "pairs (cached per session) joined to each side's source, "
+        "rolled up to pair and distinct-doc counts per (source_a, "
+        "source_b). The curation signal for mixture weights. Work = "
+        "two doc_id equi-joins over the persisted pair set + one "
+        "|sources|² rollup; no LSH recompute.",
+)
+def q_dedup_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    pairs = confirmed_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    da = docs.select(F.col("doc_id").alias("doc_a"),
+                     F.col("source").alias("source_a"))
+    db = docs.select(F.col("doc_id").alias("doc_b"),
+                     F.col("source").alias("source_b"))
+    return (pairs.join(da, "doc_a").join(db, "doc_b")
+            .groupBy("source_a", "source_b")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"),
+                 F.countDistinct("doc_a").cast("long").alias("n_docs_a"),
+                 F.countDistinct("doc_b").cast("long").alias("n_docs_b")))

@@ -197,6 +197,14 @@ EXTRAS: tuple[str, ...] = (
     #     identical-code sibling dedup_simhash, LSH-bucket machinery
     #     driver-checked via dedup_minhash_lsh
     "dedup_simhash_hamming",
+    #   orders_brand_basket_lift — frequent 2-itemsets + lift over
+    #     order baskets (Apriori level 2); join/rollup machinery
+    #     driver-checked via the TPC-H suite shapes
+    "orders_brand_basket_lift",
+    #   dedup_source_overlap — cross-source near-dup overlap matrix
+    #     over the cached confirmed-pairs set; pair machinery driver-
+    #     checked via dedup_minhash_lsh
+    "dedup_source_overlap",
     # Round-3 rotation: 18 long-stable same-family variants rotate out
     # so the never-driver-checked round-2 flagships (11 TPC-H suite
     # shapes, behavior analytics, tf-idf, curation top-N, label

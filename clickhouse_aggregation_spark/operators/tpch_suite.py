@@ -679,3 +679,100 @@ def q_bulk_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_suppkey", "s_name", "n_name")
         .agg(F.count(F.lit(1)).alias("n_bulk_parts"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket analysis (beyond-reference): frequent 2-itemsets over
+# order baskets with support and lift — the association-rule building
+# block (Agrawal/Srikant Apriori's k=2 level) every retail OLAP stack
+# ships. Baskets are the distinct part brands per order; in-basket
+# pairs come from sorted collect_set combinations (baskets are small —
+# C(|basket|, 2) per order — so pair explosion is bounded by basket
+# size, never by catalog size), and the two singleton-count joins
+# broadcast the 25-row brand frequency table. Lift's integer inputs
+# are cast to double before multiplying so the expression never
+# overflows int64 at scale; both engines evaluate the identical
+# double expression.
+
+BASKET_MIN_PAIR_COUNT = 5      # min absolute pair support
+
+
+@register(
+    "orders_brand_basket_lift",
+    oracle=f"""
+WITH ob AS (
+  SELECT DISTINCT l.l_orderkey, p.p_brand
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+),
+singles AS (
+  SELECT p_brand, count(*) AS brand_orders FROM ob GROUP BY p_brand
+),
+tot AS (
+  SELECT count(DISTINCT l_orderkey) AS n_orders FROM ob
+),
+pc AS (
+  SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, count(*) AS pair_count
+  FROM ob a
+  JOIN ob b ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+  GROUP BY 1, 2
+)
+SELECT pc.brand_a, pc.brand_b,
+       CAST(pc.pair_count AS BIGINT) AS pair_count,
+       CAST(sa.brand_orders AS BIGINT) AS count_a,
+       CAST(sb.brand_orders AS BIGINT) AS count_b,
+       CAST(tot.n_orders AS BIGINT) AS n_orders,
+       (CAST(pc.pair_count AS DOUBLE) * CAST(tot.n_orders AS DOUBLE))
+         / (CAST(sa.brand_orders AS DOUBLE) * CAST(sb.brand_orders AS DOUBLE))
+         AS lift
+FROM pc
+JOIN singles sa ON sa.p_brand = pc.brand_a
+JOIN singles sb ON sb.p_brand = pc.brand_b
+CROSS JOIN tot
+WHERE pc.pair_count >= {BASKET_MIN_PAIR_COUNT}""",
+    doc="Frequent 2-itemsets with lift over order brand-baskets "
+        "(Apriori level 2). Baskets via collect_set per order, "
+        "in-basket sorted pair combinations (work ∝ Σ basket², "
+        "baskets are small), singleton counts and the 1-row order "
+        "total join back as broadcasts. Lift computed in double "
+        "from exact integer counts — overflow-safe at any scale.",
+)
+def q_orders_brand_basket_lift(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = load_table(spark, sf_dir, "part")
+    ob = (li.select("l_orderkey", "l_partkey")
+          .join(F.broadcast(pt.select("p_partkey", "p_brand")),
+                F.col("l_partkey") == F.col("p_partkey"))
+          .select("l_orderkey", "p_brand").distinct())
+    singles = ob.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("brand_orders"))
+    tot = ob.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    pairs = (
+        ob.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("p_brand")).alias("bs"))
+        .select(F.explode(F.expr(
+            "flatten(transform(bs, (x, i) -> "
+            "transform(slice(bs, i + 2, size(bs) - i - 1), "
+            "y -> struct(x AS brand_a, y AS brand_b))))")).alias("p"))
+        .select("p.brand_a", "p.brand_b"))
+    pc = pairs.groupBy("brand_a", "brand_b").agg(
+        F.count(F.lit(1)).alias("pair_count"))
+    sa = singles.select(F.col("p_brand").alias("brand_a"),
+                        F.col("brand_orders").alias("count_a"))
+    sb = singles.select(F.col("p_brand").alias("brand_b"),
+                        F.col("brand_orders").alias("count_b"))
+    lift = ((F.col("pair_count").cast("double")
+             * F.col("n_orders").cast("double"))
+            / (F.col("count_a").cast("double")
+               * F.col("count_b").cast("double")))
+    return (pc.filter(F.col("pair_count") >= BASKET_MIN_PAIR_COUNT)
+            .join(F.broadcast(sa), "brand_a")
+            .join(F.broadcast(sb), "brand_b")
+            .crossJoin(F.broadcast(tot))
+            .select("brand_a", "brand_b",
+                    F.col("pair_count").cast("long").alias("pair_count"),
+                    F.col("count_a").cast("long").alias("count_a"),
+                    F.col("count_b").cast("long").alias("count_b"),
+                    F.col("n_orders").cast("long").alias("n_orders"),
+                    lift.alias("lift")))
+

@@ -329,3 +329,21 @@ def test_simhash_hamming_bucket_join_no_cartesian(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     # the 60-bit fingerprint groupBy appears once, not once per side
     assert plan.count("partial_sum") <= 70
+
+
+def test_basket_lift_broadcasts_dims_and_counts(spark, sf_dir):
+    """Brand dim, singleton counts (25 rows) and the 1-row total must
+    all broadcast; pair generation is in-basket combinations, so the
+    only wide shuffles are the basket groupBy and the pair rollup."""
+    plan = _plan(spark, sf_dir, "orders_brand_basket_lift")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1   # the 1x1 total
+    assert plan.count("BroadcastHashJoin") >= 3         # part dim + 2 counts
+
+
+def test_source_overlap_reuses_cached_pairs(spark, sf_dir):
+    """The overlap matrix must consume the persisted confirmed-pairs
+    set (InMemoryTableScan), not re-run the LSH pipeline."""
+    plan = _plan(spark, sf_dir, "dedup_source_overlap")
+    assert "InMemoryTableScan" in plan
+    assert "CartesianProduct" not in plan

@@ -192,3 +192,65 @@ def test_kmeans_refinement_reduces_inertia(spark, sf_dir):
             for r in q_similarity_ivf_kmeans_refine(spark, sf_dir).collect()}
     assert rows[max(rows)] <= rows[0]
     assert all(r > 0 for r in rows.values())
+
+
+@given(st.integers(min_value=0, max_value=(1 << 60) - 1),
+       st.sets(st.integers(min_value=0, max_value=59),
+               min_size=0, max_size=3))
+@settings(max_examples=200, deadline=None)
+def test_simhash_superkey_cover_is_exact(code_a, flip_bits):
+    """The pigeonhole recall claim behind dedup_simhash_hamming, pinned
+    directly: ANY pair of 60-bit codes at Hamming distance <= 3 agrees
+    on at least one of the 20 three-block super-keys (and the verify
+    step makes precision exact, so cover = correctness)."""
+    from clickhouse_aggregation_spark.operators.dedup import (
+        HAMMING_MAX, SIMHASH_BLOCK_BITS, _BLOCK_MASK, _BLOCK_TRIPLES,
+    )
+    code_b = code_a
+    for b in flip_bits:
+        code_b ^= 1 << b
+    assert bin(code_a ^ code_b).count("1") <= HAMMING_MAX
+
+    def key(code, triple):
+        kv = 0
+        for blk in triple:
+            kv = (kv << SIMHASH_BLOCK_BITS) | \
+                ((code >> (blk * SIMHASH_BLOCK_BITS)) & _BLOCK_MASK)
+        return kv
+
+    assert any(key(code_a, t) == key(code_b, t) for t in _BLOCK_TRIPLES)
+
+
+@given(st.sets(st.integers(min_value=0, max_value=59), min_size=4,
+               max_size=10))
+@settings(max_examples=100, deadline=None)
+def test_simhash_superkey_cover_boundary(flip_bits):
+    """Sanity complement: at Hamming > 3 the cover MAY miss (4 flips
+    spread over 4 different blocks defeat every 3-block key) — i.e.
+    the radius bound in the operator is the real guarantee line, not
+    slack. Only asserts the documented miss CASE exists, not that
+    every >3 pair misses."""
+    from clickhouse_aggregation_spark.operators.dedup import (
+        SIMHASH_BLOCK_BITS, _BLOCK_MASK, _BLOCK_TRIPLES,
+    )
+    blocks_hit = {b // SIMHASH_BLOCK_BITS for b in flip_bits}
+    if len(blocks_hit) < 4:
+        return     # covered case, nothing to check
+
+    def key(code, triple):
+        kv = 0
+        for blk in triple:
+            kv = (kv << SIMHASH_BLOCK_BITS) | \
+                ((code >> (blk * SIMHASH_BLOCK_BITS)) & _BLOCK_MASK)
+        return kv
+
+    code_a = 0
+    code_b = 0
+    for b in flip_bits:
+        code_b ^= 1 << b
+    if len(blocks_hit) >= 4:
+        # a triple matches iff none of its blocks were hit; with >= 4
+        # distinct blocks hit, triples from the remaining <= 2 intact
+        # blocks don't exist -> no key can match
+        assert not any(key(code_a, t) == key(code_b, t)
+                       for t in _BLOCK_TRIPLES)

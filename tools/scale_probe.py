@@ -201,6 +201,35 @@ def main():
     print(f"IVF min_by cell assignment over {n_emb:,} vectors: "
           f"{time.perf_counter() - t0:.2f}s")
 
+    # Manku simhash at 100k docs: distinct-code compression first, then
+    # the 20 three-block super-keys — candidate volume must track true
+    # near-dups (the amplified corpus is dup-heavy on purpose)
+    from clickhouse_aggregation_spark.operators.dedup import (
+        HAMMING_MAX, simhash60_groups, _BLOCK_TRIPLES, _BLOCK_MASK,
+        SIMHASH_BLOCK_BITS,
+    )
+    t0 = time.perf_counter()
+    groups = simhash60_groups(big_docs).persist()
+    n_codes = groups.count()
+    key_structs = []
+    for t, (a, b, c) in enumerate(_BLOCK_TRIPLES):
+        kv = None
+        for blk in (a, b, c):
+            part = F.shiftright(F.col("code"), blk * SIMHASH_BLOCK_BITS) \
+                    .bitwiseAND(F.lit(_BLOCK_MASK))
+            kv = part if kv is None else \
+                F.shiftleft(kv, SIMHASH_BLOCK_BITS) + part
+        key_structs.append(F.struct(F.lit(t).alias("t"), kv.alias("kv")))
+    posts = groups.select("code", F.explode(F.array(*key_structs)).alias("k")) \
+                  .select("code", "k.t", "k.kv")
+    n_cand = (posts.groupBy("t", "kv").agg(F.count(F.lit(1)).alias("c"))
+              .filter(F.col("c") > 1)
+              .agg(F.sum(F.col("c") * (F.col("c") - 1) / 2)).first()[0])
+    print(f"simhash hamming<= {HAMMING_MAX} over 100k docs: "
+          f"{time.perf_counter() - t0:.2f}s, distinct codes {n_codes:,}, "
+          f"super-key candidate pairs ~{int(n_cand or 0):,}")
+    groups.unpersist()
+
 
 if __name__ == "__main__":
     main()

@@ -23,6 +23,18 @@ quadratically in the replica factor — the operator's work is ∝
 verified collisions by design, and here the collisions are the
 answer, not overhead. Real corpora carry percent-level dup density,
 not 50x saturation.
+
+Batch-15 re-run (same box): minhash candidates 16.6s (4.08M pairs),
+contamination 17.6s (198k flagged), PQ rerank 8.8s, sign-LSH
+embedding near-dup 151s (2.47M pairs — the saturation caveat above),
+IVF min_by 9.5s, exact quantiles 2.5s vs 5.5s reducer-sort, and the
+new Manku simhash stage: 100k docs -> 58,826 distinct codes, 12.8M
+three-block super-key candidate pairs in 8.6s. The candidate count
+carries the same saturation caveat: 20 near-replicas of every doc
+mean most code pairs genuinely are Hamming-close, so candidates
+track the (quadratic-by-construction) true answer; at percent-level
+dup density candidates shrink proportionally while the 2^-30 random
+collision floor stays negligible.
 """
 
 from __future__ import annotations

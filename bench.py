@@ -128,6 +128,9 @@ HEADLINE = [
     "dedup_simhash_hamming",
     "orders_brand_basket_lift",
     "dedup_source_overlap",
+    "events_value_k_regression",
+    "events_k_entropy",
+    "transfers_pagerank3",
 ]
 
 # documented-quadratic exactness baselines (scale paths are the LSH/IVF

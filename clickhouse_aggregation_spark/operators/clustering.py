@@ -130,3 +130,100 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.sum("node").alias("member_id_sum"))
         .filter(F.col("cluster_size") > 1)
     )
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the transfer graph (beyond-reference graph analytics;
+# the weighted-digraph centrality every fraud/flow analysis runs on
+# the reference's transfers table). Engine-exactness trick — the same
+# one as the k-means refinement: FIXED-POINT INTEGER arithmetic. Ranks
+# are scaled to 1e9; every contribution is floor((85 * rank * w) /
+# (100 * out_weight)) in int64 (floor division of positives is
+# engine-identical), so three unrolled iterations agree with the
+# DuckDB oracle bit-for-bit — no float mass anywhere. Dangling nodes
+# (receive-only addresses) drop their mass, the standard
+# simplification; damping 0.85, teleport base floor(0.15e9 / N).
+# The graph stats (N) join back as 1-row broadcasts — no driver-side
+# counts in the query path. At 100 TB: each iteration is one
+# edges-rank equi-join + one combinable sum, the canonical
+# message-passing shape; ranks ride int64 until w * 1e9 nears 2^63
+# (switch SCALE or DECIMAL(38,0) then).
+
+PR_SCALE = 10 ** 9
+PR_D_NUM, PR_D_DEN = 85, 100       # damping 0.85 as a rational
+PR_ITERS = 3
+
+
+def _pagerank_oracle() -> str:
+    from ..sources.transfers import TRANSFERS_ORACLE_CTE
+    ctes = [f"""
+edges AS (
+  SELECT from_address AS s, to_address AS t2, count(*) AS w
+  FROM transfers WHERE _sign = 1 GROUP BY 1, 2
+),
+outw AS (SELECT s, sum(w) AS ow FROM edges GROUP BY s),
+e AS (SELECT edges.s, edges.t2, edges.w, outw.ow
+      FROM edges JOIN outw ON outw.s = edges.s),
+nodes AS (
+  SELECT DISTINCT a FROM (SELECT s AS a FROM edges
+                          UNION ALL SELECT t2 FROM edges)
+),
+ns AS (SELECT count(*) AS n FROM nodes),
+r0 AS (SELECT a, {PR_SCALE} // n AS rank FROM nodes CROSS JOIN ns)"""]
+    for i in range(1, PR_ITERS + 1):
+        ctes.append(f"""
+c{i} AS (
+  SELECT e.t2 AS a,
+         sum(({PR_D_NUM} * r.rank * e.w) // ({PR_D_DEN} * e.ow)) AS s
+  FROM e JOIN r{i-1} r ON r.a = e.s GROUP BY 1
+),
+r{i} AS (
+  SELECT nodes.a,
+         {(PR_D_DEN - PR_D_NUM) * PR_SCALE} // ({PR_D_DEN} * n)
+           + COALESCE(c{i}.s, 0) AS rank
+  FROM nodes CROSS JOIN ns LEFT JOIN c{i} ON c{i}.a = nodes.a
+)""")
+    return (f"WITH {TRANSFERS_ORACLE_CTE},\n" + ",".join(ctes) +
+            f"""
+SELECT a AS address, CAST(rank AS BIGINT) AS rank_scaled
+FROM r{PR_ITERS}""")
+
+
+@register(
+    "transfers_pagerank3",
+    oracle=_pagerank_oracle(),
+    doc="Weighted PageRank (3 unrolled iterations, damping 0.85) over "
+        "the live transfer graph in fixed-point int64 — floor-division "
+        "contributions make every iteration engine-exact, the same "
+        "integer-arithmetic recipe as the k-means refinement. Each "
+        "iteration is one edges⋈ranks equi-join + a combinable sum; "
+        "graph size N joins back as a 1-row broadcast.",
+)
+def q_transfers_pagerank3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.transfers import transfers_df
+    live = transfers_df(spark, sf_dir).filter(F.col("_sign") == 1)
+    edges = (live.groupBy(F.col("from_address").alias("s"),
+                          F.col("to_address").alias("t2"))
+             .agg(F.count(F.lit(1)).alias("w")))
+    outw = edges.groupBy("s").agg(F.sum("w").alias("ow"))
+    e = edges.join(outw, "s")
+    nodes = (edges.select(F.col("s").alias("a"))
+             .unionByName(edges.select(F.col("t2").alias("a")))
+             .distinct())
+    ns = nodes.agg(F.count(F.lit(1)).alias("n"))
+    base = F.expr(
+        f"{(PR_D_DEN - PR_D_NUM) * PR_SCALE}L DIV ({PR_D_DEN} * n)")
+    r = (nodes.crossJoin(F.broadcast(ns))
+         .select("a", F.expr(f"{PR_SCALE} DIV n").alias("rank")))
+    for _ in range(PR_ITERS):
+        contrib = (e.join(r, e.s == r.a)
+                   .select(F.col("t2").alias("ca"),
+                           F.expr(f"({PR_D_NUM} * rank * w) "
+                                  f"DIV ({PR_D_DEN} * ow)").alias("c")))
+        summed = contrib.groupBy("ca").agg(F.sum("c").alias("cs"))
+        r = (nodes.crossJoin(F.broadcast(ns))
+             .join(summed, nodes.a == summed.ca, "left")
+             .select("a", (base + F.coalesce(F.col("cs"), F.lit(0)))
+                     .alias("rank")))
+    return r.select(F.col("a").alias("address"),
+                    F.col("rank").cast("long").alias("rank_scaled"))

@@ -279,3 +279,138 @@ def q_events_props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("k").cast("long").alias("max_k"),
         F.sum("k").cast("long").alias("sum_k"),
         F.countDistinct("k").cast("long").alias("distinct_k")))
+
+
+# ---------------------------------------------------------------------------
+# Statistical aggregates — ClickHouse corr()/covarPop()/
+# simpleLinearRegression() parity, made oracle-exact the same way as
+# the 3-sigma outlier op: every moment (n, Σx, Σy, Σxy, Σx², Σy²) is
+# an exact integer riding DECIMAL(38,0) (Spark) / HUGEINT (DuckDB),
+# and the float math (two sqrts, three divisions) happens ONCE at the
+# end on byte-identical integer inputs, so both engines produce the
+# same double bit-for-bit. x = props.k (integer), y = value in cents.
+
+
+@register(
+    "events_value_k_regression",
+    oracle="""
+WITH m AS (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS HUGEINT) AS x,
+         CAST(round(value * 100) AS HUGEINT) AS y
+  FROM events
+),
+mo AS (
+  SELECT event_type,
+         CAST(count(*) AS HUGEINT) AS n,
+         sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM m GROUP BY event_type
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_events,
+       CAST(sx AS BIGINT) AS sum_k,
+       CAST(sy AS BIGINT) AS sum_cents,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+         / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+            * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+         / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+       (CAST(sy AS DOUBLE)
+        - (CAST(n * sxy - sx * sy AS DOUBLE)
+           / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+         / CAST(n AS DOUBLE) AS intercept
+FROM mo""",
+    doc="corr()/simpleLinearRegression() parity: Pearson correlation "
+        "and OLS slope/intercept of value-cents on props.k per event "
+        "type. Moments are exact integers in DECIMAL(38,0)/HUGEINT; "
+        "doubles appear only in the final one-shot expressions, so "
+        "results are engine-identical. One combinable aggregate over "
+        "a linear scan — the classic map-side-mergeable moments form.",
+)
+def q_events_value_k_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    dec = "decimal(38,0)"
+    m = events.select(
+        "event_type",
+        F.get_json_object("props", "$.k").cast("long").cast(dec).alias("x"),
+        F.round(F.col("value") * 100).cast("long").cast(dec).alias("y"))
+    mo = m.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"))
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    num = (n * F.col("sxy") - sx * sy).cast("double")
+    dx = (n * F.col("sxx") - sx * sx).cast("double")
+    dy = (n * F.col("syy") - sy * sy).cast("double")
+    slope = num / dx
+    return mo.select(
+        "event_type",
+        n.cast("long").alias("n_events"),
+        sx.cast("long").alias("sum_k"),
+        sy.cast("long").alias("sum_cents"),
+        (num / (F.sqrt(dx) * F.sqrt(dy))).alias("corr"),
+        slope.alias("slope"),
+        ((sy.cast("double") - slope * sx.cast("double"))
+         / n.cast("double")).alias("intercept"))
+
+
+# ---------------------------------------------------------------------------
+# entropy() parity — Shannon entropy of the props.k distribution per
+# event type. Floats cannot be avoided here (log2 is irrational), so
+# determinism comes from pinning the SUMMATION ORDER: per-key counts
+# are folded in sorted-key order on both engines (sorted array fold —
+# never a parallel float sum), and the result is rounded to 6
+# decimals so sub-ulp libm differences between JVM and DuckDB log2
+# cannot reach the hash gate. Counts themselves stay exact integers.
+
+
+@register(
+    "events_k_entropy",
+    oracle="""
+WITH c AS (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+         count(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+arr AS (
+  SELECT event_type,
+         CAST(sum(cnt) AS BIGINT) AS n,
+         CAST(count(*) AS BIGINT) AS distinct_k,
+         list(CAST(cnt AS DOUBLE) ORDER BY k) AS cs
+  FROM c GROUP BY event_type
+)
+SELECT event_type, n AS n_events, distinct_k,
+       round(log2(CAST(n AS DOUBLE))
+             - list_sum(list_transform(cs, x -> x * log2(x)))
+               / CAST(n AS DOUBLE), 6) AS entropy_bits
+FROM arr""",
+    doc="ClickHouse entropy() parity: Shannon entropy (bits) of the "
+        "props.k distribution per event type. Per-key counts are "
+        "exact; the float fold runs in sorted-key order on both "
+        "engines (no parallel float summation) and rounds to 6 "
+        "decimals to absorb libm ulp differences. Two combinable "
+        "aggregates; the per-type array is |distinct k| elements.",
+)
+def q_events_k_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    c = (events.select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("long").alias("k"))
+         .groupBy("event_type", "k")
+         .agg(F.count(F.lit(1)).alias("cnt")))
+    arr = (c.groupBy("event_type").agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("distinct_k"),
+        F.sort_array(F.collect_list(F.struct("k", "cnt"))).alias("kcs")))
+    fold = F.aggregate(
+        F.col("kcs"), F.lit(0.0),
+        lambda acc, s: acc + s["cnt"].cast("double")
+        * F.log2(s["cnt"].cast("double")))
+    return arr.select(
+        "event_type", F.col("n").alias("n_events"), "distinct_k",
+        F.round(F.log2(F.col("n").cast("double"))
+                - fold / F.col("n").cast("double"), 6).alias("entropy_bits"))

@@ -205,6 +205,20 @@ EXTRAS: tuple[str, ...] = (
     #     over the cached confirmed-pairs set; pair machinery driver-
     #     checked via dedup_minhash_lsh
     "dedup_source_overlap",
+    #   events_value_k_regression — corr()/simpleLinearRegression()
+    #     parity on integer-exact moments; moment machinery driver-
+    #     checked via the mv_* rollups and events_value_outliers'
+    #     sibling pattern
+    "events_value_k_regression",
+    #   events_k_entropy — ClickHouse entropy() parity via an order-
+    #     pinned sorted-array float fold; rollup machinery driver-
+    #     checked via the mv_* family
+    "events_k_entropy",
+    #   transfers_pagerank3 — fixed-point integer PageRank (3 unrolled
+    #     iterations) over the transfer graph; iterative machinery
+    #     driver-checked via dedup_clusters, integer-exact iteration
+    #     recipe via similarity_ivf_kmeans_refine
+    "transfers_pagerank3",
     # Round-3 rotation: 18 long-stable same-family variants rotate out
     # so the never-driver-checked round-2 flagships (11 TPC-H suite
     # shapes, behavior analytics, tf-idf, curation top-N, label

@@ -347,3 +347,34 @@ def test_source_overlap_reuses_cached_pairs(spark, sf_dir):
     plan = _plan(spark, sf_dir, "dedup_source_overlap")
     assert "InMemoryTableScan" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_regression_moments_single_combinable_aggregate(spark, sf_dir):
+    """corr/OLS moments must be ONE map-side-combinable aggregate over
+    a linear scan — no join, no window, no Python."""
+    plan = _plan(spark, sf_dir, "events_value_k_regression")
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("Exchange") <= 2
+
+
+def test_entropy_fold_no_python_no_join(spark, sf_dir):
+    """The entropy fold is a JVM higher-order aggregate over the
+    sorted per-type array — no Python, no join; two combinable
+    aggregates (per-key counts, then per-type arrays)."""
+    plan = _plan(spark, sf_dir, "events_k_entropy")
+    assert "BatchEvalPython" not in plan
+    assert "Join" not in plan
+
+
+def test_pagerank_iterations_equi_join_broadcast_stats(spark, sf_dir):
+    """Each PageRank iteration must be an equi-join of edges with the
+    rank frame plus a combinable sum; the 1-row graph-size frame joins
+    back as broadcasts (one per unrolled iteration), never a shuffled
+    cartesian; no Python anywhere."""
+    plan = _plan(spark, sf_dir, "transfers_pagerank3")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan \
+        or "BroadcastHashJoin" in plan

@@ -131,6 +131,7 @@ HEADLINE = [
     "events_value_k_regression",
     "events_k_entropy",
     "transfers_pagerank3",
+    "streaming_ivf_search_epochs",
 ]
 
 # documented-quadratic exactness baselines (scale paths are the LSH/IVF

@@ -219,6 +219,11 @@ EXTRAS: tuple[str, ...] = (
     #     driver-checked via dedup_clusters, integer-exact iteration
     #     recipe via similarity_ivf_kmeans_refine
     "transfers_pagerank3",
+    #   streaming_ivf_search_epochs — incremental IVF index maintainer
+    #     + search over the epoch store; façade pattern driver-checked
+    #     via streaming_neardup_epochs, batch IVF via
+    #     similarity_ivf_topk (declared)
+    "streaming_ivf_search_epochs",
     # Round-3 rotation: 18 long-stable same-family variants rotate out
     # so the never-driver-checked round-2 flagships (11 TPC-H suite
     # shapes, behavior analytics, tf-idf, curation top-N, label

@@ -393,6 +393,15 @@ FROM ranked WHERE rank <= {TOP_K}""",
 )
 def q_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus_cells, probe_cells = _ivf_parts(spark, sf_dir)
+    return ivf_search(corpus_cells, probe_cells)
+
+
+def ivf_search(corpus_cells: DataFrame, probe_cells: DataFrame) -> DataFrame:
+    """Probed-cell search over an IVF store: corpus_cells carries every
+    indexed vector with its cell, probe_cells the queries exploded to
+    their probe cells. Used by the batch operator above AND by the
+    streaming-index façade (search against the incrementally-built
+    store must return the same answer)."""
     corpus = corpus_cells.select(
         F.col("vec_id").alias("neighbor_id"), "qv", "norm2", "centroid_id")
     probes = probe_cells.select(

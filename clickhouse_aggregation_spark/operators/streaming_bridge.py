@@ -311,3 +311,47 @@ def q_streaming_embedding_neardup_epochs(spark: SparkSession,
                               run_embedding_neardup_stream,
                               table="embeddings", id_col="vec_id")
     return _read_vec_pairs(spark, store).select("vec_a", "vec_b", "cosine")
+
+
+@register(
+    "streaming_ivf_search_epochs",
+    # search over the incrementally-built index ≡ search over the
+    # batch-built index: the oracle IS the batch IVF oracle
+    oracle=REGISTRY["similarity_ivf_topk"].raw_oracle,
+    doc="The streaming IVF index maintainer driven over the embeddings "
+        "table in 3 micro-batch epochs (fixed coarse quantizer, per-"
+        "batch min_by cell assignment into an epoch-partitioned store), "
+        "then the probed-cell SEARCH executed against the union of the "
+        "per-epoch stores. Hash-checked against the batch IVF-Flat "
+        "oracle — externally proves incremental index build + store "
+        "round-trip + search return exactly the one-shot answer.",
+    tags=("streaming",),
+)
+def q_streaming_ivf_search_epochs(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    from ..operators.similarity import (N_CENTROIDS, N_PROBE, N_QUERIES,
+                                        int_dot, ivf_search)
+    from ..streaming.ann_index import read_cells, run_ann_index_stream
+    store = _maintained_store(spark, sf_dir, "ann_index",
+                              run_ann_index_stream,
+                              table="embeddings", id_col="vec_id")
+    cells = read_cells(spark, store)     # vec_id, centroid_id, qv, norm2
+    cents = (cells.filter(F.col("vec_id") < N_CENTROIDS)
+             .select(F.col("vec_id").alias("centroid_id"),
+                     F.col("qv").alias("c_qv"),
+                     F.col("norm2").alias("c_norm2")))
+    qrows = cells.filter(F.col("vec_id") < N_QUERIES) \
+                 .select("vec_id", "qv", "norm2")
+    dist = (F.col("norm2") + F.col("c_norm2")
+            - 2 * int_dot(F.col("qv"), F.col("c_qv")))
+    probes = (
+        qrows.join(F.broadcast(cents))
+        .select("vec_id", "qv", "norm2",
+                F.col("centroid_id"), dist.alias("dist"))
+        .groupBy("vec_id")
+        .agg(F.slice(F.sort_array(F.collect_list(
+                 F.struct("dist", "centroid_id"))), 1, N_PROBE).alias("top"),
+             F.first("qv").alias("qv"), F.first("norm2").alias("norm2"))
+        .select("vec_id", "qv", "norm2",
+                F.explode(F.col("top.centroid_id")).alias("centroid_id")))
+    return ivf_search(cells, probes)

@@ -132,6 +132,8 @@ HEADLINE = [
     "events_k_entropy",
     "transfers_pagerank3",
     "streaming_ivf_search_epochs",
+    "events_audience_overlap",
+    "orders_rfm_segments",
 ]
 
 # documented-quadratic exactness baselines (scale paths are the LSH/IVF

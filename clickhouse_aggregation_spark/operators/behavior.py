@@ -282,3 +282,67 @@ def q_events_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .alias("n_matched_signup_purchase"),
                  F.count(F.when(F.col("m3"), 1)).cast("long")
                   .alias("n_matched_signup_click_purchase")))
+
+
+# ---------------------------------------------------------------------------
+# Audience overlap — ClickHouse groupBitmapAnd/Or/Xor parity (roaring-
+# bitmap set algebra over user-id sets) without materializing any set:
+# one pass collapses events to per-user membership flags (bool_or per
+# event type), and every pairwise intersection/union cardinality falls
+# out of ONE combinable count over the flags. The bitmap is an
+# encoding; the algebra is what matters, and flags scale linearly
+# where an explicit set exchange would move |users| ids per aggregate.
+
+
+@register(
+    "events_audience_overlap",
+    oracle="""
+WITH f AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p,
+         max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS e
+  FROM events GROUP BY user_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(c) AS BIGINT) AS n_click,
+       CAST(sum(p) AS BIGINT) AS n_purchase,
+       CAST(sum(e) AS BIGINT) AS n_error,
+       CAST(count(CASE WHEN c = 1 AND p = 1 THEN 1 END) AS BIGINT)
+         AS click_and_purchase,
+       CAST(count(CASE WHEN c = 1 OR p = 1 THEN 1 END) AS BIGINT)
+         AS click_or_purchase,
+       CAST(count(CASE WHEN c + p = 1 THEN 1 END) AS BIGINT)
+         AS click_xor_purchase,
+       CAST(count(CASE WHEN c = 1 AND p = 0 THEN 1 END) AS BIGINT)
+         AS click_minus_purchase
+FROM f""",
+    doc="groupBitmapAnd/Or/Xor parity: audience intersection/union/"
+        "xor/difference cardinalities between event-type user sets, "
+        "via per-user membership flags — two combinable aggregates, "
+        "no set materialization, no join. The scalable form of "
+        "bitmap set algebra (work ∝ events + users, state ∝ flags).",
+)
+def q_events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    f = events.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "click", 1).otherwise(0))
+         .alias("c"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+         .alias("p"),
+        F.max(F.when(F.col("event_type") == "error", 1).otherwise(0))
+         .alias("e"))
+    c, p = F.col("c"), F.col("p")
+    return f.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("c").cast("long").alias("n_click"),
+        F.sum("p").cast("long").alias("n_purchase"),
+        F.sum("e").cast("long").alias("n_error"),
+        F.count(F.when((c == 1) & (p == 1), 1)).cast("long")
+         .alias("click_and_purchase"),
+        F.count(F.when((c == 1) | (p == 1), 1)).cast("long")
+         .alias("click_or_purchase"),
+        F.count(F.when(c + p == 1, 1)).cast("long")
+         .alias("click_xor_purchase"),
+        F.count(F.when((c == 1) & (p == 0), 1)).cast("long")
+         .alias("click_minus_purchase"))

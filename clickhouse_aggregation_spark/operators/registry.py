@@ -224,6 +224,14 @@ EXTRAS: tuple[str, ...] = (
     #     via streaming_neardup_epochs, batch IVF via
     #     similarity_ivf_topk (declared)
     "streaming_ivf_search_epochs",
+    #   events_audience_overlap — groupBitmapAnd/Or/Xor parity via
+    #     per-user membership flags; flag/conditional-agg machinery
+    #     driver-checked via the mv_*/behavior families
+    "events_audience_overlap",
+    #   orders_rfm_segments — RFM grid (recency/frequency/monetary
+    #     segmentation); rollup + 1-row-broadcast machinery driver-
+    #     checked via the TPC-H and mv_* families
+    "orders_rfm_segments",
     # Round-3 rotation: 18 long-stable same-family variants rotate out
     # so the never-driver-checked round-2 flagships (11 TPC-H suite
     # shapes, behavior analytics, tf-idf, curation top-N, label

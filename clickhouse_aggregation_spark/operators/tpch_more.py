@@ -203,3 +203,76 @@ def q_brands_never_discounted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_parts"),
              F.countDistinct("p_size").alias("n_sizes"))
     )
+
+
+# ---------------------------------------------------------------------------
+# RFM customer segmentation (beyond-reference business analytics): the
+# classic recency/frequency/monetary grid every marketing/retention
+# pipeline computes. One combinable per-customer aggregate, the global
+# anchor date as a 1-row broadcast, row-local bucket rules (integer
+# day/count compares; money in exact cents), one tiny segment rollup.
+
+RFM_R_ACTIVE_D = 180        # recency <= 180 days -> "active"
+RFM_R_COOLING_D = 540       # <= 540 -> "cooling", else "lapsed"
+RFM_F_HIGH = 12             # frequency >= 12 -> "high"
+RFM_F_MID = 8               # >= 8 -> "mid", else "low"
+
+
+@register(
+    "orders_rfm_segments",
+    oracle=f"""
+WITH anchor AS (
+  SELECT CAST(max(o_orderdate) AS DATE) AS maxd FROM orders
+),
+c AS (
+  SELECT o_custkey,
+         date_diff('day', CAST(max(o_orderdate) AS DATE),
+                   (SELECT maxd FROM anchor)) AS r_days,
+         count(*) AS f,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS m_cents
+  FROM orders GROUP BY o_custkey
+),
+seg AS (
+  SELECT CASE WHEN r_days <= {RFM_R_ACTIVE_D} THEN 'active'
+              WHEN r_days <= {RFM_R_COOLING_D} THEN 'cooling'
+              ELSE 'lapsed' END AS r_seg,
+         CASE WHEN f >= {RFM_F_HIGH} THEN 'high'
+              WHEN f >= {RFM_F_MID} THEN 'mid'
+              ELSE 'low' END AS f_seg,
+         m_cents
+  FROM c
+)
+SELECT r_seg, f_seg,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(m_cents) AS BIGINT) AS total_cents,
+       CAST(max(m_cents) AS BIGINT) AS max_cents
+FROM seg GROUP BY 1, 2""",
+    doc="RFM segmentation: per-customer recency (days vs the global "
+        "anchor, a 1-row broadcast), frequency, exact-cents monetary, "
+        "bucketed by integer threshold rules into a 3x3 grid with "
+        "customer counts and monetary totals. Two combinable "
+        "aggregates + row-local bucketing — no window, no skew risk.",
+)
+def q_orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    anchor = orders.agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("maxd"))
+    c = (orders.groupBy("o_custkey")
+         .agg(F.max(F.col("o_orderdate").cast("date")).alias("lastd"),
+              F.count(F.lit(1)).alias("f"),
+              F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+               .cast("long").alias("m_cents"))
+         .crossJoin(F.broadcast(anchor))
+         .withColumn("r_days", F.datediff("maxd", "lastd")))
+    r_seg = (F.when(F.col("r_days") <= RFM_R_ACTIVE_D, "active")
+             .when(F.col("r_days") <= RFM_R_COOLING_D, "cooling")
+             .otherwise("lapsed"))
+    f_seg = (F.when(F.col("f") >= RFM_F_HIGH, "high")
+             .when(F.col("f") >= RFM_F_MID, "mid")
+             .otherwise("low"))
+    return (c.select(r_seg.alias("r_seg"), f_seg.alias("f_seg"), "m_cents")
+            .groupBy("r_seg", "f_seg")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_customers"),
+                 F.sum("m_cents").cast("long").alias("total_cents"),
+                 F.max("m_cents").cast("long").alias("max_cents")))

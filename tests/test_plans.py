@@ -378,3 +378,21 @@ def test_pagerank_iterations_equi_join_broadcast_stats(spark, sf_dir):
     assert "BatchEvalPython" not in plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan \
         or "BroadcastHashJoin" in plan
+
+
+def test_audience_overlap_two_aggregates_no_join(spark, sf_dir):
+    """Bitmap set algebra must stay two combinable aggregates over
+    per-user flags — no set materialization, no join, no Python."""
+    plan = _plan(spark, sf_dir, "events_audience_overlap")
+    assert "Join" not in plan
+    assert "collect_set" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_rfm_anchor_broadcasts(spark, sf_dir):
+    """The global anchor date is one row: it must broadcast back over
+    the per-customer aggregate, never shuffle or go cartesian."""
+    plan = _plan(spark, sf_dir, "orders_rfm_segments")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1   # the 1-row join
+    assert "Window" not in plan

@@ -134,6 +134,7 @@ HEADLINE = [
     "streaming_ivf_search_epochs",
     "events_audience_overlap",
     "orders_rfm_segments",
+    "events_sequence_count",
 ]
 
 # documented-quadratic exactness baselines (scale paths are the LSH/IVF

@@ -346,3 +346,97 @@ def q_events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("click_xor_purchase"),
         F.count(F.when((c == 1) & (p == 0), 1)).cast("long")
          .alias("click_minus_purchase"))
+
+
+# ---------------------------------------------------------------------------
+# sequenceCount parity: the number of NON-OVERLAPPING completed
+# view -> click -> purchase matches per user (ClickHouse sequenceCount
+# semantics: greedy scan, counter resets after each full match). The
+# oracle technique is new here: DuckDB's list_reduce runs the SAME
+# state machine as Spark's aggregate HOF — both engines literally fold
+# (step, cnt) over the identically-sorted per-user event list, so the
+# gate compares two independent implementations of one automaton
+# instead of an automaton against a closed form (no closed form exists
+# for non-overlapping counting without recursion).
+
+SEQ_COUNT_STEPS = ("view", "click", "purchase")
+
+
+@register(
+    "events_sequence_count",
+    oracle=f"""
+WITH q AS (
+  SELECT user_id, ts, event_id,
+         CASE event_type WHEN '{SEQ_COUNT_STEPS[0]}' THEN 0
+                         WHEN '{SEQ_COUNT_STEPS[1]}' THEN 1
+                         ELSE 2 END AS pi
+  FROM events
+  WHERE event_type IN ('{SEQ_COUNT_STEPS[0]}', '{SEQ_COUNT_STEPS[1]}',
+                       '{SEQ_COUNT_STEPS[2]}')
+),
+arr AS (
+  SELECT user_id,
+         list({{'step': pi, 'cnt': -1}} ORDER BY ts, event_id) AS xs
+  FROM q GROUP BY user_id
+),
+folded AS (
+  SELECT user_id,
+         list_reduce(
+           list_prepend({{'step': 0, 'cnt': 0}}, xs),
+           (a, e) -> CASE
+             WHEN (CASE WHEN e.step = a.step THEN a.step + 1
+                        ELSE a.step END) = 3
+             THEN {{'step': 0, 'cnt': a.cnt + 1}}
+             ELSE {{'step': CASE WHEN e.step = a.step THEN a.step + 1
+                                 ELSE a.step END,
+                    'cnt': a.cnt}} END
+         ).cnt AS cnt
+  FROM arr
+),
+u AS (SELECT DISTINCT user_id FROM events)
+SELECT CAST(count(*) AS BIGINT) AS n_users,
+       CAST(count(CASE WHEN f.cnt >= 1 THEN 1 END) AS BIGINT)
+         AS users_with_match,
+       CAST(sum(COALESCE(f.cnt, 0)) AS BIGINT) AS total_matches,
+       CAST(max(COALESCE(f.cnt, 0)) AS BIGINT) AS max_matches_per_user
+FROM u LEFT JOIN folded f ON f.user_id = u.user_id""",
+    doc="ClickHouse sequenceCount parity: non-overlapping completed "
+        "view->click->purchase matches per user via a (step, count) "
+        "automaton folded over the sorted per-user timeline — one "
+        "shuffle on user_id, JVM-side HOF, no join chain. The oracle "
+        "runs the SAME automaton through DuckDB's list_reduce lambda, "
+        "so the gate cross-checks two independent fold engines.",
+)
+def q_events_sequence_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    users = events.select("user_id").distinct()
+    s0, s1, s2 = SEQ_COUNT_STEPS
+    qual = events.filter(F.col("event_type").isin(*SEQ_COUNT_STEPS))
+    per_user = (qual.groupBy("user_id")
+                .agg(F.array_sort(F.collect_list(
+                    F.struct("ts", "event_id", "event_type"))).alias("seq")))
+
+    def fold_step(acc, x):
+        et = x["event_type"]
+        matched = (((acc["step"] == 0) & (et == s0))
+                   | ((acc["step"] == 1) & (et == s1))
+                   | ((acc["step"] == 2) & (et == s2)))
+        nxt = F.when(matched, acc["step"] + 1).otherwise(acc["step"])
+        return (F.when(nxt == 3,
+                       F.struct(F.lit(0).alias("step"),
+                                (acc["cnt"] + 1).alias("cnt")))
+                .otherwise(F.struct(nxt.alias("step"),
+                                    acc["cnt"].alias("cnt"))))
+
+    init = F.struct(F.lit(0).alias("step"), F.lit(0).alias("cnt"))
+    folded = per_user.select(
+        "user_id",
+        F.aggregate(F.col("seq"), init, fold_step)["cnt"].alias("cnt"))
+    return (users.join(folded, "user_id", "left")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_users"),
+                 F.count(F.when(F.col("cnt") >= 1, 1)).cast("long")
+                  .alias("users_with_match"),
+                 F.sum(F.coalesce(F.col("cnt"), F.lit(0))).cast("long")
+                  .alias("total_matches"),
+                 F.max(F.coalesce(F.col("cnt"), F.lit(0))).cast("long")
+                  .alias("max_matches_per_user")))

@@ -232,6 +232,11 @@ EXTRAS: tuple[str, ...] = (
     #     segmentation); rollup + 1-row-broadcast machinery driver-
     #     checked via the TPC-H and mv_* families
     "orders_rfm_segments",
+    #   events_sequence_count — ClickHouse sequenceCount parity (non-
+    #     overlapping automaton fold, cross-checked against DuckDB's
+    #     list_reduce lambda); sequence family driver-checked via
+    #     events_funnel_depth
+    "events_sequence_count",
     # Round-3 rotation: 18 long-stable same-family variants rotate out
     # so the never-driver-checked round-2 flagships (11 TPC-H suite
     # shapes, behavior analytics, tf-idf, curation top-N, label

@@ -396,3 +396,13 @@ def test_rfm_anchor_broadcasts(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") <= 1   # the 1-row join
     assert "Window" not in plan
+
+
+def test_sequence_count_one_user_shuffle_no_join_chain(spark, sf_dir):
+    """The automaton folds JVM-side over one user-keyed collect — no
+    per-step join chain, no Python; the only joins are the users
+    left-join of rollup-sized frames."""
+    plan = _plan(spark, sf_dir, "events_sequence_count")
+    assert "BatchEvalPython" not in plan
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") \
+        + plan.count("BroadcastHashJoin") <= 1

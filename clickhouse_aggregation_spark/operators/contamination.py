@@ -77,13 +77,15 @@ def doc_shingle_hashes_df(docs: DataFrame) -> DataFrame:
 # pins a NEW duplicate copy in the block manager (repeated bench runs
 # accumulated copies until eviction pressure showed up as multi-x
 # first-run noise).
-_HASH_CACHE: dict[tuple[int, str], DataFrame] = {}
+_HASH_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _doc_shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The batch query's persisted index: three consumers (train side,
     eval side, per-eval-doc totals) read it."""
-    key = (id(spark), sf_dir)
+    # applicationId (not id(spark)): a recycled Python object id can
+    # never alias a stale persisted plan from a dead session.
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _HASH_CACHE:
         _HASH_CACHE[key] = (
             doc_shingle_hashes_df(load_table(spark, sf_dir, "documents"))

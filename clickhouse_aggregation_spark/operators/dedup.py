@@ -217,11 +217,19 @@ doc_sets_n AS (SELECT doc_id, sh, len(sh) AS n FROM doc_sets)"""
 # invocation would pin its own duplicate copy in the block manager.
 # At 100 TB this is the disk-backed shingle-index table every MinHash
 # pipeline materializes once; persisting also pins AQE stats.
-_SETS_CACHE: dict[tuple[int, str], DataFrame] = {}
+_SETS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _session_key(spark: SparkSession) -> str:
+    """Cache key for per-session plan caches. ``applicationId`` is
+    unique per SparkContext lifetime, so (unlike ``id(spark)``) a new
+    session landing on a recycled Python object id can never alias a
+    stale persisted plan from a garbage-collected predecessor."""
+    return spark.sparkContext.applicationId
 
 
 def _persisted_shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (id(spark), sf_dir)
+    key = (_session_key(spark), sf_dir)
     if key not in _SETS_CACHE:
         _SETS_CACHE[key] = doc_shingle_sets(
             load_table(spark, sf_dir, "documents")
@@ -330,11 +338,11 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # survivors query 5x slower than the lsh query it contains). At 100 TB
 # this is the materialized dup-pairs table every dedup pipeline writes
 # once and joins against many times.
-_PAIRS_CACHE: dict[tuple[int, str], DataFrame] = {}
+_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def confirmed_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (id(spark), sf_dir)
+    key = (_session_key(spark), sf_dir)
     if key not in _PAIRS_CACHE:
         _PAIRS_CACHE[key] = _build_minhash_pairs(spark, sf_dir) \
             .persist(StorageLevel.MEMORY_AND_DISK)

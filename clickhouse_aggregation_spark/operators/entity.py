@@ -380,7 +380,7 @@ arr AS (
   SELECT event_type,
          CAST(sum(cnt) AS BIGINT) AS n,
          CAST(count(*) AS BIGINT) AS distinct_k,
-         list(CAST(cnt AS DOUBLE) ORDER BY k) AS cs
+         list(CAST(cnt AS DOUBLE) ORDER BY k NULLS FIRST) AS cs
   FROM c GROUP BY event_type
 )
 SELECT event_type, n AS n_events, distinct_k,
@@ -393,7 +393,11 @@ FROM arr""",
         "exact; the float fold runs in sorted-key order on both "
         "engines (no parallel float summation) and rounds to 6 "
         "decimals to absorb libm ulp differences. Two combinable "
-        "aggregates; the per-type array is |distinct k| elements.",
+        "aggregates; the per-type array is |distinct k| elements. "
+        "Null-k ordering is pinned on BOTH engines (Spark sort_array "
+        "is ascending nulls-first; the oracle says NULLS FIRST "
+        "explicitly) so the summation order is engine-identical even "
+        "when some events lack props.k.",
 )
 def q_events_k_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")

@@ -37,7 +37,7 @@ _STREAM_TIMEOUT_S = 600
 # one maintained store per (maintainer, session, sf_dir): the stream
 # runs once; repeated invocations (driver row-count + value passes,
 # bench repeats) read the persisted store.
-_STORE_CACHE: dict[tuple[str, int, str], str] = {}
+_STORE_CACHE: dict[tuple[str, str, str], str] = {}
 
 
 def _chunked_table_dir(spark: SparkSession, sf_dir: str, prefix: str,
@@ -61,7 +61,9 @@ def _chunked_table_dir(spark: SparkSession, sf_dir: str, prefix: str,
 def _maintained_store(spark: SparkSession, sf_dir: str, kind: str,
                       runner, table: str = "documents",
                       id_col: str = "doc_id", df_fn=None) -> str:
-    key = (kind, id(spark), sf_dir)
+    # applicationId (not id(spark)): a recycled Python object id can
+    # never alias a stale store dir from a garbage-collected session.
+    key = (kind, spark.sparkContext.applicationId, sf_dir)
     if key not in _STORE_CACHE:
         root, ddir = _chunked_table_dir(spark, sf_dir, f"stream_{kind}_",
                                         table, id_col, df_fn)

@@ -52,6 +52,29 @@ def _centroids(spark: SparkSession, vecs_dir: str) -> DataFrame:
     return q.withColumn("c_norm2", int_norm2(F.col("c_qv")))
 
 
+def load_centroids_once(spark: SparkSession, vecs_dir: str) -> DataFrame:
+    """Materialize the coarse quantizer ONCE, at stream start.
+
+    The quantizer is part of the index *configuration*: re-reading it
+    from the (still-arriving) streaming source per micro-batch would
+    let an early batch join a PARTIAL centroid set — and since epochs
+    are never revisited, those cell assignments would be permanently
+    wrong, breaking union-of-epochs ≡ batch-index. So the rows are
+    collected here (K is small by construction — it IS the broadcast
+    side of every assignment join), the count is asserted to be the
+    full N_CENTROIDS, and every micro-batch closes over this frozen
+    local copy.
+    """
+    rows = _centroids(spark, vecs_dir).collect()
+    if len(rows) != N_CENTROIDS:
+        raise RuntimeError(
+            f"coarse quantizer incomplete: expected {N_CENTROIDS} "
+            f"centroids in {vecs_dir}, found {len(rows)} — refusing to "
+            "start the index maintainer against a partial quantizer")
+    schema = "centroid_id bigint, c_qv array<bigint>, c_norm2 bigint"
+    return spark.createDataFrame(rows, schema=schema)
+
+
 def assign_cells(batch: DataFrame, cents: DataFrame) -> DataFrame:
     """(vec_id, centroid_id, qv, norm2): nearest-cell assignment via
     the min_by aggregation (map-side combinable; no window over the
@@ -71,21 +94,31 @@ def assign_cells(batch: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
-def process_batch(spark: SparkSession, batch: DataFrame, vecs_dir: str,
+def process_batch(batch: DataFrame, cents: DataFrame,
                   root: str, epoch_id: int) -> None:
-    cells = assign_cells(batch, _centroids(spark, vecs_dir))
+    """Assign one micro-batch against the FROZEN quantizer ``cents``
+    (loaded once by ``load_centroids_once`` — never re-read from the
+    still-arriving stream source mid-stream)."""
+    cells = assign_cells(batch, cents)
     cells.write.mode("overwrite").parquet(
         os.path.join(root, CELLS_DIR, f"epoch={epoch_id}"))
 
 
 def run_ann_index_stream(spark: SparkSession, vecs_dir: str,
                          store_root: str, available_now: bool = True):
-    """Tail an embeddings directory and maintain the IVF cell store."""
+    """Tail an embeddings directory and maintain the IVF cell store.
+
+    The coarse quantizer is materialized ONCE here, before the stream
+    starts (count-asserted = N_CENTROIDS), and every micro-batch closes
+    over it — in live tailing a batch can otherwise arrive before all
+    centroid vectors have and be permanently mis-assigned (epochs are
+    never revisited)."""
+    cents = load_centroids_once(spark, vecs_dir)
     checkpoint = os.path.join(store_root, "_checkpoint")
     stream = (spark.readStream.schema(EMBEDDINGS)
               .option("maxFilesPerTrigger", 1).parquet(vecs_dir))
     writer = (stream.writeStream
-              .foreachBatch(lambda b, e: process_batch(spark, b, vecs_dir,
+              .foreachBatch(lambda b, e: process_batch(b, cents,
                                                        store_root, e))
               .option("checkpointLocation", checkpoint))
     if available_now:

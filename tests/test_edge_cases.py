@@ -139,3 +139,77 @@ def test_marshal_roundtrips(spark):
     assert out["iso_back"] == "2024-03-05T17:42:13Z"
     assert str(out["ts"]) == "2024-03-05 17:42:13"
     assert out["big_back"] == "123456789012345678901234567890"
+
+
+def test_k_entropy_null_k_order_is_engine_identical(spark, tmp_path):
+    """events_k_entropy's determinism contract: the float fold runs in
+    the SAME element order on both engines even when props.k is NULL
+    for some events (ADVICE r3: Spark sort_array is nulls-first while
+    DuckDB list(... ORDER BY k) defaults to NULLS LAST — the oracle now
+    pins NULLS FIRST)."""
+    import json
+    import os
+
+    from clickhouse_aggregation_spark.operators.registry import REGISTRY
+    from tests.oracle import compare, duckdb_con
+
+    rows = []
+    # event_type 'a': k=null x3, k=1 x2, k=2 x1 — entropy over 3 bins
+    for i, k in enumerate([None, None, None, 1, 1, 2]):
+        props = json.dumps({} if k is None else {"k": k})
+        rows.append((i, 1000 + i, "a", 1.0, props))
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pdf = pd.DataFrame(rows, columns=[
+        "event_id", "user_id", "event_type", "value", "props"])
+    pdf["ts"] = pd.to_datetime(pdf["event_id"], unit="us")
+    sf = str(tmp_path)
+    # one parquet FILE (like the driver fixtures) so DuckDB's
+    # read_parquet and Spark both read the same path
+    pq.write_table(pa.Table.from_pandas(pdf),
+                   os.path.join(sf, "events.parquet"))
+
+    spec = REGISTRY["events_k_entropy"]
+    compare(spec.fn(spark, sf), spec.oracle, sf, "events_k_entropy_nullk")
+
+    # and pin the ORDER itself: both engines fold (null, 1, 2)-order
+    # counts, i.e. [3.0, 2.0, 1.0]
+    con = duckdb_con(sf)
+    try:
+        duck_cs = con.execute(
+            """WITH c AS (
+                 SELECT CAST(json_extract_string(props, '$.k') AS BIGINT)
+                          AS k, count(*) AS cnt
+                 FROM events GROUP BY 1)
+               SELECT list(CAST(cnt AS DOUBLE) ORDER BY k NULLS FIRST)
+               FROM c""").fetchone()[0]
+    finally:
+        con.close()
+    from clickhouse_aggregation_spark.sources.tables import load_table
+    ev = load_table(spark, sf, "events")
+    spark_cs = (ev.select(
+        F.get_json_object("props", "$.k").cast("long").alias("k"))
+        .groupBy("k").agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.sort_array(F.collect_list(F.struct("k", "cnt"))).alias("kcs"))
+        .select(F.transform("kcs", lambda s: s["cnt"].cast("double"))
+                .alias("cs"))
+        .first()["cs"])
+    assert list(duck_cs) == list(spark_cs) == [3.0, 2.0, 1.0]
+
+
+def test_session_caches_key_on_application_id(spark, sf_dir):
+    """Plan caches key on sparkContext.applicationId, not id(spark): a
+    sibling session from the same context SHARES the persisted plan
+    (one copy in the block manager), and a recycled Python object id
+    can never alias a stale entry from a dead session (VERDICT r3 #6)."""
+    from clickhouse_aggregation_spark.operators import dedup as D
+
+    a = D._persisted_shingle_sets(spark, sf_dir)
+    sibling = spark.newSession()
+    assert id(sibling) != id(spark)
+    b = D._persisted_shingle_sets(sibling, sf_dir)
+    assert a is b, "same applicationId must share one persisted plan"
+    key = (spark.sparkContext.applicationId, sf_dir)
+    assert key in D._SETS_CACHE

@@ -103,6 +103,148 @@ def test_update_where_transforms_only_matching_rows(
     assert after.count() == total
 
 
+def test_delete_where_full_partition(spark, sf_dir, tmp_path):
+    """Deleting EVERY row of a partition must actually remove it —
+    dynamic overwrite alone leaves an emptied partition's old files in
+    place (ADVICE r3, high)."""
+    path = _fresh_table(spark, sf_dir, tmp_path, "delfull")
+    df = spark.read.parquet(path)
+    victim_bucket = df.select("block_bucket").distinct() \
+                      .orderBy("block_bucket").limit(1).collect()[0][0]
+    pred = F.col("block_bucket") == victim_bucket
+    n_victim = df.filter(pred).count()
+    total = df.count()
+    assert 0 < n_victim < total
+
+    stats = M.delete_where(spark, path, pred)
+    assert stats == {"partitions_rewritten": 1, "rows_deleted": n_victim}
+    assert not os.path.isdir(
+        os.path.join(path, f"block_bucket={victim_bucket}"))
+    after = spark.read.parquet(path)
+    assert after.count() == total - n_victim
+    assert after.filter(pred).count() == 0
+
+
+def test_delete_where_mixed_full_and_partial_partitions(
+        spark, sf_dir, tmp_path):
+    """One predicate that fully empties one partition and partially
+    hits another: both outcomes must be correct in the same call."""
+    path = _fresh_table(spark, sf_dir, tmp_path, "delmix")
+    df = spark.read.parquet(path)
+    b0, b1 = [r[0] for r in df.select("block_bucket").distinct()
+              .orderBy("block_bucket").limit(2).collect()]
+    some_addr = (df.filter(F.col("block_bucket") == b1)
+                 .select("from_address").orderBy("from_address")
+                 .limit(1).collect())[0][0]
+    pred = (F.col("block_bucket") == b0) | (
+        (F.col("block_bucket") == b1) & (F.col("from_address") == some_addr))
+    n_victim = df.filter(pred).count()
+    total = df.count()
+
+    stats = M.delete_where(spark, path, pred)
+    assert stats["rows_deleted"] == n_victim
+    assert not os.path.isdir(os.path.join(path, f"block_bucket={b0}"))
+    assert os.path.isdir(os.path.join(path, f"block_bucket={b1}"))
+    after = spark.read.parquet(path)
+    assert after.count() == total - n_victim
+    assert after.filter(pred).count() == 0
+
+
+def test_delete_where_guard_switches_to_full_rewrite(
+        spark, sf_dir, tmp_path):
+    """Above max_partitions affected partitions the mutation must stop
+    enumerating driver-side keys and run one full-table rewrite (same
+    result, partitions_rewritten = -1 signals the path taken)."""
+    path = _fresh_table(spark, sf_dir, tmp_path, "delguard")
+    df = spark.read.parquet(path)
+    victim = _subset_victim(spark, path)
+    pred = F.col("from_address") == victim
+    n_victim = df.filter(pred).count()
+    total = df.count()
+    n_affected = df.filter(pred).select("block_bucket").distinct().count()
+    assert n_affected > 1
+
+    stats = M.delete_where(spark, path, pred, max_partitions=1)
+    assert stats == {"partitions_rewritten": -1, "rows_deleted": n_victim}
+    after = spark.read.parquet(path)
+    assert after.count() == total - n_victim
+    assert after.filter(pred).count() == 0
+
+
+def test_update_where_guard_switches_to_full_rewrite(
+        spark, sf_dir, tmp_path):
+    path = _fresh_table(spark, sf_dir, tmp_path, "updguard")
+    df = spark.read.parquet(path)
+    victim = _subset_victim(spark, path)
+    pred = F.col("from_address") == victim
+    total = df.count()
+    n_victim = df.filter(pred).count()
+    other_sum = df.filter(~pred).agg(F.sum("value")).collect()[0][0]
+
+    stats = M.update_where(spark, path, pred,
+                           {"value": F.lit(0).cast("decimal(38,0)")},
+                           max_partitions=1)
+    assert stats == {"partitions_rewritten": -1, "rows_updated": n_victim}
+    after = spark.read.parquet(path)
+    assert after.count() == total
+    assert after.filter(pred).agg(F.sum("value")).collect()[0][0] == 0
+    assert after.filter(~pred).agg(F.sum("value")).collect()[0][0] == other_sum
+
+
+def test_compact_tombstones_full_partition_stays_deleted(
+        spark, sf_dir, tmp_path):
+    """Tombstoning EVERY row of a partition, then compacting, must not
+    resurrect the rows (ADVICE r3, high): the emptied partition's dir
+    is removed and the tombstone table only dropped after the verify
+    pass confirms no tombstoned key survives."""
+    path = _fresh_table(spark, sf_dir, tmp_path, "lwfull")
+    keys = ("log_id", "_version", "_sign")
+    df = spark.read.parquet(path)
+    victim_bucket = df.select("block_bucket").distinct() \
+                      .orderBy("block_bucket").limit(1).collect()[0][0]
+    pred = F.col("block_bucket") == victim_bucket
+    n_victim = df.filter(pred).count()
+    total = df.count()
+
+    n = M.lightweight_delete(spark, path, pred, keys)
+    assert n == n_victim
+    assert M.read_with_tombstones(spark, path, keys).count() \
+        == total - n_victim
+
+    stats = M.compact_tombstones(spark, path, keys)
+    assert stats["rows_deleted"] == n_victim
+    assert not os.path.isdir(os.path.join(path, "_tombstones"))
+    assert not os.path.isdir(
+        os.path.join(path, f"block_bucket={victim_bucket}"))
+    after = spark.read.parquet(path)
+    assert after.count() == total - n_victim
+    assert after.filter(pred).count() == 0
+
+
+def test_lightweight_delete_overlapping_predicates_count_once(
+        spark, sf_dir, tmp_path):
+    """Re-deleting already-tombstoned rows must report 0 new deletions
+    and must not grow the tombstone table (ADVICE r3, low)."""
+    path = _fresh_table(spark, sf_dir, tmp_path, "lwdup")
+    keys = ("log_id", "_version", "_sign")
+    victim = _subset_victim(spark, path)
+    pred = F.col("from_address") == victim
+
+    n1 = M.lightweight_delete(spark, path, pred, keys)
+    assert n1 > 0
+    tomb_rows = spark.read.parquet(
+        os.path.join(path, "_tombstones")).count()
+    assert tomb_rows == n1
+
+    n2 = M.lightweight_delete(spark, path, pred, keys)
+    assert n2 == 0
+    assert spark.read.parquet(
+        os.path.join(path, "_tombstones")).count() == n1
+
+    live = M.read_with_tombstones(spark, path, keys)
+    assert live.filter(pred).count() == 0
+
+
 def test_lightweight_delete_matches_copy_on_write(spark, sf_dir, tmp_path):
     cow = _fresh_table(spark, sf_dir, tmp_path, "cow")
     lw = _fresh_table(spark, sf_dir, tmp_path, "lw")

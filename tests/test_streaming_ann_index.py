@@ -55,6 +55,45 @@ def test_store_has_one_row_per_vector(spark, streamed_store):
     assert cells.count() == cells.select("vec_id").distinct().count()
 
 
+def test_partial_quantizer_refuses_to_start(spark, tmp_path):
+    """The coarse quantizer is index CONFIGURATION, loaded once at
+    stream start: if the source directory holds fewer than N_CENTROIDS
+    centroid vectors (live tailing started before the quantizer fully
+    arrived), the maintainer must refuse rather than permanently
+    mis-assign early epochs against a partial centroid set (ADVICE r3,
+    medium)."""
+    from clickhouse_aggregation_spark.operators.similarity import N_CENTROIDS
+    from clickhouse_aggregation_spark.sources.tables import load_table
+    from clickhouse_aggregation_spark.streaming.ann_index import (
+        load_centroids_once,
+    )
+    vdir = str(tmp_path / "partial_vecs")
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    # only half the quantizer's vectors have arrived
+    emb.filter(F.col("vec_id") >= N_CENTROIDS // 2) \
+       .coalesce(1).write.parquet(vdir)
+    with pytest.raises(RuntimeError, match="quantizer incomplete"):
+        load_centroids_once(spark, vdir)
+    with pytest.raises(RuntimeError, match="quantizer incomplete"):
+        run_ann_index_stream(spark, vdir, str(tmp_path / "store"))
+
+
+def test_centroids_frozen_at_stream_start(spark, chunked_vecs):
+    """load_centroids_once returns a LOCAL frozen copy: rows collected
+    once, count-asserted, independent of later source-dir growth."""
+    from clickhouse_aggregation_spark.operators.similarity import N_CENTROIDS
+    from clickhouse_aggregation_spark.streaming.ann_index import (
+        _centroids, load_centroids_once,
+    )
+    _, vdir = chunked_vecs
+    frozen = load_centroids_once(spark, vdir)
+    assert frozen.count() == N_CENTROIDS
+    live = _centroids(spark, vdir)
+    got = {(r[0], tuple(r[1]), r[2]) for r in frozen.collect()}
+    want = {(r[0], tuple(r[1]), r[2]) for r in live.collect()}
+    assert got == want
+
+
 def test_restart_is_idempotent(spark, chunked_vecs, streamed_store):
     """Re-running against the same checkpoint finds no new files and
     must leave the store byte-for-byte equivalent (same assignments,

@@ -8,6 +8,13 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 
 Each query is executed to completion with the `noop` sink (full plan
 runs, no driver-side materialization cost), timed individually.
+
+Output discipline (round-3 lesson): the full per-query JSON line above
+is long (~100 queries) and a bounded tail-capture can truncate its
+HEAD, leaving unparseable bytes (BENCH_r03.json recorded rc=0 but
+parsed=null). So the full line prints FIRST and a compact summary line
+— total, query count, sf only — prints LAST: any tail window that sees
+the end of the output contains at least one complete JSON line.
 """
 
 from __future__ import annotations
@@ -135,6 +142,17 @@ HEADLINE = [
     "events_audience_overlap",
     "orders_rfm_segments",
     "events_sequence_count",
+    # round 4 additions: the remaining declared queries that never had
+    # a bench position (reference surface + the promoted
+    # applyInPandasWithState sketch façade)
+    "approx_uniq_tolerance",
+    "monitoring_global_stats",
+    "abi_decode_transfers",
+    "tiered_union_stats",
+    "entity_by_id",
+    "asof_signup_attribution",
+    "events_sessionization",
+    "streaming_quantile_sketch_epochs",
 ]
 
 # documented-quadratic exactness baselines (scale paths are the LSH/IVF
@@ -143,6 +161,7 @@ HEADLINE = [
 BASELINES = [
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
+    "dedup_embedding_lsh_recall",
 ]
 
 
@@ -204,15 +223,25 @@ def main() -> None:
     baseline_timings: dict[str, float] = {}
     run(BASELINES, baseline_timings)
 
+    total = round(sum(timings.values()), 4)
+    sf = _sf_from_dir(SF_DIR)
     print(json.dumps({
         "metric": "headline_queries_total_runtime",
-        "value": round(sum(timings.values()), 4),
+        "value": total,
         "unit": "sec",
         "queries": timings,
         "baselines": baseline_timings,
         "first_runs": first_runs,
         "repeats": REPEATS,
-        "sf": _sf_from_dir(SF_DIR),
+        "sf": sf,
+    }))
+    # compact trailer: guaranteed-parseable under bounded tail capture
+    print(json.dumps({
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "n_queries": len(timings),
+        "sf": sf,
     }))
 
 

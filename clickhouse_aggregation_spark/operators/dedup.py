@@ -441,11 +441,22 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # D5: embedding-cosine near-dup
 
+# The quadratic exactness baseline runs over a deterministic PREFIX
+# SAMPLE of the corpus (vec_id < CAP), not the full table: its only job
+# is to be the recall oracle the linear sign-LSH path is measured
+# against (dedup_embedding_lsh_recall below), and an allpairs pass over
+# the full corpus spends ~25% of bench wall on an operator that is
+# explicitly NOT the shipped path. The id-prefix sample is deterministic
+# on both engines, so the capped baseline stays hash-checkable.
+COSINE_BASELINE_CAP = 800
+
+
 @register(
     "dedup_embedding_cosine",
     oracle=f"""
 WITH q AS (
   SELECT vec_id, {quantize.SQL} AS qv FROM embeddings
+  WHERE vec_id < {COSINE_BASELINE_CAP}
 ), n AS (
   SELECT vec_id, qv, {int_norm2.SQL} AS norm2 FROM q
 )
@@ -456,11 +467,14 @@ WHERE a.vec_id < b.vec_id
   AND {COSINE_ORACLE_EXPR} >= {COSINE_DUP_THRESHOLD}""",
     doc="Embedding near-dup pairs: cosine >= 0.45 over integer-"
         "quantized vectors (exact, order-independent sums → oracle-"
-        "deterministic). Brute-force allpairs baseline; the LSH-"
-        "bucketed variant in similarity.py is the scale path.",
+        "deterministic). Brute-force allpairs RECALL BASELINE over a "
+        "deterministic vec_id-prefix sample (quadratic by definition; "
+        "capped so the oracle survives without the allpairs bill); the "
+        "sign-LSH variant below is the shipped linear path.",
 )
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings") \
+        .filter(F.col("vec_id") < COSINE_BASELINE_CAP)
     q = emb.select("vec_id", quantize(F.col("embedding")).alias("qv"))
     n = q.select("vec_id", "qv", int_norm2(F.col("qv")).alias("norm2"))
     a = n.alias("a")
@@ -524,6 +538,60 @@ def embedding_lsh_pairs(emb: DataFrame) -> DataFrame:
                 F.col("b.vec_id").alias("vec_b"),
                 cos.alias("cosine"))
         .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
+    )
+
+
+@register(
+    "dedup_embedding_lsh_recall",
+    # both sides are deterministic (integer-quantized cosine, seeded
+    # hyperplanes), so the recall value itself is oracle-exact
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id, {quantize.SQL} AS qv FROM embeddings
+  WHERE vec_id < {COSINE_BASELINE_CAP}
+), n AS (
+  SELECT vec_id, qv, {int_norm2.SQL} AS norm2 FROM q
+), base AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM n a, n b
+  WHERE a.vec_id < b.vec_id
+    AND {COSINE_ORACLE_EXPR} >= {COSINE_DUP_THRESHOLD}
+), bkt AS (
+  SELECT vec_id, qv, norm2, {_bucket_sql()} AS bucket FROM n
+), lsh AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  WHERE {COSINE_ORACLE_EXPR} >= {COSINE_DUP_THRESHOLD}
+), hits AS (
+  SELECT count(*) AS n_found FROM base
+  JOIN lsh ON base.vec_a = lsh.vec_a AND base.vec_b = lsh.vec_b
+)
+SELECT CAST((SELECT count(*) FROM base) AS BIGINT) AS n_true,
+       CAST(n_found AS BIGINT) AS n_found,
+       CAST(n_found AS DOUBLE)
+         / (SELECT count(*) FROM base) AS pair_recall
+FROM hits""",
+    doc="Near-dup index-quality monitor: pair recall of the linear "
+        "sign-LSH path against the exact (capped-domain) cosine "
+        "baseline — the number behind the 'LSH is the shipped path' "
+        "claim, mirrored on similarity_ivf_recall. Deterministic on "
+        "both engines, so the driver hash-checks the actual recall.",
+)
+def q_dedup_embedding_lsh_recall(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    base = q_dedup_embedding_cosine(spark, sf_dir).select("vec_a", "vec_b")
+    emb = load_table(spark, sf_dir, "embeddings") \
+        .filter(F.col("vec_id") < COSINE_BASELINE_CAP)
+    lsh = embedding_lsh_pairs(emb).select("vec_a", "vec_b") \
+        .withColumn("_hit", F.lit(1))
+    return (
+        base.join(lsh, ["vec_a", "vec_b"], "left")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_true"),
+             F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+             .cast("long").alias("n_found"))
+        .select("n_true", "n_found",
+                (F.col("n_found") / F.col("n_true")).cast("double")
+                .alias("pair_recall"))
     )
 
 

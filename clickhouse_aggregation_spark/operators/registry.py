@@ -80,198 +80,117 @@ EXTRAS: tuple[str, ...] = (
     # rows-only by design (sequential packing state, no SQL oracle);
     # pinned by a pure-Python reference in test_training_pipeline.py
     "pipeline_pack_sequences",
-    # round-3 additions born as extras (declared surface already at 50;
-    # candidates for a future rotation):
-    #   dedup_embedding_lsh    — sign-LSH scale path for embedding
-    #     near-dup; its bucket machinery is driver-checked via
-    #     similarity_lsh_bucketed, its verify cosine via dedup family
-    #   mv_volume_rollup_subtotals — GROUPING SETS/ROLLUP subtotals;
-    #     base grouped-agg machinery driver-checked via mv_* rollups
-    "dedup_embedding_lsh",
-    "mv_volume_rollup_subtotals",
+    # Round-3 leftovers still awaiting a driver row (the round-4
+    # rotation promoted 35 of their cohort; these stay extras because
+    # a promoted sibling externally checks the same machinery):
     #   streaming_embedding_neardup_epochs — the embedding analog of
-    #     streaming_neardup_epochs (which holds a declared slot and
-    #     externally checks the same epoch-index design)
+    #     streaming_neardup_epochs (declared, same epoch-index design)
     "streaming_embedding_neardup_epochs",
-    #   events_top_transitions — path-analysis rollup; the behavior
-    #     family holds two driver slots (retention, funnel) this round
-    "events_top_transitions",
     #   streaming_corpus_tokens_epochs / streaming_quality_envelope_
-    #   epochs — rollup-maintainer façades (additive and non-additive
-    #   merge state); the façade pattern itself holds two declared
-    #   slots (neardup, contamination) this round
+    #   epochs / streaming_corpus_tokens_compacted — rollup-maintainer
+    #   façades; the façade pattern holds three declared slots this
+    #   round (mv_daily, ivf_search, quantile_sketch)
     "streaming_corpus_tokens_epochs",
     "streaming_quality_envelope_epochs",
-    #   pipeline_domain_mix — demoted late in round 3 (driver-green in
-    #     r2) so the reference MV-maintainer façade streaming_mv_daily_
-    #     epochs gets the declared slot; the pipeline family keeps
-    #     pipeline_clean_corpus + pipeline_split_assign (domain_mix is
-    #     the same hash-gate machinery as split_assign)
+    "streaming_corpus_tokens_compacted",
+    #   pipeline_domain_mix — driver-green in r2; same hash-gate
+    #     machinery as the promoted pipeline_epoch_shuffle
     "pipeline_domain_mix",
-    #   streaming_quantile_sketch_epochs — the applyInPandasWithState
-    #     sketch façade (deterministic histogram merge ≡ batch grid)
-    "streaming_quantile_sketch_epochs",
-    #   similarity_lsh_multiprobe — Hamming-1 multi-probe variant of
-    #     the declared similarity_lsh_bucketed
-    "similarity_lsh_multiprobe",
-    #   Q4/Q12/Q16/Q20 shapes completing the 22-query TPC-H sweep;
-    #   the declared J family (q1 + 11 suite shapes) covers the join
-    #   machinery
-    "late_order_priorities",
-    "returnflag_priority_mix",
+    #   part_supplier_variety / bulk_part_suppliers — Q16/Q20 shapes;
+    #     the J family holds late_order_priorities (Q4) +
+    #     returnflag_priority_mix (Q12) + basket/RFM this round, and
+    #     the 11 suite shapes were driver-green in r3
     "part_supplier_variety",
     "bulk_part_suppliers",
-    #   streaming_corpus_tokens_compacted — compaction (background
-    #     merge) preserves the rollup read; sibling of the tokens façade
-    "streaming_corpus_tokens_compacted",
-    #   events_type_pivot — PIVOT with explicit values (wide rollup);
-    #     grouped-agg machinery driver-checked via the mv_* family
-    "events_type_pivot",
-    #   events_running_user_stats — window FRAME specs (running sum,
-    #     moving avg); W family driver-checked via sessionization etc.
-    "events_running_user_stats",
-    #   address_flow_setops — INTERSECT/EXCEPT (SURVEY §2.7 'free')
-    "address_flow_setops",
-    #   mv_daily_with_fill — ClickHouse ORDER BY..WITH FILL parity
-    #     (dense date spine via sequence + broadcast left join)
-    "mv_daily_with_fill",
-    #   text_heavy_hitters — ClickHouse topK's exact cousin: per-
-    #     partition Misra-Gries candidates + exact verify pass
-    "text_heavy_hitters",
-    #   similarity_ivf_kmeans_refine — Lloyd-iteration index build
-    #     quality loop (integer floor-mean centroids, per-iter inertia)
-    "similarity_ivf_kmeans_refine",
-    #   text_repetition_stats — Gopher/C4 repetition quality rules
-    #     (integer-exact dup-word and top-word flags per doc); quality-
-    #     rule family driver-checked via pipeline_clean_corpus
-    "text_repetition_stats",
-    #   events_sequence_match — ClickHouse sequenceMatch parity via a
-    #     one-shuffle sorted-array fold; windowed sibling
-    #     events_funnel_depth holds a declared slot
-    "events_sequence_match",
-    #   pipeline_bottomk_sample — deterministic exactly-k minwise
-    #     sample (TakeOrdered plan, no global sort); hash-gate family
-    #     driver-checked via pipeline_split_assign
-    "pipeline_bottomk_sample",
-    #   events_value_outliers — 3-sigma anomaly counts on integer-
-    #     exact moments (decimal/hugeint intermediates); agg family
-    #     driver-checked via the mv_* rollups
-    "events_value_outliers",
-    #   text_weighted_length_quantiles — quantileExactWeighted parity
-    #     (value-frequency rollup + integer cumulative-weight rank);
-    #     exact-quantile family driver-checked via events_value_quantiles
-    "text_weighted_length_quantiles",
-    #   pipeline_bottomk_per_source — LIMIT k BY parity / stratified
-    #     minwise sample; sibling of pipeline_bottomk_sample
+    #   pipeline_bottomk_per_source — LIMIT k BY / stratified minwise
+    #     sample; sibling of the promoted pipeline_bottomk_sample
     "pipeline_bottomk_per_source",
-    #   similarity_ivfpq_residual — IVF-PQ with residual encoding (the
-    #     FAISS production composition of the driver-checked IVF and PQ
-    #     paths)
-    "similarity_ivfpq_residual",
-    #   pipeline_blocklist_scrub — C4-style bad-words redaction + drop
-    #     gate with a byte-exact scrub checksum; quality-gate family
-    #     driver-checked via pipeline_clean_corpus
-    "pipeline_blocklist_scrub",
-    #   pipeline_epoch_shuffle — deterministic training-order shard +
-    #     position permutation; hash-gate family driver-checked via
-    #     pipeline_split_assign
-    "pipeline_epoch_shuffle",
-    #   events_props_json_stats — JSONExtract rollup parity (row-local
-    #     JSON parse); JSON path machinery also inside the declared
-    #     events_funnel_depth's sibling events_sequence_match
-    "events_props_json_stats",
-    #   dedup_containment — asymmetric containment near-dup over a
-    #     df-capped rare-shingle inverted index; dedup family driver-
-    #     checked via dedup_minhash_lsh/survivors/clusters
-    "dedup_containment",
-    #   uniq_hll_merge_rollup — uniqState/uniqMerge parity (daily HLL
-    #     sketches union-merged, tolerance-gated vs exact); sketch
-    #     family driver-checked via approx_uniq_tolerance
-    "uniq_hll_merge_rollup",
-    #   text_novel_trigram_rate — cross-doc novelty (corpus-rare
-    #     trigram share) quality rule; within-doc sibling
-    #     text_repetition_stats, df machinery via text_tfidf_topk
-    "text_novel_trigram_rate",
-    #   dedup_simhash_hamming — Manku-style Hamming<=3 simhash
-    #     neighbor join (60-bit codes, block-pigeonhole candidates);
-    #     identical-code sibling dedup_simhash, LSH-bucket machinery
-    #     driver-checked via dedup_minhash_lsh
-    "dedup_simhash_hamming",
-    #   orders_brand_basket_lift — frequent 2-itemsets + lift over
-    #     order baskets (Apriori level 2); join/rollup machinery
-    #     driver-checked via the TPC-H suite shapes
-    "orders_brand_basket_lift",
-    #   dedup_source_overlap — cross-source near-dup overlap matrix
-    #     over the cached confirmed-pairs set; pair machinery driver-
-    #     checked via dedup_minhash_lsh
-    "dedup_source_overlap",
-    #   events_value_k_regression — corr()/simpleLinearRegression()
-    #     parity on integer-exact moments; moment machinery driver-
-    #     checked via the mv_* rollups and events_value_outliers'
-    #     sibling pattern
-    "events_value_k_regression",
-    #   events_k_entropy — ClickHouse entropy() parity via an order-
-    #     pinned sorted-array float fold; rollup machinery driver-
-    #     checked via the mv_* family
-    "events_k_entropy",
-    #   transfers_pagerank3 — fixed-point integer PageRank (3 unrolled
-    #     iterations) over the transfer graph; iterative machinery
-    #     driver-checked via dedup_clusters, integer-exact iteration
-    #     recipe via similarity_ivf_kmeans_refine
-    "transfers_pagerank3",
-    #   streaming_ivf_search_epochs — incremental IVF index maintainer
-    #     + search over the epoch store; façade pattern driver-checked
-    #     via streaming_neardup_epochs, batch IVF via
-    #     similarity_ivf_topk (declared)
-    "streaming_ivf_search_epochs",
-    #   events_audience_overlap — groupBitmapAnd/Or/Xor parity via
-    #     per-user membership flags; flag/conditional-agg machinery
-    #     driver-checked via the mv_*/behavior families
-    "events_audience_overlap",
-    #   orders_rfm_segments — RFM grid (recency/frequency/monetary
-    #     segmentation); rollup + 1-row-broadcast machinery driver-
-    #     checked via the TPC-H and mv_* families
-    "orders_rfm_segments",
-    #   events_sequence_count — ClickHouse sequenceCount parity (non-
-    #     overlapping automaton fold, cross-checked against DuckDB's
-    #     list_reduce lambda); sequence family driver-checked via
-    #     events_funnel_depth
-    "events_sequence_count",
-    # Round-3 rotation: 18 long-stable same-family variants rotate out
-    # so the never-driver-checked round-2 flagships (11 TPC-H suite
-    # shapes, behavior analytics, tf-idf, curation top-N, label
-    # centroids) and the two new streaming-maintainer façades rotate
-    # in. Every demoted query was driver-green in rounds 1-2
-    # (CORRECTNESS_r01/r02.json) and keeps a driver-checked sibling:
-    #   mv_top_senders / mv_top_receivers — the same grouped-SUM/top-k
-    #     machinery stays checked via mv_top_addresses (U1 pivot over
-    #     both) and readme_daily_volume_7d
-    #   readme_top_senders     — A9 re-agg via readme_daily_volume_7d;
-    #                            measure-ordered top-k via mv_top_addresses
-    #   mv_usdc_hourly_block   — hourly bucketing via events_hourly_window;
-    #                            daily MV via mv_usdc_daily_block; exact
-    #                            uniq via monitoring_global_stats, sketch
-    #                            via approx_uniq_tolerance
-    #   dedup_exact / dedup_simhash — single-shuffle hash dedups; family
-    #     checked via dedup_minhash_lsh/survivors/clusters
-    #   dedup_ngram_jaccard / dedup_embedding_cosine — the quadratic
-    #     exactness BASELINES (bench-quarantined); their linear scale
-    #     paths stay checked (minhash_lsh, similarity_lsh/ivf/pq)
-    #   text_quality_score / text_fingerprint — native-expression text
-    #     ops; family checked via text_language_id, text_token_count,
-    #     and the promoted text_tfidf_topk
-    #   similarity_topk_bruteforce — embedded verbatim inside the
-    #     promoted-in-r2 similarity_ivf_recall extra and its exact
-    #     cosine machinery inside similarity_pq_rerank's re-rank
-    #   similarity_ivf_recall  — both of its inputs (bruteforce, ivf)
-    #                            remain oracle-paired; ivf_topk stays
-    #   multimodal_payload_stats — D1 Arrow path via
-    #                            multimodal_feature_extract
-    #   events_cooccurrence_5min — window family via events_sessionization,
-    #                            asof_signup_attribution
-    #   tpch_q3/q5/q6/q18      — J family keeps q1 + gains the 11
-    #                            promoted suite shapes (Q2/Q7/Q8/Q9/
-    #                            Q11/Q13/Q15/Q17/Q19/Q21/Q22)
+    # Round-4 addition born as an extra (declared surface at 50): the
+    # recall@pairs monitor for the sign-LSH near-dup path, measured
+    # against the capped cosine baseline (VERDICT r3 #8)
+    "dedup_embedding_lsh_recall",
+    # Round-4 rotation: 35 long-stable r3-green queries rotate out so
+    # the never-driver-checked round-3 cohort rotates in. Every demoted
+    # query below was driver-green in CORRECTNESS_r03.json and keeps a
+    # declared sibling covering the same machinery:
+    #   mv_usdc_daily_block    — the IDENTICAL rollup (same oracle, same
+    #     8582 rows) stays externally hash-checked via the declared
+    #     streaming_mv_daily_epochs façade
+    #   mv_tx_size_distribution / mv_recent_activity / mv_top_addresses
+    #     — grouped-agg/histogram/pivot machinery via
+    #     mv_volume_rollup_subtotals, mv_daily_with_fill,
+    #     events_type_pivot (pivot), dedup_latest_version (LWW)
+    #   events_json_daily      — JSON path machinery via the promoted
+    #     events_props_json_stats
+    #   tpch_q1_pricing_summary + the 11 suite shapes — J family keeps
+    #     late_order_priorities (Q4), returnflag_priority_mix (Q12),
+    #     orders_brand_basket_lift, orders_rfm_segments; all 22 classic
+    #     shapes remain oracle-paired in pytest
+    #   similarity_lsh_bucketed — promoted multiprobe variant supersets
+    #     the bucket machinery
+    #   similarity_ivf_topk    — the SAME search oracle stays declared
+    #     via streaming_ivf_search_epochs; ivf build via kmeans_refine
+    #   similarity_pq_rerank   — PQ machinery via the promoted
+    #     similarity_ivfpq_residual (IVF+PQ composition)
+    #   embedding_label_centroids — centroid aggregation via the
+    #     promoted similarity_ivf_kmeans_refine
+    #   dedup_minhash_survivors — anti-join over the cached pair set;
+    #     pair machinery stays via dedup_minhash_lsh (kept) and the
+    #     promoted dedup_source_overlap (same cached pairs)
+    #   dedup_clusters         — iterative propagation via the promoted
+    #     transfers_pagerank3; dedup family keeps minhash_lsh
+    #   text_language_id / text_token_count / text_tfidf_topk — text
+    #     family gains heavy_hitters, repetition_stats,
+    #     novel_trigram_rate, weighted_length_quantiles
+    #   events_hourly_window / events_value_quantiles /
+    #   events_retention_cohorts / events_funnel_depth — behavior
+    #     family gains 10 promoted events_* rows (sequence_match/count
+    #     cover the funnel automaton; weighted_length_quantiles covers
+    #     exact quantiles)
+    #   pipeline_clean_corpus / split_assign / curate_topn — pipeline
+    #     family gains blocklist_scrub (quality gates), epoch_shuffle
+    #     (hash gates), bottomk_sample (TakeOrdered top-k)
+    #   streaming_neardup_epochs / streaming_contamination_epochs —
+    #     the façade pattern stays declared ×3 (mv_daily kept,
+    #     ivf_search + quantile_sketch promoted); their batch twins
+    #     dedup_minhash_lsh + contamination_ngram_overlap stay declared
+    "mv_usdc_daily_block",
+    "mv_tx_size_distribution",
+    "mv_recent_activity",
+    "mv_top_addresses",
+    "events_json_daily",
+    "tpch_q1_pricing_summary",
+    "similarity_lsh_bucketed",
+    "similarity_ivf_topk",
+    "similarity_pq_rerank",
+    "embedding_label_centroids",
+    "dedup_minhash_survivors",
+    "dedup_clusters",
+    "text_language_id",
+    "text_token_count",
+    "text_tfidf_topk",
+    "events_hourly_window",
+    "events_value_quantiles",
+    "events_retention_cohorts",
+    "events_funnel_depth",
+    "pipeline_clean_corpus",
+    "pipeline_split_assign",
+    "pipeline_curate_topn",
+    "streaming_neardup_epochs",
+    "streaming_contamination_epochs",
+    "cheapest_supplier_per_part",
+    "nation_trade_flows",
+    "market_share_by_year",
+    "product_profit_by_nation_year",
+    "supplier_revenue_share",
+    "customer_order_distribution",
+    "top_revenue_supplier",
+    "small_order_part_revenue",
+    "disjunctive_promo_revenue",
+    "late_sole_supplier",
+    "idle_rich_customers",
+    # Demoted in earlier rotations (driver-green in r1-r3; see
+    # NOTES_r2/r3 for each one's checked sibling):
     "mv_top_senders",
     "mv_top_receivers",
     "readme_top_senders",

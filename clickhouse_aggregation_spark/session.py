@@ -51,6 +51,14 @@ def get_spark(app_name: str = "clickhouse_aggregation_spark",
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.sql.files.maxPartitionBytes", "128m")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # the generated-code cache defaults to 100 entries; a session
+        # running the full ~100-query registry compiles several codegen
+        # stages per query, so the default thrashes late in a long
+        # session (observed: contamination's first run 21-27 s deep in
+        # a full bench vs 3.5 s isolated — Janino recompiles of its
+        # large lambda trees after eviction). 1000 entries ≈ tens of MB
+        # of class metadata; static conf, harmless on a real cluster.
+        .config("spark.sql.codegen.cache.maxEntries", "1000")
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

@@ -153,6 +153,9 @@ HEADLINE = [
     "asof_signup_attribution",
     "events_sessionization",
     "streaming_quantile_sketch_epochs",
+    "text_unigram_logppl",
+    "dedup_embedding_survivors",
+    "contamination_neardup",
 ]
 
 # documented-quadratic exactness baselines (scale paths are the LSH/IVF

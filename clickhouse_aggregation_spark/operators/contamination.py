@@ -26,6 +26,9 @@ from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..sources.tables import ensure_parallelism, load_table
+from .dedup import DOC_SETS_SQL as _DEDUP_DOC_SETS_SQL
+from .dedup import JACCARD_THRESHOLD as _DEDUP_JACCARD_THRESHOLD
+from .dedup import _minhash_sql as _dedup_minhash_sql
 from .dedup import shingles_col
 from .registry import register
 
@@ -141,3 +144,55 @@ def q_contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame
                     F.col("common").cast("long").alias("common_shingles"),
                     F.col("n").cast("long").alias("n_eval_shingles"),
                     overlap.alias("overlap")))
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy decontamination: NEAR-duplicate contamination. Verbatim 8-gram
+# collision (above) misses an eval document that was lightly rephrased
+# into the training set; production decontamination (GPT-3 appendix C,
+# The Pile, FineWeb) therefore ALSO removes training docs that are
+# near-duplicates of eval docs. The pair machinery is exactly the
+# MinHash-LSH dedup path — so this query consumes the session-cached
+# confirmed-pairs set (one more reader of the materialized dup-pairs
+# table; zero additional shuffles beyond the id-parity filter).
+
+@register(
+    "contamination_neardup",
+    oracle=f"""
+WITH {_DEDUP_DOC_SETS_SQL.strip()},
+{_dedup_minhash_sql().strip()},
+pairs AS (
+  SELECT c.doc_a, c.doc_b,
+         len(list_intersect(a.sh, b.sh))
+           / (a.n + b.n - len(list_intersect(a.sh, b.sh))) AS jaccard
+  FROM candidates c
+  JOIN doc_sets_n a ON a.doc_id = c.doc_a
+  JOIN doc_sets_n b ON b.doc_id = c.doc_b
+  WHERE len(list_intersect(a.sh, b.sh))
+          / (a.n + b.n - len(list_intersect(a.sh, b.sh)))
+          >= {_DEDUP_JACCARD_THRESHOLD}
+)
+SELECT CASE WHEN doc_a % {EVAL_MOD} = 0 THEN doc_a ELSE doc_b END
+         AS eval_doc,
+       CASE WHEN doc_a % {EVAL_MOD} = 0 THEN doc_b ELSE doc_a END
+         AS train_doc,
+       jaccard
+FROM pairs
+WHERE (doc_a % {EVAL_MOD} = 0) <> (doc_b % {EVAL_MOD} = 0)""",
+    doc="Near-duplicate contamination (fuzzy decontamination): "
+        "confirmed MinHash near-dup pairs where exactly one side is a "
+        "held-out eval doc (doc_id % 10 = 0) — the rephrased-benchmark "
+        "leak the verbatim 8-gram check cannot see. Reads the session-"
+        "cached confirmed-pairs table; incremental cost is one filter.",
+)
+def q_contamination_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import confirmed_minhash_pairs
+    pairs = confirmed_minhash_pairs(spark, sf_dir)
+    a_eval = F.col("doc_a") % EVAL_MOD == 0
+    b_eval = F.col("doc_b") % EVAL_MOD == 0
+    return (pairs.filter(a_eval != b_eval)
+            .select(F.when(a_eval, F.col("doc_a")).otherwise(F.col("doc_b"))
+                    .alias("eval_doc"),
+                    F.when(a_eval, F.col("doc_b")).otherwise(F.col("doc_a"))
+                    .alias("train_doc"),
+                    "jaccard"))

@@ -595,6 +595,40 @@ def q_dedup_embedding_lsh_recall(spark: SparkSession,
     )
 
 
+@register(
+    "dedup_embedding_survivors",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id, {quantize.SQL} AS qv FROM embeddings
+), n AS (
+  SELECT vec_id, qv, {int_norm2.SQL} AS norm2 FROM q
+), bkt AS (
+  SELECT vec_id, qv, norm2, {_bucket_sql()} AS bucket FROM n
+), dups AS (
+  SELECT DISTINCT b.vec_id AS dropped
+  FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  WHERE {COSINE_ORACLE_EXPR} >= {COSINE_DUP_THRESHOLD}
+)
+SELECT e.vec_id, CAST(e.label AS INT) AS label
+FROM embeddings e
+LEFT JOIN dups ON dups.dropped = e.vec_id
+WHERE dups.dropped IS NULL""",
+    doc="The removal stage of embedding near-dedup (the minhash_"
+        "survivors twin on the vector side): keep-lowest-vec_id policy "
+        "over the sign-LSH confirmed pairs, corpus produced by one "
+        "anti-join. Runs over the FULL corpus via the linear LSH path "
+        "— this is the shipped dedup output a curation pipeline feeds "
+        "downstream.",
+)
+def q_dedup_embedding_survivors(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    dropped = embedding_lsh_pairs(emb) \
+        .select(F.col("vec_b").alias("vec_id")).distinct()
+    return (emb.join(dropped, "vec_id", "left_anti")
+            .select("vec_id", F.col("label").cast("int").alias("label")))
+
+
 # ---------------------------------------------------------------------------
 # D6: from dup pairs to a cleaned corpus
 

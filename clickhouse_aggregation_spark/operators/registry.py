@@ -105,10 +105,25 @@ EXTRAS: tuple[str, ...] = (
     #   pipeline_bottomk_per_source — LIMIT k BY / stratified minwise
     #     sample; sibling of the promoted pipeline_bottomk_sample
     "pipeline_bottomk_per_source",
-    # Round-4 addition born as an extra (declared surface at 50): the
-    # recall@pairs monitor for the sign-LSH near-dup path, measured
-    # against the capped cosine baseline (VERDICT r3 #8)
+    # Round-4 additions born as extras (declared surface at 50):
+    #   dedup_embedding_lsh_recall — recall@pairs monitor for the
+    #     sign-LSH near-dup path vs the capped cosine baseline
+    #     (VERDICT r3 #8)
     "dedup_embedding_lsh_recall",
+    #   text_unigram_logppl — KenLM-style unigram perplexity proxy
+    #     (quality pre-filter); token/count machinery driver-checked
+    #     via the promoted text family
+    "text_unigram_logppl",
+    #   dedup_embedding_survivors — the anti-join removal stage over
+    #     the sign-LSH pairs (minhash_survivors' vector-side twin);
+    #     pair machinery driver-checked via the promoted
+    #     dedup_embedding_lsh
+    "dedup_embedding_survivors",
+    #   contamination_neardup — fuzzy decontamination (near-dup pairs
+    #     crossing the train/eval split); pair machinery driver-checked
+    #     via dedup_minhash_lsh, verbatim path via
+    #     contamination_ngram_overlap (both declared)
+    "contamination_neardup",
     # Round-4 rotation: 35 long-stable r3-green queries rotate out so
     # the never-driver-checked round-3 cohort rotates in. Every demoted
     # query below was driver-green in CORRECTNESS_r03.json and keeps a

@@ -600,3 +600,78 @@ def q_text_novel_trigram_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("n_rare") * NOVEL_DEN
                        > NOVEL_NUM * F.col("n_tg"), 1)).cast("long")
          .alias("n_flagged")))
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM perplexity proxy: the canonical KenLM-style quality score
+# of a training-data pipeline, reduced to its self-contained unigram
+# form — per-doc mean negative log2 probability of the doc's tokens
+# under the corpus unigram distribution with add-one smoothing:
+#
+#   bits(doc) = log2(N + V) - (1/n_tokens) * sum_w tf_w * log2(cnt_w+1)
+#
+# Counts (tf, cnt, N, V) are exact integers; the only floats are log2
+# terms, folded per doc in SORTED-TOKEN order on both engines (the
+# events_k_entropy recipe) and rounded to 6 decimals, so the score is
+# oracle-hash-checkable. (A real KenLM n-gram LM scores with an
+# external model file; the unigram form is the piece expressible as a
+# pure dataflow and is the standard cheap pre-filter.)
+
+@register(
+    "text_unigram_logppl",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+tf AS (
+  SELECT doc_id, token, count(*) AS tf
+  FROM tok WHERE token <> '' GROUP BY doc_id, token
+),
+cnt AS (SELECT token, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY token),
+tot AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS v
+  FROM cnt
+),
+agg AS (
+  SELECT t.doc_id,
+         CAST(sum(t.tf) AS BIGINT) AS n_tokens,
+         list(CAST(t.tf AS DOUBLE) * log2(CAST(c.cnt + 1 AS DOUBLE))
+              ORDER BY t.token) AS parts
+  FROM tf t JOIN cnt c ON c.token = t.token
+  GROUP BY t.doc_id
+)
+SELECT doc_id, n_tokens,
+       round(log2(CAST(tot.n + tot.v AS DOUBLE))
+             - list_sum(parts) / CAST(n_tokens AS DOUBLE), 6)
+         AS unigram_logppl_bits
+FROM agg, tot""",
+    doc="Unigram-LM perplexity proxy per document (add-one smoothing): "
+        "the KenLM-style quality pre-filter as pure dataflow. Two "
+        "combinable aggregations (per-(doc,token) tf, vocab-sized "
+        "cnt), one token-keyed equi-join, one per-doc sorted fold — "
+        "all counts exact integers, float log2 terms folded in sorted-"
+        "token order on both engines and rounded to 6 decimals.",
+)
+def q_text_unigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (docs.select("doc_id",
+                      F.explode(F.split("text", " ")).alias("token"))
+          .filter(F.col("token") != "")
+          .groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf")))
+    cnt = tf.groupBy("token").agg(F.sum("tf").cast("long").alias("cnt"))
+    tot = cnt.agg(F.sum("cnt").cast("long").alias("n"),
+                  F.count(F.lit(1)).cast("long").alias("v"))
+    agg = (tf.join(cnt, "token")
+           .groupBy("doc_id")
+           .agg(F.sum("tf").cast("long").alias("n_tokens"),
+                F.sort_array(F.collect_list(
+                    F.struct("token", "tf", "cnt"))).alias("tcs")))
+    fold = F.aggregate(
+        F.col("tcs"), F.lit(0.0),
+        lambda acc, s: acc + s["tf"].cast("double")
+        * F.log2((s["cnt"] + 1).cast("double")))
+    return (agg.crossJoin(F.broadcast(tot))
+            .select("doc_id", "n_tokens",
+                    F.round(F.log2((F.col("n") + F.col("v")).cast("double"))
+                            - fold / F.col("n_tokens").cast("double"), 6)
+                    .alias("unigram_logppl_bits")))

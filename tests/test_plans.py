@@ -406,3 +406,35 @@ def test_sequence_count_one_user_shuffle_no_join_chain(spark, sf_dir):
     assert "BatchEvalPython" not in plan
     assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") \
         + plan.count("BroadcastHashJoin") <= 1
+
+
+def test_unigram_logppl_fold_is_aggregate_not_window(spark, sf_dir):
+    """The per-doc fold must be a combinable hash aggregate over the
+    (doc, token) rows — never a window over the token explosion — and
+    the tf-cnt join must be an equi-join on the token key."""
+    plan = _plan(spark, sf_dir, "text_unigram_logppl")
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    # the 1-row totals anchor is the only nested-loop join allowed
+    if "BroadcastNestedLoopJoin" in plan:
+        assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert "HashAggregate" in plan or "SortAggregate" in plan
+
+
+def test_embedding_survivors_is_anti_join(spark, sf_dir):
+    """The removal stage must be one anti-join over the pair set (never
+    a per-row membership scan), with the pair generation an equi-join
+    on the bucket key."""
+    plan = _plan(spark, sf_dir, "dedup_embedding_survivors")
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "bucket" in plan
+
+
+def test_contamination_neardup_reuses_cached_pairs(spark, sf_dir):
+    """Fuzzy decontamination must read the session-persisted confirmed-
+    pairs table (InMemoryTableScan) — never re-run the LSH pipeline —
+    and add only a filter + projection on top."""
+    plan = _plan(spark, sf_dir, "contamination_neardup")
+    assert "InMemoryTableScan" in plan
+    assert "CartesianProduct" not in plan

@@ -177,9 +177,18 @@ def update_where(spark: SparkSession, path: str, predicate: Column,
 
     Non-matching rows in affected partitions are rewritten verbatim;
     other partitions are untouched. Updates never empty a partition
-    (row counts are preserved), so no emptied-directory pass is needed.
-    Above ``max_partitions`` affected partitions: one full-table
-    rewrite (partitions_rewritten = -1)."""
+    (row counts are preserved) BECAUSE updating the partition column
+    itself is refused — rows moving between partitions could empty the
+    source partition (the delete_where failure mode) and is
+    delete+insert territory, same as ClickHouse's restriction on
+    mutating a key column. Above ``max_partitions`` affected
+    partitions: one full-table rewrite (partitions_rewritten = -1)."""
+    if part_col in set_exprs:
+        raise ValueError(
+            f"update_where cannot modify the partition column "
+            f"{part_col!r}: rows would move between partitions (and "
+            "could empty one). Model a partition-key change as "
+            "delete_where + an insert of the transformed rows.")
     df = spark.read.parquet(path)
 
     def apply_set(frame: DataFrame) -> DataFrame:

@@ -270,3 +270,13 @@ def test_lightweight_delete_matches_copy_on_write(spark, sf_dir, tmp_path):
     assert spark.read.parquet(lw).count() == want.count()
     # post-compaction reads need no anti-join
     assert M.read_with_tombstones(spark, lw, keys).count() == want.count()
+
+
+def test_update_where_refuses_partition_column(spark, sf_dir, tmp_path):
+    """Updating the partition column would move rows across partitions
+    (and could empty one — the delete_where failure mode); the mutation
+    must refuse with guidance instead of corrupting the layout."""
+    path = _fresh_table(spark, sf_dir, tmp_path, "updpart")
+    with pytest.raises(ValueError, match="partition column"):
+        M.update_where(spark, path, F.col("value") > 0,
+                       {"block_bucket": F.lit(0)})

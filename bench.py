@@ -156,6 +156,8 @@ HEADLINE = [
     "text_unigram_logppl",
     "dedup_embedding_survivors",
     "contamination_neardup",
+    "dedup_embedding_lsh_banded",
+    "similarity_lsh_recall",
 ]
 
 # documented-quadratic exactness baselines (scale paths are the LSH/IVF

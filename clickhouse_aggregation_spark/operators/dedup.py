@@ -27,9 +27,11 @@ from __future__ import annotations
 from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
+import random
+
 from ..sources.tables import ensure_parallelism, load_table
 from .registry import register
-from .similarity import (COSINE_ORACLE_EXPR, _bucket_col, _bucket_sql,
+from .similarity import (COSINE_ORACLE_EXPR, DIM, _bucket_col, _bucket_sql,
                          int_dot, int_norm2, quantize)
 
 SHINGLE_K = 3
@@ -541,10 +543,135 @@ def embedding_lsh_pairs(emb: DataFrame) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# BANDED sign-LSH: the recall-honest form of the embedding near-dup
+# path. Measurement on the real fixture (this round) showed the
+# single-bucket 8-plane variant has ~ZERO recall at this corpus's dup
+# population: the planted near-dups sit at cosine 0.45-0.49, where the
+# per-plane agreement probability is p = 1 - θ/π ≈ 0.65 and
+# P(all 8 planes agree) ≈ 3 % — the standard LSH lesson that a low
+# similarity threshold needs AMPLIFICATION (b bands of r planes,
+# P(candidate) = 1-(1-p^r)^b), exactly like MinHash banding. The
+# parameters below (12 bands × 5 planes) are the measured sweet spot on
+# the fixture: recall 11/14 true pairs with ~3× fewer candidates than
+# brute force (seeded planes → both numbers deterministic and pinned in
+# tests). The honest scale statement, recorded here and in NOTES_r4:
+# sign-LSH prunes aggressively only when the threshold is high (true
+# near-dup territory, cosine ≥ 0.9 — where the 8-plane variant's
+# p^8 ≈ 0.78 per bucket works); at similarity-mining thresholds like
+# 0.45 any fixed-plane scheme is Θ(n²·const), and the right tool is
+# the IVF candidate path (similarity_ivf_*). Candidates stay an
+# equi-join on the (band, key) pair; duplicates across bands collapse
+# with one DISTINCT. Planes are seeded integer literals embedded in
+# BOTH the Spark plan and the oracle SQL, so the whole construction is
+# hash-checkable.
+
+EMB_BANDS = 12
+EMB_BAND_PLANES = 5
+_band_rng = random.Random(20250814)
+BAND_PLANES_TBL: list[list[list[int]]] = [
+    [[_band_rng.randint(-1000, 1000) for _ in range(DIM)]
+     for _ in range(EMB_BAND_PLANES)]
+    for _ in range(EMB_BANDS)
+]
+
+
+def _band_key_col(qv: Column, planes: list[list[int]]) -> Column:
+    parts = []
+    for p in planes:
+        plane = F.array(*[F.lit(x) for x in p])
+        parts.append(F.when(int_dot(qv, plane) >= 0, F.lit("1"))
+                     .otherwise(F.lit("0")))
+    return F.concat(*parts)
+
+
+def _band_key_sql(planes: list[list[int]]) -> str:
+    parts = []
+    for p in planes:
+        lits = "[" + ", ".join(str(x) for x in p) + "]"
+        dot = (f"list_sum(list_transform(range(1, {DIM} + 1), "
+               f"i -> qv[i] * ({lits})[i]))")
+        parts.append(f"(CASE WHEN {dot} >= 0 THEN '1' ELSE '0' END)")
+    return " || ".join(parts)
+
+
+def _banded_posts_sql() -> str:
+    selects = [
+        f"SELECT vec_id, qv, norm2, {b} AS band, "
+        f"{_band_key_sql(BAND_PLANES_TBL[b])} AS bkey FROM n"
+        for b in range(EMB_BANDS)
+    ]
+    return "\nUNION ALL\n".join(selects)
+
+
+@register(
+    "dedup_embedding_lsh_banded",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id, {quantize.SQL} AS qv FROM embeddings
+), n AS (
+  SELECT vec_id, qv, {int_norm2.SQL} AS norm2 FROM q
+), posts AS (
+{_banded_posts_sql()}
+)
+SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       {COSINE_ORACLE_EXPR} AS cosine
+FROM posts a JOIN posts b
+  ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id
+WHERE {COSINE_ORACLE_EXPR} >= {COSINE_DUP_THRESHOLD}""",
+    doc="Embedding near-dup via BANDED sign-LSH (12 bands × 5 planes): "
+        "the amplification construction for this corpus's LOW dup "
+        "threshold (cosine 0.45, per-plane agreement ≈ 0.65), where "
+        "the single 8-plane bucket has ~zero recall (measured; see "
+        "module comment). Deterministic seeded planes: recall 11/14 "
+        "true pairs at ~3× fewer candidates than brute force, both "
+        "pinned in tests. Equi-join on (band, key), exact integer-"
+        "quantized cosine verify, one DISTINCT across bands.",
+)
+def q_dedup_embedding_lsh_banded(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    return embedding_lsh_banded_pairs(
+        load_table(spark, sf_dir, "embeddings"))
+
+
+def embedding_lsh_banded_pairs(emb: DataFrame) -> DataFrame:
+    q = emb.select("vec_id", quantize(F.col("embedding")).alias("qv"))
+    n = q.select("vec_id", "qv", int_norm2(F.col("qv")).alias("norm2"))
+    keys = F.array(*[_band_key_col(F.col("qv"), BAND_PLANES_TBL[b])
+                     for b in range(EMB_BANDS)])
+    posts = n.select("vec_id", "qv", "norm2",
+                     F.posexplode(keys).alias("band", "bkey"))
+    # EXPLICIT-width repartition on the join keys, for two reasons
+    # found by measurement (NOTES_r4): (a) the posts shuffle is tiny
+    # (narrow rows), so AQE coalesces the join to ONE partition while
+    # the join OUTPUT explodes to ~0.2·n² verify rows — 15× slower at
+    # sf0.1, 1-task at every scale; an explicit numPartitions is
+    # exempt from AQE coalescing. (b) both self-join sides inherit the
+    # same hash partitioning on (band, bkey), so the join itself adds
+    # no further shuffle. At cluster scale the width comes from the
+    # same knob as everything else (defaultParallelism).
+    width = max(emb.sparkSession.sparkContext.defaultParallelism, 4)
+    posts = posts.repartition(width, F.col("band"), F.col("bkey"))
+    a = posts.alias("a")
+    b = posts.alias("b")
+    cos = (int_dot(F.col("a.qv"), F.col("b.qv"))
+           / (F.sqrt(F.col("a.norm2")) * F.sqrt(F.col("b.norm2"))))
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bkey") == F.col("b.bkey"))
+               & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(F.col("a.vec_id").alias("vec_a"),
+                F.col("b.vec_id").alias("vec_b"),
+                cos.alias("cosine"))
+        .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
+        .distinct()
+    )
+
+
 @register(
     "dedup_embedding_lsh_recall",
-    # both sides are deterministic (integer-quantized cosine, seeded
-    # hyperplanes), so the recall value itself is oracle-exact
+    # every side is deterministic (integer-quantized cosine, seeded
+    # hyperplanes), so the recall values themselves are oracle-exact
     oracle=f"""
 WITH q AS (
   SELECT vec_id, {quantize.SQL} AS qv FROM embeddings
@@ -562,20 +689,35 @@ WITH q AS (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
   FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
   WHERE {COSINE_ORACLE_EXPR} >= {COSINE_DUP_THRESHOLD}
-), hits AS (
-  SELECT count(*) AS n_found FROM base
-  JOIN lsh ON base.vec_a = lsh.vec_a AND base.vec_b = lsh.vec_b
+), posts AS (
+{{banded_posts}}
+), banded AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM posts a JOIN posts b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id
+  WHERE {COSINE_ORACLE_EXPR} >= {COSINE_DUP_THRESHOLD}
 )
 SELECT CAST((SELECT count(*) FROM base) AS BIGINT) AS n_true,
-       CAST(n_found AS BIGINT) AS n_found,
-       CAST(n_found AS DOUBLE)
-         / (SELECT count(*) FROM base) AS pair_recall
-FROM hits""",
-    doc="Near-dup index-quality monitor: pair recall of the linear "
-        "sign-LSH path against the exact (capped-domain) cosine "
-        "baseline — the number behind the 'LSH is the shipped path' "
-        "claim, mirrored on similarity_ivf_recall. Deterministic on "
-        "both engines, so the driver hash-checks the actual recall.",
+       CAST((SELECT count(*) FROM base JOIN lsh
+             ON base.vec_a = lsh.vec_a AND base.vec_b = lsh.vec_b)
+            AS BIGINT) AS single_found,
+       CAST((SELECT count(*) FROM base JOIN banded
+             ON base.vec_a = banded.vec_a AND base.vec_b = banded.vec_b)
+            AS BIGINT) AS banded_found,
+       CAST((SELECT count(*) FROM base JOIN lsh
+             ON base.vec_a = lsh.vec_a AND base.vec_b = lsh.vec_b)
+            AS DOUBLE) / (SELECT count(*) FROM base) AS single_recall,
+       CAST((SELECT count(*) FROM base JOIN banded
+             ON base.vec_a = banded.vec_a AND base.vec_b = banded.vec_b)
+            AS DOUBLE) / (SELECT count(*) FROM base) AS banded_recall"""
+    .replace("{banded_posts}", _banded_posts_sql()),
+    doc="Near-dup index-quality monitor: pair recall of BOTH sign-LSH "
+        "variants against the exact (capped-domain) cosine baseline, "
+        "mirrored on similarity_ivf_recall. The number that exposed "
+        "the single-bucket path's ~zero recall at this corpus's 0.45 "
+        "dup threshold and motivated the banded amplification. "
+        "Deterministic on both engines — the driver hash-checks the "
+        "actual recall values.",
 )
 def q_dedup_embedding_lsh_recall(spark: SparkSession,
                                  sf_dir: str) -> DataFrame:
@@ -583,15 +725,22 @@ def q_dedup_embedding_lsh_recall(spark: SparkSession,
     emb = load_table(spark, sf_dir, "embeddings") \
         .filter(F.col("vec_id") < COSINE_BASELINE_CAP)
     lsh = embedding_lsh_pairs(emb).select("vec_a", "vec_b") \
-        .withColumn("_hit", F.lit(1))
+        .withColumn("_single", F.lit(1))
+    banded = embedding_lsh_banded_pairs(emb).select("vec_a", "vec_b") \
+        .withColumn("_banded", F.lit(1))
     return (
         base.join(lsh, ["vec_a", "vec_b"], "left")
+        .join(banded, ["vec_a", "vec_b"], "left")
         .agg(F.count(F.lit(1)).cast("long").alias("n_true"),
-             F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
-             .cast("long").alias("n_found"))
-        .select("n_true", "n_found",
-                (F.col("n_found") / F.col("n_true")).cast("double")
-                .alias("pair_recall"))
+             F.sum(F.coalesce(F.col("_single"), F.lit(0)))
+             .cast("long").alias("single_found"),
+             F.sum(F.coalesce(F.col("_banded"), F.lit(0)))
+             .cast("long").alias("banded_found"))
+        .select("n_true", "single_found", "banded_found",
+                (F.col("single_found") / F.col("n_true")).cast("double")
+                .alias("single_recall"),
+                (F.col("banded_found") / F.col("n_true")).cast("double")
+                .alias("banded_recall"))
     )
 
 
@@ -602,28 +751,29 @@ WITH q AS (
   SELECT vec_id, {quantize.SQL} AS qv FROM embeddings
 ), n AS (
   SELECT vec_id, qv, {int_norm2.SQL} AS norm2 FROM q
-), bkt AS (
-  SELECT vec_id, qv, norm2, {_bucket_sql()} AS bucket FROM n
+), posts AS (
+{{banded_posts}}
 ), dups AS (
   SELECT DISTINCT b.vec_id AS dropped
-  FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  FROM posts a JOIN posts b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id
   WHERE {COSINE_ORACLE_EXPR} >= {COSINE_DUP_THRESHOLD}
 )
 SELECT e.vec_id, CAST(e.label AS INT) AS label
 FROM embeddings e
 LEFT JOIN dups ON dups.dropped = e.vec_id
-WHERE dups.dropped IS NULL""",
+WHERE dups.dropped IS NULL""".replace("{banded_posts}",
+                                      _banded_posts_sql()),
     doc="The removal stage of embedding near-dedup (the minhash_"
         "survivors twin on the vector side): keep-lowest-vec_id policy "
-        "over the sign-LSH confirmed pairs, corpus produced by one "
-        "anti-join. Runs over the FULL corpus via the linear LSH path "
-        "— this is the shipped dedup output a curation pipeline feeds "
-        "downstream.",
+        "over the BANDED sign-LSH confirmed pairs (the recall-honest "
+        "variant — the single-bucket pairs have ~zero recall at this "
+        "corpus's dup threshold), corpus produced by one anti-join.",
 )
 def q_dedup_embedding_survivors(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    dropped = embedding_lsh_pairs(emb) \
+    dropped = embedding_lsh_banded_pairs(emb) \
         .select(F.col("vec_b").alias("vec_id")).distinct()
     return (emb.join(dropped, "vec_id", "left_anti")
             .select("vec_id", F.col("label").cast("int").alias("label")))

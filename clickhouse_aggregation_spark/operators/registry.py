@@ -124,6 +124,17 @@ EXTRAS: tuple[str, ...] = (
     #     via dedup_minhash_lsh, verbatim path via
     #     contamination_ngram_overlap (both declared)
     "contamination_neardup",
+    #   dedup_embedding_lsh_banded — banded sign-LSH (12 bands × 5
+    #     planes), the recall-honest amplification of the single-bucket
+    #     variant (measured ~zero recall at this corpus's 0.45 dup
+    #     threshold); bucket machinery driver-checked via the promoted
+    #     dedup_embedding_lsh
+    "dedup_embedding_lsh_banded",
+    #   similarity_lsh_recall — recall@5 monitor for the LSH search
+    #     family (single-bucket + multiprobe vs exact top-5); sibling
+    #     of similarity_ivf_recall, search paths driver-checked via
+    #     the promoted similarity_lsh_multiprobe family
+    "similarity_lsh_recall",
     # Round-4 rotation: 35 long-stable r3-green queries rotate out so
     # the never-driver-checked round-3 cohort rotates in. Every demoted
     # query below was driver-green in CORRECTNESS_r03.json and keeps a

@@ -472,6 +472,64 @@ def q_similarity_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LSH_SQL = REGISTRY["similarity_lsh_bucketed"].raw_oracle
+_PROBE_SQL = REGISTRY["similarity_lsh_multiprobe"].raw_oracle
+
+
+@register(
+    "similarity_lsh_recall",
+    # deterministic inputs (seeded planes, integer-quantized cosine,
+    # tie-broken ranks) → recall values are oracle-exact
+    oracle=f"""
+WITH bf AS (SELECT query_id, neighbor_id FROM ({_BF_SQL})),
+lsh AS (SELECT query_id, neighbor_id FROM ({_LSH_SQL})),
+probe AS (SELECT query_id, neighbor_id FROM ({_PROBE_SQL})),
+hits AS (
+  SELECT b.query_id,
+         count(l.neighbor_id) AS lsh_hits,
+         count(p.neighbor_id) AS probe_hits
+  FROM bf b
+  LEFT JOIN lsh l ON l.query_id = b.query_id
+                 AND l.neighbor_id = b.neighbor_id
+  LEFT JOIN probe p ON p.query_id = b.query_id
+                   AND p.neighbor_id = b.neighbor_id
+  GROUP BY 1
+)
+SELECT query_id, CAST(lsh_hits AS BIGINT) AS lsh_hits,
+       CAST(probe_hits AS BIGINT) AS probe_hits,
+       CAST(lsh_hits AS DOUBLE) / {TOP_K} AS lsh_recall,
+       CAST(probe_hits AS DOUBLE) / {TOP_K} AS probe_recall
+FROM hits""",
+    doc="ANN search-quality monitor for the LSH family: recall@5 of "
+        "the single-bucket and Hamming-1 multi-probe searches against "
+        "the exact cosine top-5, per query — the sibling of "
+        "similarity_ivf_recall, completing the recall ledger so every "
+        "approximate search path has a hash-checked quality number. "
+        "Deterministic on both engines.",
+)
+def q_similarity_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bf = q_similarity_topk_bruteforce(spark, sf_dir) \
+        .select("query_id", "neighbor_id")
+    lsh = q_similarity_lsh_bucketed(spark, sf_dir) \
+        .select("query_id", "neighbor_id").withColumn("_l", F.lit(1))
+    probe = q_similarity_lsh_multiprobe(spark, sf_dir) \
+        .select("query_id", "neighbor_id").withColumn("_p", F.lit(1))
+    return (
+        bf.join(lsh, ["query_id", "neighbor_id"], "left")
+        .join(probe, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.sum(F.coalesce(F.col("_l"), F.lit(0)))
+             .cast("long").alias("lsh_hits"),
+             F.sum(F.coalesce(F.col("_p"), F.lit(0)))
+             .cast("long").alias("probe_hits"))
+        .select("query_id", "lsh_hits", "probe_hits",
+                (F.col("lsh_hits") / F.lit(TOP_K)).cast("double")
+                .alias("lsh_recall"),
+                (F.col("probe_hits") / F.lit(TOP_K)).cast("double")
+                .alias("probe_recall"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Product quantization (PQ) with asymmetric-distance candidates + exact
 # re-rank: the memory-bound ANN scale path. Vectors are encoded as M

@@ -73,3 +73,34 @@ def test_band_keys_stable_across_plans(spark, sf_dir):
     finally:
         cached.unpersist()
     assert fresh == again
+
+
+def test_banded_lsh_recall_beats_single_bucket(spark):
+    """The measured motivation for the banded variant: at this corpus's
+    dup threshold (cosine 0.45-0.49, per-plane agreement ≈ 0.65) the
+    single 8-plane bucket recalls ZERO of the true pairs, while the
+    12-band × 5-plane amplification recalls most of them. All inputs
+    are seeded/deterministic, so the exact counts are pinned; precision
+    is 1 by construction (exact cosine verify of candidates)."""
+    from clickhouse_aggregation_spark.operators.dedup import (
+        COSINE_BASELINE_CAP, embedding_lsh_banded_pairs,
+        embedding_lsh_pairs,
+    )
+    from clickhouse_aggregation_spark.operators.registry import REGISTRY
+    from clickhouse_aggregation_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.01"
+    emb = load_table(spark, sf, "embeddings") \
+        .filter(F.col("vec_id") < COSINE_BASELINE_CAP)
+    single = {(r.vec_a, r.vec_b) for r in
+              embedding_lsh_pairs(emb).collect()}
+    banded = {(r.vec_a, r.vec_b) for r in
+              embedding_lsh_banded_pairs(emb).collect()}
+    truth = {(r.vec_a, r.vec_b) for r in
+             REGISTRY["dedup_embedding_cosine"].raw_fn(spark, sf).collect()}
+    assert banded <= truth          # precision 1 (exact verify)
+    assert single <= truth
+    assert len(truth) == 14
+    assert len(single) == 0         # the honest zero that motivated banding
+    assert len(banded) == 11        # deterministic: seeded planes

@@ -424,11 +424,11 @@ def test_unigram_logppl_fold_is_aggregate_not_window(spark, sf_dir):
 def test_embedding_survivors_is_anti_join(spark, sf_dir):
     """The removal stage must be one anti-join over the pair set (never
     a per-row membership scan), with the pair generation an equi-join
-    on the bucket key."""
+    on the banded (band, key) pair."""
     plan = _plan(spark, sf_dir, "dedup_embedding_survivors")
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
-    assert "bucket" in plan
+    assert "bkey" in plan
 
 
 def test_contamination_neardup_reuses_cached_pairs(spark, sf_dir):
@@ -438,3 +438,28 @@ def test_contamination_neardup_reuses_cached_pairs(spark, sf_dir):
     plan = _plan(spark, sf_dir, "contamination_neardup")
     assert "InMemoryTableScan" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_embedding_lsh_banded_is_equi_join(spark, sf_dir):
+    """The banded variant must stay an equi-join on (band, key) — the
+    posexplode multiplies rows by the band count only, never by the
+    corpus — with one distinct to collapse cross-band duplicates."""
+    plan = _plan(spark, sf_dir, "dedup_embedding_lsh_banded")
+    assert "CartesianProduct" not in plan
+    assert "bkey" in plan
+    assert "band" in plan
+
+
+def test_banded_join_width_survives_aqe(spark, sf_dir):
+    """Measured failure mode (NOTES_r4): the banded posts shuffle is
+    tiny, so AQE coalesced the self-join to ONE partition while the
+    join output exploded to ~0.2·n² verify rows (15× slower at sf0.1,
+    272 s at sf0.5). The explicit-width repartition must survive into
+    the executed plan: after running, the join stage may not have
+    collapsed to a single partition."""
+    df = REGISTRY["dedup_embedding_lsh_banded"].fn(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+    m = re.search(r"REPARTITION_BY_NUM", plan)
+    assert m is not None, "explicit-width repartition missing from plan"

@@ -158,6 +158,8 @@ HEADLINE = [
     "contamination_neardup",
     "dedup_embedding_lsh_banded",
     "similarity_lsh_recall",
+    "dedup_semantic",
+    "pipeline_temperature_mix",
 ]
 
 # documented-quadratic exactness baselines (scale paths are the LSH/IVF

@@ -31,8 +31,9 @@ import random
 
 from ..sources.tables import ensure_parallelism, load_table
 from .registry import register
-from .similarity import (COSINE_ORACLE_EXPR, DIM, _bucket_col, _bucket_sql,
-                         int_dot, int_norm2, quantize)
+from .similarity import (COSINE_ORACLE_EXPR, DIM, N_CENTROIDS, _bucket_col,
+                         _bucket_sql, _ivf_parts, int_dot, int_norm2,
+                         quantize)
 
 SHINGLE_K = 3
 JACCARD_THRESHOLD = 0.8
@@ -777,6 +778,111 @@ def q_dedup_embedding_survivors(spark: SparkSession,
         .select(F.col("vec_b").alias("vec_id")).distinct()
     return (emb.join(dropped, "vec_id", "left_anti")
             .select("vec_id", F.col("label").cast("int").alias("label")))
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic dedup by cluster-then-prune (Abbas et al. 2023,
+# arXiv:2303.09540). The third member of the embedding-dedup family,
+# with a different contract from the LSH paths: instead of finding ALL
+# near-dup pairs, localize the pairwise search inside k-means cells and
+# accept the recall loss from cross-cell pairs (measured here: 11 of 59
+# eps=0.40 pairs fall within-cell at K=16 on sf0.01 — the paper's
+# trade, which works because real semantic dups cluster together; the
+# driver fixture's near-random vectors are the worst case). Scale
+# story: within-cell pairwise work is O(sum cell_size²); the paper
+# (and any production run) grows K ∝ n so cell size stays CONSTANT and
+# total work stays linear — K is pinned to the shared IVF quantizer's
+# 16 seeded cells here only so the whole construction is one
+# hash-checkable SQL expression on both engines. Cell assignment is
+# the SAME broadcast + min_by pass the IVF index build uses (one
+# shared `_ivf_parts`), so the index is built once per plan, not per
+# operator family.
+#
+# Representative choice: the paper keeps the member with LOWEST cosine
+# to its centroid; we use keep-lowest-vec_id (a vector is dropped iff
+# it has a qualifying neighbor with a smaller id — the same greedy
+# every survivor op in this module uses), which keeps the policy a
+# pure pairwise predicate, deterministic and engine-identical.
+
+SEM_EPS = 0.40           # SemDeDup epsilon: BELOW the near-dup
+                         # threshold — prunes semantic redundancy, not
+                         # just copies
+
+
+@register(
+    "dedup_semantic",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id, {quantize.SQL} AS qv FROM embeddings
+), n AS (
+  SELECT vec_id, qv, {int_norm2.SQL} AS norm2 FROM q
+), cents AS (
+  SELECT vec_id AS centroid_id, qv AS c_qv, norm2 AS c_norm2
+  FROM n WHERE vec_id < {N_CENTROIDS}
+), dists AS (
+  SELECT n.vec_id, n.qv, n.norm2, c.centroid_id,
+         row_number() OVER (PARTITION BY n.vec_id
+                            ORDER BY n.norm2 + c.c_norm2
+           - 2 * CAST(list_sum(list_transform(range(1, len(n.qv) + 1),
+                 i -> n.qv[i] * c.c_qv[i])) AS BIGINT), c.centroid_id) AS _rk
+  FROM n, cents c
+), corpus AS (
+  SELECT vec_id, qv, norm2, centroid_id FROM dists WHERE _rk = 1
+), pairs AS (
+  SELECT a.centroid_id, b.vec_id AS dropped_vec
+  FROM corpus a JOIN corpus b
+    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+  WHERE {COSINE_ORACLE_EXPR} >= {SEM_EPS}
+), members AS (
+  SELECT centroid_id, count(*) AS members FROM corpus GROUP BY 1
+), ps AS (
+  SELECT centroid_id, count(*) AS dup_pairs,
+         count(DISTINCT dropped_vec) AS dropped
+  FROM pairs GROUP BY 1
+)
+SELECT m.centroid_id,
+       CAST(m.members AS BIGINT) AS members,
+       CAST(coalesce(ps.dup_pairs, 0) AS BIGINT) AS dup_pairs,
+       CAST(coalesce(ps.dropped, 0) AS BIGINT) AS dropped,
+       CAST(m.members - coalesce(ps.dropped, 0) AS BIGINT) AS kept
+FROM members m LEFT JOIN ps ON ps.centroid_id = m.centroid_id""",
+    doc="SemDeDup (Abbas et al. 2023): semantic dedup by clustering "
+        "embeddings (shared 16-cell IVF quantizer, broadcast + min_by "
+        "assignment) then pruning pairs with cosine >= 0.40 WITHIN "
+        "each cell — per-cell member/pair/dropped/kept counts. "
+        "Pairwise work localized to cells; at scale K grows with n so "
+        "cell size (and per-cell cost) stays constant.",
+)
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus, _ = _ivf_parts(spark, sf_dir)
+    a, b = corpus.alias("a"), corpus.alias("b")
+    cos = (int_dot(F.col("a.qv"), F.col("b.qv"))
+           / (F.sqrt(F.col("a.norm2")) * F.sqrt(F.col("b.norm2"))))
+    pairs = (
+        a.join(b, (F.col("a.centroid_id") == F.col("b.centroid_id"))
+               & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(F.col("a.centroid_id").alias("centroid_id"),
+                F.col("b.vec_id").alias("dropped_vec"),
+                cos.alias("cosine"))
+        .filter(F.col("cosine") >= SEM_EPS)
+    )
+    members = (corpus.groupBy("centroid_id")
+               .agg(F.count(F.lit(1)).cast("long").alias("members")))
+    stats = (pairs.groupBy("centroid_id")
+             .agg(F.count(F.lit(1)).cast("long").alias("dup_pairs"),
+                  F.countDistinct("dropped_vec").cast("long")
+                  .alias("dropped")))
+    return (
+        members.join(stats, "centroid_id", "left")
+        .select("centroid_id", "members",
+                F.coalesce(F.col("dup_pairs"), F.lit(0)).cast("long")
+                .alias("dup_pairs"),
+                F.coalesce(F.col("dropped"), F.lit(0)).cast("long")
+                .alias("dropped"),
+                (F.col("members")
+                 - F.coalesce(F.col("dropped"), F.lit(0))).cast("long")
+                .alias("kept"))
+    )
 
 
 # ---------------------------------------------------------------------------

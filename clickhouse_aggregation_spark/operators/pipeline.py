@@ -597,3 +597,101 @@ def q_pipeline_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
          % EPOCH_SHARDS))
     w = Window.partitionBy("shard").orderBy("shuffle_hash", "doc_id")
     return s.withColumn("pos", F.row_number().over(w).cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# Temperature-based source mixing: the multilingual/multi-corpus
+# sampling rule (alpha-smoothing a la XLM-R / mT5 / The Pile's
+# per-source epochs): sample source s with probability proportional to
+# p_s^alpha, alpha in [0,1] — alpha=1 keeps the natural token
+# distribution, alpha=0 makes sources uniform, in between up-weights
+# small sources. At alpha=0.5 the per-document acceptance rate
+# against the LARGEST-rate anchor reduces to
+#     rate_s = (t_min / t_s)^(1-alpha) = sqrt(t_min / t_s)
+# (t_s = source token mass): the normalizing sums cancel, so the rate
+# is two correctly-rounded sqrts and one division — bit-identical on
+# any IEEE engine, with NO float summation anywhere. The rate is
+# realized as a deterministic salted-hash Bernoulli gate (bucket <
+# floor(rate*10000)), the same reproducible-split rule as
+# pipeline_split_assign: re-running on any engine samples the exact
+# same documents. Two linear passes over the corpus (per-source mass,
+# then the gated re-aggregate) with a broadcast-size source table in
+# between — no extra shuffle at any scale.
+
+TEMP_ALPHA = 0.5         # documented; the rate formula below is its
+                         # closed form
+TEMP_BUCKETS = 10_000
+TEMP_SALT = "temp:"
+
+
+@register(
+    "pipeline_temperature_mix",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         (('0x' || substr(md5('{TEMP_SALT}' || CAST(doc_id AS VARCHAR)),
+           1, 8))::BIGINT % {TEMP_BUCKETS}) AS bucket
+  FROM documents
+), src AS (
+  SELECT source, count(*) AS docs, sum(n_tokens) AS toks
+  FROM d GROUP BY 1
+), anchor AS (
+  SELECT min(toks) AS t_min FROM src
+), thr AS (
+  SELECT source, docs, toks,
+         CAST(floor((sqrt(CAST(t_min AS DOUBLE))
+                     / sqrt(CAST(toks AS DOUBLE))) * 10000) AS BIGINT)
+           AS threshold
+  FROM src, anchor
+), samp AS (
+  SELECT d.source,
+         count(*) FILTER (d.bucket < t.threshold) AS sampled_docs,
+         coalesce(sum(d.n_tokens) FILTER (d.bucket < t.threshold), 0)
+           AS sampled_toks
+  FROM d JOIN thr t ON t.source = d.source
+  GROUP BY 1
+)
+SELECT t.source, CAST(t.docs AS BIGINT) AS docs,
+       CAST(t.toks AS BIGINT) AS toks, t.threshold,
+       CAST(s.sampled_docs AS BIGINT) AS sampled_docs,
+       CAST(s.sampled_toks AS BIGINT) AS sampled_toks
+FROM thr t JOIN samp s ON s.source = t.source""",
+    doc="Temperature-based source mixing (alpha=0.5): per-source "
+        "acceptance rate sqrt(t_min/t_s) over token mass, realized as "
+        "a deterministic salted-hash Bernoulli gate (bucket-of-10000 "
+        "< floor(rate*10000)) so every engine samples the same "
+        "documents. Per-source docs/tokens before and after, plus the "
+        "integer threshold. Smallest source keeps rate 1.0 exactly.",
+)
+def q_pipeline_temperature_mix(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", "source",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        (F.conv(F.substring(
+            F.md5(F.concat(F.lit(TEMP_SALT),
+                           F.col("doc_id").cast("string"))), 1, 8),
+            16, 10).cast("long") % TEMP_BUCKETS).alias("bucket"))
+    src = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("docs"),
+        F.sum("n_tokens").cast("long").alias("toks"))
+    anchor = src.agg(F.min("toks").alias("t_min"))
+    thr = src.crossJoin(F.broadcast(anchor)).select(
+        "source", "docs", "toks",
+        F.floor((F.sqrt(F.col("t_min").cast("double"))
+                 / F.sqrt(F.col("toks").cast("double")))
+                * F.lit(10000)).cast("long").alias("threshold"))
+    keep = F.col("bucket") < F.col("threshold")
+    samp = (
+        d.join(F.broadcast(thr.select("source", "threshold")), "source")
+        .groupBy("source")
+        .agg(F.sum(F.when(keep, 1).otherwise(0)).cast("long")
+             .alias("sampled_docs"),
+             F.sum(F.when(keep, F.col("n_tokens")).otherwise(0))
+             .cast("long").alias("sampled_toks"))
+    )
+    return (thr.join(samp, "source")
+            .select("source", "docs", "toks", "threshold",
+                    "sampled_docs", "sampled_toks"))

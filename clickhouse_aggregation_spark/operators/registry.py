@@ -135,6 +135,15 @@ EXTRAS: tuple[str, ...] = (
     #     of similarity_ivf_recall, search paths driver-checked via
     #     the promoted similarity_lsh_multiprobe family
     "similarity_lsh_recall",
+    #   dedup_semantic — SemDeDup cluster-then-prune (Abbas et al.
+    #     2023): cell assignment machinery driver-checked via the
+    #     promoted similarity_ivf_topk, pairwise-verify via the
+    #     promoted dedup_embedding_lsh family
+    "dedup_semantic",
+    #   pipeline_temperature_mix — alpha-temperature source sampling
+    #     (XLM-R/mT5 mixing rule) via the same salted-hash gate the
+    #     driver-checked pipeline_split_assign / clean_corpus use
+    "pipeline_temperature_mix",
     # Round-4 rotation: 35 long-stable r3-green queries rotate out so
     # the never-driver-checked round-3 cohort rotates in. Every demoted
     # query below was driver-green in CORRECTNESS_r03.json and keeps a

@@ -463,3 +463,23 @@ def test_banded_join_width_survives_aqe(spark, sf_dir):
     import re
     m = re.search(r"REPARTITION_BY_NUM", plan)
     assert m is not None, "explicit-width repartition missing from plan"
+
+
+def test_semantic_dedup_is_cell_local_equi_join(spark, sf_dir):
+    """SemDeDup's pairwise search must stay INSIDE k-means cells: an
+    equi-join on centroid_id (never a corpus cartesian), with the cell
+    assignment the shared broadcast + min_by aggregation (no window
+    over the 16x centroid expansion)."""
+    plan = _plan(spark, sf_dir, "dedup_semantic")
+    assert "CartesianProduct" not in plan
+    assert "centroid_id" in plan
+    assert "min_by" in plan
+
+
+def test_temperature_mix_joins_are_broadcast(spark, sf_dir):
+    """The per-source threshold table is tiny at any corpus size: both
+    the anchor (1-row min) and the threshold join must broadcast —
+    the corpus is never shuffled on the join key."""
+    plan = _plan(spark, sf_dir, "pipeline_temperature_mix")
+    assert "CartesianProduct" not in plan
+    assert "Broadcast" in plan

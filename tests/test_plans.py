@@ -428,7 +428,9 @@ def test_embedding_survivors_is_anti_join(spark, sf_dir):
     plan = _plan(spark, sf_dir, "dedup_embedding_survivors")
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
-    assert "bkey" in plan
+    # pair generation: either the banded (band, key) equi-join subtree
+    # inline, or the session-persisted pair table (cache hit)
+    assert "bkey" in plan or "InMemoryTableScan" in plan
 
 
 def test_contamination_neardup_reuses_cached_pairs(spark, sf_dir):
@@ -444,7 +446,14 @@ def test_embedding_lsh_banded_is_equi_join(spark, sf_dir):
     """The banded variant must stay an equi-join on (band, key) — the
     posexplode multiplies rows by the band count only, never by the
     corpus — with one distinct to collapse cross-band duplicates."""
-    plan = _plan(spark, sf_dir, "dedup_embedding_lsh_banded")
+    # build the pair plan directly (the registry query serves the
+    # session-persisted pair table, whose plan collapses to an
+    # InMemoryTableScan after first materialization)
+    from clickhouse_aggregation_spark.operators.dedup import (
+        embedding_lsh_banded_pairs)
+    from clickhouse_aggregation_spark.sources.tables import load_table
+    df = embedding_lsh_banded_pairs(load_table(spark, sf_dir, "embeddings"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "bkey" in plan
     assert "band" in plan
@@ -457,7 +466,10 @@ def test_banded_join_width_survives_aqe(spark, sf_dir):
     272 s at sf0.5). The explicit-width repartition must survive into
     the executed plan: after running, the join stage may not have
     collapsed to a single partition."""
-    df = REGISTRY["dedup_embedding_lsh_banded"].fn(spark, sf_dir)
+    from clickhouse_aggregation_spark.operators.dedup import (
+        embedding_lsh_banded_pairs)
+    from clickhouse_aggregation_spark.sources.tables import load_table
+    df = embedding_lsh_banded_pairs(load_table(spark, sf_dir, "embeddings"))
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     import re

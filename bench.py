@@ -160,6 +160,8 @@ HEADLINE = [
     "similarity_lsh_recall",
     "dedup_semantic",
     "pipeline_temperature_mix",
+    "embedding_gram_matrix",
+    "embedding_dim_stats",
 ]
 
 # documented-quadratic exactness baselines (scale paths are the LSH/IVF

@@ -144,6 +144,13 @@ EXTRAS: tuple[str, ...] = (
     #     (XLM-R/mT5 mixing rule) via the same salted-hash gate the
     #     driver-checked pipeline_split_assign / clean_corpus use
     "pipeline_temperature_mix",
+    #   embedding_gram_matrix / embedding_dim_stats — integer-exact
+    #     matrix/marginal aggregates over quantized embeddings
+    #     (whitening/PCA prep); row-local expansion + combinable sums,
+    #     machinery a strict subset of the driver-checked label
+    #     centroids / IVF family
+    "embedding_gram_matrix",
+    "embedding_dim_stats",
     # Round-4 rotation: 35 long-stable r3-green queries rotate out so
     # the never-driver-checked round-3 cohort rotates in. Every demoted
     # query below was driver-green in CORRECTNESS_r03.json and keeps a

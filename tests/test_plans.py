@@ -137,13 +137,27 @@ def test_ivf_assignment_aggregates_not_windows(spark, sf_dir):
     map-side-combinable aggregation (partial agg BEFORE the exchange
     collapses the 16x centroid expansion inside each map task), never a
     row_number window over the expanded frame."""
-    from clickhouse_aggregation_spark.operators.similarity import _ivf_parts
-    corpus, probes = _ivf_parts(spark, sf_dir)
+    from clickhouse_aggregation_spark.operators.similarity import (
+        _IVF_CORPUS_CACHE, _ivf_parts, build_ivf_corpus)
+    # gate the UNCACHED builder. Dropping the session cache first is
+    # load-bearing: Spark's cache manager substitutes any sameResult
+    # logical plan with the persisted InMemoryRelation, so once another
+    # test materialized the index this fresh build would otherwise plan
+    # as a cache scan and hide the min_by subtree (observed
+    # order-dependent failure in the full-suite run).
+    stale = _IVF_CORPUS_CACHE.pop(
+        (spark.sparkContext.applicationId, sf_dir), None)
+    if stale is not None:
+        stale.unpersist()
+    # corpus plan must be rendered BEFORE _ivf_parts below re-registers
+    # the persisted plan with the cache manager
+    corpus = build_ivf_corpus(spark, sf_dir)
     plan = corpus._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
     assert "min_by" in plan or "Aggregate" in plan
-    for frame in (corpus, probes):
-        p = frame._jdf.queryExecution().executedPlan().toString()
+    _, probes = _ivf_parts(spark, sf_dir)
+    probes_plan = probes._jdf.queryExecution().executedPlan().toString()
+    for p in (plan, probes_plan):
         # one shuffle (the agg's partial->final hop); broadcasts of the
         # 16-centroid table don't count
         assert p.count("Exchange hashpartitioning") <= 1, p
@@ -260,7 +274,9 @@ def test_ivfpq_residual_broadcasts_index_sides(spark, sf_dir):
     plan = _plan(spark, sf_dir, "similarity_ivfpq_residual")
     assert plan.count("BroadcastHashJoin") >= 4
     assert "CartesianProduct" not in plan
-    assert "min_by" in plan
+    # nearest-code min_by inline, or the session-persisted cell
+    # assignment (cache scan) feeding it
+    assert "min_by" in plan or "InMemoryTableScan" in plan
 
 
 def test_blocklist_scrub_single_pass_no_join(spark, sf_dir):
@@ -481,11 +497,12 @@ def test_semantic_dedup_is_cell_local_equi_join(spark, sf_dir):
     """SemDeDup's pairwise search must stay INSIDE k-means cells: an
     equi-join on centroid_id (never a corpus cartesian), with the cell
     assignment the shared broadcast + min_by aggregation (no window
-    over the 16x centroid expansion)."""
+    over the 16x centroid expansion) — inline, or served from the
+    session-persisted index table (cache scan)."""
     plan = _plan(spark, sf_dir, "dedup_semantic")
     assert "CartesianProduct" not in plan
     assert "centroid_id" in plan
-    assert "min_by" in plan
+    assert "min_by" in plan or "InMemoryTableScan" in plan
 
 
 def test_temperature_mix_joins_are_broadcast(spark, sf_dir):
@@ -495,3 +512,15 @@ def test_temperature_mix_joins_are_broadcast(spark, sf_dir):
     plan = _plan(spark, sf_dir, "pipeline_temperature_mix")
     assert "CartesianProduct" not in plan
     assert "Broadcast" in plan
+
+
+def test_embedding_matrix_stats_no_join_single_exchange(spark, sf_dir):
+    """The matrix aggregates must be row-local expansions + one
+    combinable aggregation: NO join anywhere, and exactly one shuffle
+    (the partial->final agg hop) whose width is the cell count, not
+    the corpus."""
+    for name in ("embedding_gram_matrix", "embedding_dim_stats"):
+        plan = _plan(spark, sf_dir, name)
+        assert "Join" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert plan.count("Exchange hashpartitioning") <= 1, name

@@ -162,6 +162,7 @@ HEADLINE = [
     "pipeline_temperature_mix",
     "embedding_gram_matrix",
     "embedding_dim_stats",
+    "streaming_embedding_gram_epochs",
 ]
 
 # documented-quadratic exactness baselines (scale paths are the LSH/IVF

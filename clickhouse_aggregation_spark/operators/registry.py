@@ -151,6 +151,12 @@ EXTRAS: tuple[str, ...] = (
     #     centroids / IVF family
     "embedding_gram_matrix",
     "embedding_dim_stats",
+    #   streaming_embedding_gram_epochs / _dims_epochs — the matrix
+    #     aggregates as incremental rollups (additive/mergeable state,
+    #     union-of-epochs ≡ batch); maintainer machinery driver-checked
+    #     via streaming_mv_daily_epochs and the corpus-rollup façades
+    "streaming_embedding_gram_epochs",
+    "streaming_embedding_dims_epochs",
     # Round-4 rotation: 35 long-stable r3-green queries rotate out so
     # the never-driver-checked round-3 cohort rotates in. Every demoted
     # query below was driver-green in CORRECTNESS_r03.json and keeps a

@@ -242,6 +242,51 @@ def q_streaming_corpus_tokens_compacted(spark: SparkSession,
     return roll.read(spark, store)
 
 
+@register(
+    "streaming_embedding_gram_epochs",
+    # replay ≡ recompute: additive integer state, so the oracle is the
+    # batch Gram-matrix operator's SQL verbatim
+    oracle=REGISTRY["embedding_gram_matrix"].raw_oracle,
+    doc="The Gram-matrix rollup maintainer driven over the embeddings "
+        "table in 3 micro-batch epochs; returns the merged read of the "
+        "per-cell second-moment state (2 080 rows regardless of corpus "
+        "size). Hash-checked against the batch operator's oracle — the "
+        "whitening/PCA prep stays current as embedding shards land, "
+        "with no corpus re-scan ever.",
+    tags=("streaming",),
+)
+def q_streaming_embedding_gram_epochs(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    from ..streaming.embedding_rollups import (EMBEDDING_ROLLUPS,
+                                               run_embedding_rollup_stream)
+    store = _maintained_store(spark, sf_dir, "embedding_rollups",
+                              run_embedding_rollup_stream,
+                              table="embeddings", id_col="vec_id")
+    roll = next(r for r in EMBEDDING_ROLLUPS if r.name == "gram")
+    return roll.read(spark, store)
+
+
+@register(
+    "streaming_embedding_dims_epochs",
+    oracle=REGISTRY["embedding_dim_stats"].raw_oracle,
+    doc="The per-dimension marginals maintainer over the same 3-epoch "
+        "embeddings stream (shared store with the Gram façade): counts "
+        "and sums merge additively, min/max with mergeable-not-"
+        "additive merge_exprs — the drift monitor a normalization "
+        "stage reads. Hash-checked against the batch marginals oracle.",
+    tags=("streaming",),
+)
+def q_streaming_embedding_dims_epochs(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    from ..streaming.embedding_rollups import (EMBEDDING_ROLLUPS,
+                                               run_embedding_rollup_stream)
+    store = _maintained_store(spark, sf_dir, "embedding_rollups",
+                              run_embedding_rollup_stream,
+                              table="embeddings", id_col="vec_id")
+    roll = next(r for r in EMBEDDING_ROLLUPS if r.name == "dim_stats")
+    return roll.read(spark, store)
+
+
 def _run_qsketch(spark: SparkSession, edir: str, store: str):
     from ..streaming.quantile_sketch import quantile_sketch_stream
     return (quantile_sketch_stream(spark, edir).writeStream

@@ -1233,3 +1233,104 @@ def q_dedup_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"),
                  F.countDistinct("doc_a").cast("long").alias("n_docs_a"),
                  F.countDistinct("doc_b").cast("long").alias("n_docs_b")))
+
+
+# ---------------------------------------------------------------------------
+# Block-level exact-substring dedup: the practical form of ExactSubstr
+# (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+# Better", arXiv:2107.06499) at fixed-block granularity. The paper's
+# suffix-array construction finds every duplicated 50-token span; the
+# scalable dataflow approximation chops each document into consecutive
+# W-token blocks, hashes the block text, and keeps only the FIRST
+# occurrence of each distinct block corpus-wide (first = smallest
+# (doc_id, block_idx)). Catches copy-paste spans that whole-document
+# MinHash misses when the containing documents differ, at one
+# hash-groupBy instead of a suffix array.
+#
+# Scale shape: blocks ≈ corpus_tokens / W rows; one groupBy on the
+# 128-bit block hash (map-side combinable min), one hash equi-join
+# back, one per-source rollup. Linear, no driver state, no windows.
+# Occurrence order is packed into one integer key
+# (doc_id * 2^20 + block_idx — documents are « 2^20 blocks long) so
+# "first occurrence" is a plain MIN on both engines.
+
+BLOCK_W = 16             # tokens per block
+BLOCK_IDX_PACK = 1 << 20
+
+
+@register(
+    "dedup_block_exact",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+),
+b AS (
+  SELECT doc_id, source,
+         unnest(range(0, (len(w) + {BLOCK_W - 1}) // {BLOCK_W})) AS blk,
+         unnest(list_transform(
+             range(0, (len(w) + {BLOCK_W - 1}) // {BLOCK_W}),
+             i -> array_to_string(
+                 list_slice(w, i * {BLOCK_W} + 1, i * {BLOCK_W} + {BLOCK_W}),
+                 ' '))) AS btxt,
+         len(w) AS n_w
+  FROM w
+),
+occ AS (
+  SELECT doc_id, source, blk,
+         md5(btxt) AS h,
+         least({BLOCK_W}, n_w - blk * {BLOCK_W}) AS n_tok,
+         doc_id * {BLOCK_IDX_PACK} + blk AS occ_key
+  FROM b
+),
+firsts AS (SELECT h, min(occ_key) AS first_occ FROM occ GROUP BY h)
+SELECT o.source,
+       CAST(count(DISTINCT o.doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_blocks,
+       CAST(count(*) FILTER (o.occ_key <> f.first_occ) AS BIGINT)
+         AS n_dup_blocks,
+       CAST(sum(o.n_tok) AS BIGINT) AS n_tokens,
+       CAST(coalesce(sum(o.n_tok) FILTER (o.occ_key <> f.first_occ), 0)
+            AS BIGINT) AS n_dup_tokens,
+       CAST(count(DISTINCT CASE WHEN o.occ_key <> f.first_occ
+                  THEN o.doc_id END) AS BIGINT) AS n_docs_hit
+FROM occ o JOIN firsts f ON f.h = o.h
+GROUP BY o.source""",
+    doc="ExactSubstr-style dedup at fixed 16-token-block granularity "
+        "(Lee et al. 2022 made dataflow-shaped): hash every "
+        "consecutive block, keep the corpus-wide first occurrence "
+        "(min packed (doc_id, block_idx)), report per-source block/"
+        "token duplication mass. One combinable hash-groupBy + one "
+        "equi-join; linear in corpus tokens.",
+)
+def q_dedup_block_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select("doc_id", "source",
+                    F.split("text", " ").alias("w"))
+    nb = F.floor((F.size("w") + F.lit(BLOCK_W - 1)) / F.lit(BLOCK_W)) \
+        .cast("int")
+    blocks = w.select(
+        "doc_id", "source", F.size("w").alias("n_w"),
+        F.posexplode(F.transform(
+            F.sequence(F.lit(0), nb - 1),
+            lambda i: F.array_join(
+                F.slice("w", i * BLOCK_W + 1, BLOCK_W), " ")))
+        .alias("blk", "btxt"))
+    occ = blocks.select(
+        "doc_id", "source", "blk",
+        F.md5("btxt").alias("h"),
+        F.least(F.lit(BLOCK_W),
+                F.col("n_w") - F.col("blk") * BLOCK_W).alias("n_tok"),
+        (F.col("doc_id") * BLOCK_IDX_PACK + F.col("blk"))
+        .alias("occ_key"))
+    firsts = occ.groupBy("h").agg(F.min("occ_key").alias("first_occ"))
+    dup = F.col("occ_key") != F.col("first_occ")
+    return (occ.join(firsts, "h")
+            .groupBy("source")
+            .agg(F.countDistinct("doc_id").cast("long").alias("n_docs"),
+                 F.count(F.lit(1)).cast("long").alias("n_blocks"),
+                 F.count(F.when(dup, 1)).cast("long").alias("n_dup_blocks"),
+                 F.sum("n_tok").cast("long").alias("n_tokens"),
+                 F.coalesce(F.sum(F.when(dup, F.col("n_tok"))), F.lit(0))
+                 .cast("long").alias("n_dup_tokens"),
+                 F.countDistinct(F.when(dup, F.col("doc_id")))
+                 .cast("long").alias("n_docs_hit")))

@@ -695,3 +695,117 @@ def q_pipeline_temperature_mix(spark: SparkSession,
     return (thr.join(samp, "source")
             .select("source", "docs", "toks", "threshold",
                     "sampled_docs", "sampled_toks"))
+
+
+# ---------------------------------------------------------------------------
+# DSIR: Data Selection with Importance Resampling (Xie et al. 2023,
+# arXiv:2302.03169) — the standard recipe for selecting raw-corpus
+# documents that "look like" a small target domain, using hashed
+# n-gram features so the two distributions are bounded-size tables:
+#
+#   bucket(w)  = md5-hash of the token into B buckets
+#   p_tgt[b]   = (cnt_tgt[b] + 1) / (N_tgt + B)     (add-one smoothing)
+#   p_raw[b]   = (cnt_raw[b] + 1) / (N_raw + B)
+#   logw(doc)  = sum_b tf[doc,b] * (ln p_tgt[b] - ln p_raw[b])
+#
+# The paper then Gumbel-samples without replacement; the verifiable
+# deterministic form selects top-K by (logw DESC, doc_id) — the same
+# ranking the sampler concentrates on, minus the noise term.
+#
+# Scale shape: the feature distributions are TWO combinable B-row
+# aggregates (B = 512 — broadcast-size at any corpus); per-doc tf is
+# one explode + groupBy; the score is a per-doc fold over <=B sorted
+# buckets (the events_k_entropy order-pinned float recipe: all counts
+# exact integers, ln terms folded in sorted-bucket order, rounded to 6
+# decimals); the final top-K is TakeOrdered. Everything is linear in
+# corpus tokens, and no table bigger than B ever broadcasts.
+
+DSIR_B = 512
+DSIR_SALT = "dsir:"
+DSIR_TARGET = "src0"     # target-domain sample: one reference source
+DSIR_TOPK = 100
+
+
+@register(
+    "pipeline_dsir_sample",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, source,
+         (('0x' || substr(md5('{DSIR_SALT}' || token), 1, 8))::BIGINT
+          % {DSIR_B}) AS b
+  FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS token
+        FROM documents)
+  WHERE token <> ''
+),
+tgt AS (SELECT b, count(*) AS ct FROM tok
+        WHERE source = '{DSIR_TARGET}' GROUP BY b),
+raw AS (SELECT b, count(*) AS cr FROM tok GROUP BY b),
+tots AS (SELECT CAST((SELECT sum(ct) FROM tgt) AS BIGINT) AS nt,
+                CAST((SELECT sum(cr) FROM raw) AS BIGINT) AS nr),
+lam AS (
+  SELECT r.b,
+         ln(CAST(coalesce(t.ct, 0) + 1 AS DOUBLE)
+            / CAST(nt + {DSIR_B} AS DOUBLE))
+         - ln(CAST(r.cr + 1 AS DOUBLE)
+              / CAST(nr + {DSIR_B} AS DOUBLE)) AS lam
+  FROM raw r LEFT JOIN tgt t ON t.b = r.b, tots
+),
+tf AS (SELECT doc_id, b, count(*) AS tf FROM tok
+       WHERE source <> '{DSIR_TARGET}' GROUP BY doc_id, b),
+agg AS (
+  SELECT tf.doc_id,
+         CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+         list(CAST(tf.tf AS DOUBLE) * l.lam ORDER BY tf.b) AS parts
+  FROM tf JOIN lam l ON l.b = tf.b
+  GROUP BY tf.doc_id
+)
+SELECT d.doc_id, d.source, a.n_tokens,
+       round(list_sum(a.parts), 6) AS dsir_logweight
+FROM agg a JOIN documents d ON d.doc_id = a.doc_id
+ORDER BY dsir_logweight DESC, d.doc_id
+LIMIT {DSIR_TOPK}""",
+    doc="DSIR importance resampling (hashed-unigram form): score every "
+        "non-target document by the log-likelihood ratio of its "
+        "tokens under the target-domain vs raw-corpus hashed-unigram "
+        "distributions (512 buckets, add-one smoothing), select the "
+        "deterministic top-100. Two broadcast-size feature aggregates, "
+        "one per-doc sorted-bucket float fold, one TakeOrdered.",
+)
+def q_pipeline_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (docs.select("doc_id", "source",
+                       F.explode(F.split("text", " ")).alias("token"))
+           .filter(F.col("token") != "")
+           .select("doc_id", "source",
+                   (F.conv(F.substring(
+                       F.md5(F.concat(F.lit(DSIR_SALT), F.col("token"))),
+                       1, 8), 16, 10).cast("long") % DSIR_B).alias("b")))
+    tgt = (tok.filter(F.col("source") == DSIR_TARGET)
+           .groupBy("b").agg(F.count(F.lit(1)).alias("ct")))
+    raw = tok.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    tots = (tgt.agg(F.sum("ct").cast("long").alias("nt"))
+            .crossJoin(raw.agg(F.sum("cr").cast("long").alias("nr"))))
+    lam = (raw.join(tgt, "b", "left")
+           .crossJoin(F.broadcast(tots))
+           .select("b",
+                   (F.log((F.coalesce(F.col("ct"), F.lit(0)) + 1)
+                          .cast("double")
+                          / (F.col("nt") + DSIR_B).cast("double"))
+                    - F.log((F.col("cr") + 1).cast("double")
+                            / (F.col("nr") + DSIR_B).cast("double")))
+                   .alias("lam")))
+    tf = (tok.filter(F.col("source") != DSIR_TARGET)
+          .groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("tf")))
+    agg = (tf.join(F.broadcast(lam), "b")
+           .groupBy("doc_id")
+           .agg(F.sum("tf").cast("long").alias("n_tokens"),
+                F.sort_array(F.collect_list(
+                    F.struct("b", "tf", "lam"))).alias("parts")))
+    fold = F.aggregate(
+        F.col("parts"), F.lit(0.0),
+        lambda acc, s: acc + s["tf"].cast("double") * s["lam"])
+    return (agg.join(docs.select("doc_id", "source"), "doc_id")
+            .select("doc_id", "source", "n_tokens",
+                    F.round(fold, 6).alias("dsir_logweight"))
+            .orderBy(F.col("dsir_logweight").desc(), "doc_id")
+            .limit(DSIR_TOPK))

@@ -157,6 +157,20 @@ EXTRAS: tuple[str, ...] = (
     #     via streaming_mv_daily_epochs and the corpus-rollup façades
     "streaming_embedding_gram_epochs",
     "streaming_embedding_dims_epochs",
+    #   pipeline_dsir_sample — DSIR importance resampling (Xie et al.
+    #     2023): hashed-unigram log-likelihood-ratio selection; token/
+    #     fold machinery driver-checked via the promoted text family
+    #     and the declared pipeline gates
+    "pipeline_dsir_sample",
+    #   dedup_block_exact — ExactSubstr at fixed-block granularity
+    #     (Lee et al. 2022): hash-groupBy first-occurrence dedup;
+    #     hash/groupBy machinery driver-checked via dedup_minhash_lsh
+    #     and the promoted containment operator
+    "dedup_block_exact",
+    #   text_vocab_coverage — Zipf-CDF vocab budget diagnostic;
+    #     TakeOrdered + bounded-head window machinery driver-checked
+    #     via the promoted heavy-hitters / curate_topn
+    "text_vocab_coverage",
     # Round-4 rotation: 35 long-stable r3-green queries rotate out so
     # the never-driver-checked round-3 cohort rotates in. Every demoted
     # query below was driver-green in CORRECTNESS_r03.json and keeps a

@@ -675,3 +675,81 @@ def q_text_unigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.log2((F.col("n") + F.col("v")).cast("double"))
                             - fold / F.col("n_tokens").cast("double"), 6)
                     .alias("unigram_logppl_bits")))
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage curve: fraction of corpus token OCCURRENCES
+# covered by the top-V most frequent tokens, for V in {100, 1k, 10k} —
+# the standard tokenizer-budget / OOV-rate diagnostic when sizing a
+# vocabulary for a training corpus (the empirical Zipf CDF at three
+# budget points). Ties broken (cnt DESC, token ASC) so the curve is
+# deterministic.
+#
+# Scale shape: ONE combinable vocab aggregate; the ranking never sorts
+# the full vocabulary — a TakeOrdered(max V = 10k) pulls the head,
+# and the row_number window runs over that bounded 10k-row set (single
+# partition by construction, explicitly not a full-vocab sort). Totals
+# are a second combinable pass. At 100 TB the vocab table is the only
+# shuffle and it is ~|distinct tokens| « corpus.
+
+VOCAB_BUDGETS = (100, 1_000, 10_000)
+
+
+@register(
+    "text_vocab_coverage",
+    oracle=f"""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+),
+cnt AS (SELECT token, count(*) AS cnt FROM tok
+        WHERE token <> '' GROUP BY token),
+tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total_tokens,
+               CAST(count(*) AS BIGINT) AS vocab_size FROM cnt),
+head AS (
+  SELECT token, cnt,
+         row_number() OVER (ORDER BY cnt DESC, token) AS r
+  FROM (SELECT token, cnt FROM cnt
+        ORDER BY cnt DESC, token LIMIT {max(VOCAB_BUDGETS)})
+),
+vs AS (SELECT unnest([{", ".join(str(v) for v in VOCAB_BUDGETS)}]) AS top_v)
+SELECT vs.top_v,
+       CAST(coalesce(sum(h.cnt) FILTER (h.r <= vs.top_v), 0) AS BIGINT)
+         AS covered_tokens,
+       tot.total_tokens, tot.vocab_size,
+       round(CAST(coalesce(sum(h.cnt) FILTER (h.r <= vs.top_v), 0)
+                  AS DOUBLE) / CAST(tot.total_tokens AS DOUBLE), 6)
+         AS coverage
+FROM vs, head h, tot
+GROUP BY vs.top_v, tot.total_tokens, tot.vocab_size""",
+    doc="Zipf-CDF vocabulary coverage at three budget points (top-100/"
+        "1k/10k tokens): share of corpus token occurrences a V-sized "
+        "vocab covers. One combinable vocab aggregate + TakeOrdered "
+        "head + a window over the bounded 10k-row head only — the "
+        "full vocabulary is never globally sorted.",
+)
+def q_text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = (docs.select(F.explode(F.split("text", " ")).alias("token"))
+           .filter(F.col("token") != "")
+           .groupBy("token").agg(F.count(F.lit(1)).alias("cnt")))
+    tot = cnt.agg(F.sum("cnt").cast("long").alias("total_tokens"),
+                  F.count(F.lit(1)).cast("long").alias("vocab_size"))
+    head = (cnt.orderBy(F.col("cnt").desc(), "token")
+            .limit(max(VOCAB_BUDGETS))
+            .withColumn("r", F.row_number().over(
+                Window.orderBy(F.col("cnt").desc(), "token"))))
+    vs = (F.explode(F.array(*[F.lit(v) for v in VOCAB_BUDGETS]))
+          .alias("top_v"))
+    budgets = head.sparkSession.range(1).select(vs)
+    return (budgets.crossJoin(head)
+            .crossJoin(F.broadcast(tot))
+            .groupBy("top_v", "total_tokens", "vocab_size")
+            .agg(F.coalesce(F.sum(F.when(F.col("r") <= F.col("top_v"),
+                                         F.col("cnt"))), F.lit(0))
+                 .cast("long").alias("covered_tokens"))
+            .select("top_v", "covered_tokens", "total_tokens",
+                    "vocab_size",
+                    F.round(F.col("covered_tokens").cast("double")
+                            / F.col("total_tokens").cast("double"), 6)
+                    .alias("coverage")))

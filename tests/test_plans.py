@@ -514,6 +514,40 @@ def test_temperature_mix_joins_are_broadcast(spark, sf_dir):
     assert "Broadcast" in plan
 
 
+def test_block_exact_is_hash_groupby_equi_join(spark, sf_dir):
+    """ExactSubstr-at-block-granularity must be one combinable hash
+    aggregate on the block hash plus one equi-join back — never a
+    window over the occurrence explosion, never a cartesian."""
+    plan = _plan(spark, sf_dir, "dedup_block_exact")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_dsir_feature_tables_broadcast_topk_take_ordered(spark, sf_dir):
+    """DSIR's two feature distributions are B=512-row tables: the
+    lam join onto per-doc tf must broadcast (the corpus is never
+    shuffled on the bucket key), the only nested-loop is the 1-row
+    totals anchor, and the final top-K is TakeOrdered."""
+    plan = _plan(spark, sf_dir, "pipeline_dsir_sample")
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_vocab_coverage_head_is_take_ordered_no_global_sort(spark, sf_dir):
+    """The coverage curve must pull the top-10k head via TakeOrdered —
+    the full vocabulary is never globally sorted — and the row_number
+    window runs only over that bounded head."""
+    plan = _plan(spark, sf_dir, "text_vocab_coverage")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
 def test_embedding_matrix_stats_no_join_single_exchange(spark, sf_dir):
     """The matrix aggregates must be row-local expansions + one
     combinable aggregation: NO join anywhere, and exactly one shuffle

@@ -163,6 +163,10 @@ HEADLINE = [
     "embedding_gram_matrix",
     "embedding_dim_stats",
     "streaming_embedding_gram_epochs",
+    "pipeline_dsir_sample",
+    "dedup_block_exact",
+    "text_vocab_coverage",
+    "text_bm25_topk",
 ]
 
 # documented-quadratic exactness baselines (scale paths are the LSH/IVF

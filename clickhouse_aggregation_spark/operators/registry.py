@@ -171,6 +171,11 @@ EXTRAS: tuple[str, ...] = (
     #     TakeOrdered + bounded-head window machinery driver-checked
     #     via the promoted heavy-hitters / curate_topn
     "text_vocab_coverage",
+    #   text_bm25_topk — BM25 lexical retrieval (Lucene idf variant)
+    #     with a corpus-derived query; tf/df machinery driver-checked
+    #     via the declared tfidf query, fold via the promoted
+    #     k-entropy/logppl recipe
+    "text_bm25_topk",
     # Round-4 rotation: 35 long-stable r3-green queries rotate out so
     # the never-driver-checked round-3 cohort rotates in. Every demoted
     # query below was driver-green in CORRECTNESS_r03.json and keeps a

@@ -753,3 +753,119 @@ def q_text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.col("covered_tokens").cast("double")
                             / F.col("total_tokens").cast("double"), 6)
                     .alias("coverage")))
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval (Robertson/Sparck-Jones; the Lucene idf variant, which
+# is always positive): score documents against a query-term set and
+# return the top-10 — the standard lexical-retrieval primitive of a
+# corpus pipeline (quality probes, more-like-this mining, eval-set
+# retrieval baselines).
+#
+#   idf(t)     = ln( (N - df + 0.5)/(df + 0.5) + 1 )
+#   score(d)   = sum_t idf(t) * tf*(k1+1) / (tf + k1*(1-b + b*dl/avgdl))
+#   with k1 = 1.2, b = 0.75.
+#
+# The query is corpus-derived so the operator is self-contained on any
+# corpus: terms ranked BM25_QLO..BM25_QHI by (df DESC, token) — pulled
+# via TakeOrdered over the vocabulary-sized df table, never a full
+# sort. dl/avgdl is kept exact-rational as (dl*N)/total_tokens (one
+# float division); the per-term contributions are folded in
+# sorted-token order on both engines (the logppl recipe) and the final
+# score rounded to 6 decimals, so the ranking is hash-checkable.
+#
+# Scale shape: tf and df are the two combinable token aggregates the
+# tf-idf family already shuffles; the query table is <=8 rows
+# (broadcast), so the corpus is never shuffled on the token key for
+# scoring — only the per-doc groupBy; dl joins doc-keyed; the final
+# top-10 is TakeOrdered.
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QLO, BM25_QHI = 5, 12     # query = vocab ranks 5..12 by df
+BM25_TOPK = 10
+
+
+@register(
+    "text_bm25_topk",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+tf AS (
+  SELECT doc_id, token, count(*) AS tf
+  FROM tok WHERE token <> '' GROUP BY doc_id, token
+),
+dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+tots AS (
+  SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_docs,
+         CAST((SELECT sum(dl) FROM dl) AS BIGINT) AS t_tokens
+),
+q AS (
+  SELECT token, df FROM (
+    SELECT token, df, row_number() OVER (ORDER BY df DESC, token) AS r
+    FROM (SELECT token, df FROM dfreq ORDER BY df DESC, token
+          LIMIT {BM25_QHI})
+  ) WHERE r BETWEEN {BM25_QLO} AND {BM25_QHI}
+),
+scored AS (
+  SELECT t.doc_id,
+         CAST(count(*) AS BIGINT) AS n_terms_matched,
+         list(struct_pack(token := t.token, tf := t.tf, df := q.df)
+              ORDER BY t.token) AS parts
+  FROM tf t JOIN q ON q.token = t.token
+  GROUP BY t.doc_id
+)
+SELECT s.doc_id, s.n_terms_matched, d.dl AS doc_len,
+       round(list_sum(list_transform(parts, p ->
+           ln((CAST(n_docs AS DOUBLE) - p.df + 0.5) / (p.df + 0.5) + 1.0)
+           * (CAST(p.tf AS DOUBLE) * {BM25_K1 + 1})
+             / (p.tf + {BM25_K1} * (1.0 - {BM25_B}
+                + {BM25_B} * (CAST(d.dl * n_docs AS DOUBLE) / t_tokens)))
+       )), 6) AS bm25_score
+FROM scored s JOIN dl d ON d.doc_id = s.doc_id, tots
+ORDER BY bm25_score DESC, s.doc_id
+LIMIT {BM25_TOPK}""",
+    doc="BM25 top-10 retrieval (Lucene idf variant, k1=1.2, b=0.75) "
+        "for a corpus-derived 8-term query (vocab ranks 5..12 by df). "
+        "Combinable tf/df aggregates, broadcast query join, exact-"
+        "rational length norm (dl*N)/T, sorted-token fold rounded to "
+        "6 decimals, TakeOrdered final ranking.",
+)
+def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (docs.select("doc_id",
+                      F.explode(F.split("text", " ")).alias("token"))
+          .filter(F.col("token") != "")
+          .groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf")))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    tots = (docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+            .crossJoin(dl.agg(F.sum("dl").cast("long").alias("t_tokens"))))
+    q = (dfreq.orderBy(F.col("df").desc(), "token")
+         .limit(BM25_QHI)
+         .withColumn("r", F.row_number().over(
+             Window.orderBy(F.col("df").desc(), "token")))
+         .filter((F.col("r") >= BM25_QLO) & (F.col("r") <= BM25_QHI))
+         .select("token", "df"))
+    scored = (tf.join(F.broadcast(q), "token")
+              .groupBy("doc_id")
+              .agg(F.count(F.lit(1)).cast("long").alias("n_terms_matched"),
+                   F.sort_array(F.collect_list(
+                       F.struct("token", "tf", "df"))).alias("parts")))
+    norm = (F.col("dl") * F.col("n_docs")).cast("double") / F.col("t_tokens")
+    fold = F.aggregate(
+        F.col("parts"), F.lit(0.0),
+        lambda acc, p: acc
+        + F.log((F.col("n_docs").cast("double") - p["df"] + 0.5)
+                / (p["df"] + 0.5) + 1.0)
+        * (p["tf"].cast("double") * (BM25_K1 + 1))
+        / (p["tf"] + BM25_K1 * (1.0 - BM25_B + BM25_B * norm)))
+    return (scored.join(dl, "doc_id")
+            .crossJoin(F.broadcast(tots))
+            .select("doc_id", "n_terms_matched",
+                    F.col("dl").alias("doc_len"),
+                    F.round(fold, 6).alias("bm25_score"))
+            .orderBy(F.col("bm25_score").desc(), "doc_id")
+            .limit(BM25_TOPK))

@@ -548,6 +548,18 @@ def test_vocab_coverage_head_is_take_ordered_no_global_sort(spark, sf_dir):
     assert "BatchEvalPython" not in plan
 
 
+def test_bm25_query_join_broadcast_topk_take_ordered(spark, sf_dir):
+    """BM25's query table is <=8 rows: the scoring join must broadcast
+    (the corpus tf table is never shuffled on the token key for
+    scoring), the final top-10 is TakeOrdered, and nothing drops to
+    Python."""
+    plan = _plan(spark, sf_dir, "text_bm25_topk")
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+
+
 def test_embedding_matrix_stats_no_join_single_exchange(spark, sf_dir):
     """The matrix aggregates must be row-local expansions + one
     combinable aggregation: NO join anywhere, and exactly one shuffle

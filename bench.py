@@ -27,6 +27,7 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
+from clickhouse_aggregation_spark.caches import clear_plan_caches
 from clickhouse_aggregation_spark.operators import REGISTRY
 from clickhouse_aggregation_spark.session import get_spark
 
@@ -202,13 +203,11 @@ WARMUP_DIR = os.environ.get("SPARK_GRAFT_WARMUP_DIR", "/root/testdata/sf0.001")
 REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
 
 
-def main() -> None:
-    spark = get_spark("bench")
+def run_scale(spark, sf_dir: str) -> dict:
+    """Time HEADLINE + BASELINES against one scale dir; returns the
+    full result record (not yet printed)."""
     timings: dict[str, float] = {}
     first_runs: dict[str, float] = {}
-
-    # one tiny warm-up action so JVM/shuffle startup isn't billed to q1
-    spark.range(1000).selectExpr("sum(id)").collect()
 
     def run(names: list[str], out: dict[str, float]) -> None:
         for name in names:
@@ -227,7 +226,7 @@ def main() -> None:
             times = []
             for _ in range(max(REPEATS, 1)):
                 t0 = time.perf_counter()
-                spec.fn(spark, SF_DIR).write.format("noop") \
+                spec.fn(spark, sf_dir).write.format("noop") \
                     .mode("overwrite").save()
                 times.append(time.perf_counter() - t0)
             out[name] = round(min(times), 4)
@@ -237,25 +236,45 @@ def main() -> None:
     baseline_timings: dict[str, float] = {}
     run(BASELINES, baseline_timings)
 
-    total = round(sum(timings.values()), 4)
-    sf = _sf_from_dir(SF_DIR)
-    print(json.dumps({
+    return {
         "metric": "headline_queries_total_runtime",
-        "value": total,
+        "value": round(sum(timings.values()), 4),
         "unit": "sec",
         "queries": timings,
         "baselines": baseline_timings,
         "first_runs": first_runs,
         "repeats": REPEATS,
-        "sf": sf,
-    }))
+        "sf": _sf_from_dir(sf_dir),
+    }
+
+
+def main() -> None:
+    spark = get_spark("bench")
+    # one tiny warm-up action so JVM/shuffle startup isn't billed to q1
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    # multi-scale mode: SPARK_GRAFT_SF_DIRS=dir1,dir2,... runs every
+    # scale in ONE process, evicting the session plan caches between
+    # scales so sf_dir-keyed persisted indexes never accumulate across
+    # scales (each scale's storage footprint is its own, not the sum).
+    multi = os.environ.get("SPARK_GRAFT_SF_DIRS", "")
+    sf_dirs = [d for d in multi.split(",") if d] if multi else [SF_DIR]
+
+    records = []
+    for i, d in enumerate(sf_dirs):
+        if i > 0:
+            clear_plan_caches()          # drop the previous scale's pins
+        records.append(run_scale(spark, d))
+    for rec in records:
+        print(json.dumps(rec))
     # compact trailer: guaranteed-parseable under bounded tail capture
+    last = records[-1]
     print(json.dumps({
-        "metric": "headline_queries_total_runtime",
-        "value": total,
+        "metric": last["metric"],
+        "value": last["value"],
         "unit": "sec",
-        "n_queries": len(timings),
-        "sf": sf,
+        "n_queries": len(last["queries"]),
+        "sf": last["sf"],
     }))
 
 

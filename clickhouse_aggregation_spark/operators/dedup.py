@@ -1263,6 +1263,7 @@ BLOCK_IDX_PACK = 1 << 20
     oracle=f"""
 WITH w AS (
   SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+  WHERE text IS NOT NULL
 ),
 b AS (
   SELECT doc_id, source,
@@ -1304,8 +1305,13 @@ GROUP BY o.source""",
 )
 def q_dedup_block_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    w = docs.select("doc_id", "source",
-                    F.split("text", " ").alias("w"))
+    # NULL text must emit NO blocks on either engine: Spark's
+    # F.size(NULL) = -1 would make nb = 0 yet F.sequence(0, -1) yields
+    # a DESCENDING [0, -1] — two spurious rows per NULL doc — while
+    # DuckDB's range(0, NULL) emits none. Filter NULLs identically on
+    # both sides (oracle: WHERE text IS NOT NULL).
+    w = docs.filter(F.col("text").isNotNull()) \
+            .select("doc_id", "source", F.split("text", " ").alias("w"))
     nb = F.floor((F.size("w") + F.lit(BLOCK_W - 1)) / F.lit(BLOCK_W)) \
         .cast("int")
     blocks = w.select(

@@ -116,20 +116,33 @@ def _remove_emptied_partitions(path: str, parts: list, survivors: set,
 def _full_rewrite(spark: SparkSession, path: str, out: DataFrame,
                   part_col: str) -> None:
     """One full-table copy-on-write pass: write the transformed table
-    to a sibling temp dir, then swap. No driver-side partition list, no
-    emptied-partition bookkeeping (the swap drops everything old);
-    side tables (``_tombstones``) are carried across the swap."""
+    to a sibling temp dir, then swap via renames. No driver-side
+    partition list, no emptied-partition bookkeeping (the swap drops
+    everything old); side tables (``_tombstones``) are carried across
+    the swap.
+
+    Crash safety: the original table is renamed to a ``.__old`` sibling
+    BEFORE the replacement is renamed in, and only removed after the
+    new table is live — a crash at any point leaves either the original
+    or the replacement fully intact on disk (never neither). The swap
+    itself is two renames, not atomic for a concurrent reader
+    mid-listing: mutations require a quiesced table (single-writer,
+    no readers during the swap window), the same contract ClickHouse
+    mutations-on-parts assume."""
     tmp = path.rstrip("/") + ".__rewrite_tmp"
-    if os.path.isdir(tmp):
-        shutil.rmtree(tmp)
+    old = path.rstrip("/") + ".__old"
+    for leftover in (tmp, old):
+        if os.path.isdir(leftover):
+            shutil.rmtree(leftover)
     (out.repartition(F.col(part_col))
         .write.mode("overwrite").partitionBy(part_col).parquet(tmp))
     for side in os.listdir(path):
         if side.startswith("_") and side != "_SUCCESS" \
                 and os.path.isdir(os.path.join(path, side)):
             shutil.move(os.path.join(path, side), os.path.join(tmp, side))
-    shutil.rmtree(path)
+    os.rename(path, old)
     os.rename(tmp, path)
+    shutil.rmtree(old)
 
 
 def delete_where(spark: SparkSession, path: str, predicate: Column,
@@ -142,7 +155,14 @@ def delete_where(spark: SparkSession, path: str, predicate: Column,
     whose every row matches are REMOVED (see module doc). When more
     than ``max_partitions`` partitions are affected the mutation runs
     as one full-table rewrite instead (partitions_rewritten = -1
-    signals the full path)."""
+    signals the full path).
+
+    NULL predicate results KEEP the row (ClickHouse ALTER DELETE
+    semantics, and the same rule ``update_where``'s when/otherwise
+    applies): only rows where the predicate is literally TRUE are
+    deleted. A bare ``filter(~predicate)`` would silently drop NULL
+    rows while excluding them from ``rows_deleted``."""
+    keep = ~F.coalesce(predicate, F.lit(False))
     df = spark.read.parquet(path)
     parts = affected_partitions(df, predicate, part_col)
     log.info("delete_where: %d affected partition(s)", len(parts))
@@ -153,11 +173,11 @@ def delete_where(spark: SparkSession, path: str, predicate: Column,
             "delete_where: %d affected partitions > max_partitions=%d; "
             "switching to a full-table rewrite", len(parts), max_partitions)
         deleted = df.filter(predicate).count()
-        _full_rewrite(spark, path, df.filter(~predicate), part_col)
+        _full_rewrite(spark, path, df.filter(keep), part_col)
         return {"partitions_rewritten": -1, "rows_deleted": deleted}
     affected = df.filter(F.col(part_col).isin(parts))
     deleted = affected.filter(predicate).count()
-    remaining = affected.filter(~predicate)
+    remaining = affected.filter(keep)
     # surviving partition keys, computed BEFORE the overwrite replaces
     # the files this plan reads from
     survivors = {r[0] for r in

@@ -213,3 +213,66 @@ def test_session_caches_key_on_application_id(spark, sf_dir):
     assert a is b, "same applicationId must share one persisted plan"
     key = (spark.sparkContext.applicationId, sf_dir)
     assert key in D._SETS_CACHE
+
+
+def test_block_exact_null_text_emits_no_blocks(spark, tmp_path):
+    """ADVICE r4: a NULL documents.text row must emit NO blocks on
+    either engine — Spark's F.size(NULL) = -1 would otherwise make
+    F.sequence(0, -1) yield a descending [0, -1] (two spurious block
+    rows per NULL doc) while DuckDB emits none. Both sides now filter
+    text IS NOT NULL."""
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from clickhouse_aggregation_spark.operators.registry import REGISTRY
+    from tests.oracle import compare
+
+    rows = [
+        (1, "alpha beta gamma delta", "en", "web", 22),
+        (2, None, "en", "web", 0),
+        (3, "alpha beta gamma delta", "en", "books", 22),
+        (4, None, None, "books", 0),
+    ]
+    pdf = pd.DataFrame(rows, columns=[
+        "doc_id", "text", "lang", "source", "n_chars"])
+    sf = str(tmp_path)
+    pq.write_table(pa.Table.from_pandas(pdf),
+                   os.path.join(sf, "documents.parquet"))
+
+    spec = REGISTRY["dedup_block_exact"]
+    compare(spec.fn(spark, sf), spec.oracle, sf, "block_exact_nulltext")
+    got = {r["source"]: r for r in spec.fn(spark, sf).collect()}
+    # the NULL-text docs contribute nothing: one block per non-null doc
+    assert got["web"]["n_blocks"] == 1
+    assert got["books"]["n_blocks"] == 1
+    # doc 3 duplicates doc 1's block
+    assert got["books"]["n_dup_blocks"] == 1
+
+
+def test_clear_plan_caches_unpins_and_rebuilds(spark, sf_dir):
+    """ADVICE r4: the session plan caches must be evictable — a
+    multi-scale bench in one process otherwise pins every scale's
+    persisted plans for the application lifetime. Eviction trades the
+    warm hit for released storage memory, never correctness."""
+    from clickhouse_aggregation_spark.caches import clear_plan_caches
+    from clickhouse_aggregation_spark.operators import dedup
+
+    pairs_before = dedup.confirmed_minhash_pairs(spark, sf_dir)
+    n_before = pairs_before.count()
+    key = (spark.sparkContext.applicationId, sf_dir)
+    assert key in dedup._PAIRS_CACHE
+
+    evicted = clear_plan_caches(sf_dir=sf_dir)
+    assert evicted["minhash_pairs"] == 1
+    assert key not in dedup._PAIRS_CACHE
+    assert pairs_before.storageLevel.useMemory is False  # unpersisted
+
+    # rebuild on next use, same result
+    assert dedup.confirmed_minhash_pairs(spark, sf_dir).count() == n_before
+    assert key in dedup._PAIRS_CACHE
+    # full clear (no sf filter) empties everything without error
+    clear_plan_caches()
+    assert not dedup._PAIRS_CACHE

@@ -75,7 +75,7 @@ def test_band_keys_stable_across_plans(spark, sf_dir):
     assert fresh == again
 
 
-def test_banded_lsh_recall_beats_single_bucket(spark):
+def test_banded_lsh_recall_beats_single_bucket(spark, sf_oracle_dir):
     """The measured motivation for the banded variant: at this corpus's
     dup threshold (cosine 0.45-0.49, per-plane agreement ≈ 0.65) the
     single 8-plane bucket recalls ZERO of the true pairs, while the
@@ -90,7 +90,7 @@ def test_banded_lsh_recall_beats_single_bucket(spark):
     from clickhouse_aggregation_spark.sources.tables import load_table
     from pyspark.sql import functions as F
 
-    sf = "/root/testdata/sf0.01"
+    sf = sf_oracle_dir
     emb = load_table(spark, sf, "embeddings") \
         .filter(F.col("vec_id") < COSINE_BASELINE_CAP)
     single = {(r.vec_a, r.vec_b) for r in

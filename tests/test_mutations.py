@@ -280,3 +280,43 @@ def test_update_where_refuses_partition_column(spark, sf_dir, tmp_path):
     with pytest.raises(ValueError, match="partition column"):
         M.update_where(spark, path, F.col("value") > 0,
                        {"block_bucket": F.lit(0)})
+
+
+def _nullable_table(spark, tmp_path, name):
+    """Tiny partitioned table with a NULLABLE value column: ClickHouse
+    ALTER DELETE semantics say a NULL predicate result KEEPS the row."""
+    path = str(tmp_path / name)
+    rows = [(1, 10, "a"), (2, None, "b"), (3, 1, "c"),
+            (4, None, "d"), (5, 7, "e")]
+    df = spark.createDataFrame(rows, "id INT, v INT, tag STRING") \
+        .withColumn("block_bucket", F.col("id") % 2)
+    (df.repartition(F.col("block_bucket"))
+       .write.mode("overwrite").partitionBy("block_bucket").parquet(path))
+    return path
+
+
+def test_delete_where_null_predicate_keeps_rows(spark, tmp_path):
+    """ADVICE r4 (medium): filter(~predicate) silently drops NULL rows
+    while excluding them from rows_deleted — NULL must mean KEEP, the
+    same rule update_where's when/otherwise applies."""
+    path = _nullable_table(spark, tmp_path, "nulldel")
+    stats = M.delete_where(spark, path, F.col("v") > 5)
+    assert stats["rows_deleted"] == 2            # v=10 and v=7 only
+    after = spark.read.parquet(path)
+    assert after.count() == 3
+    # the NULL-v rows survived
+    assert after.filter(F.col("v").isNull()).count() == 2
+
+
+def test_delete_where_null_predicate_keeps_rows_full_rewrite(
+        spark, tmp_path):
+    """Same NULL-keep rule on the >max_partitions full-rewrite path."""
+    path = _nullable_table(spark, tmp_path, "nulldelfull")
+    stats = M.delete_where(spark, path, F.col("v") > 5, max_partitions=0)
+    assert stats == {"partitions_rewritten": -1, "rows_deleted": 2}
+    after = spark.read.parquet(path)
+    assert after.count() == 3
+    assert after.filter(F.col("v").isNull()).count() == 2
+    # crash-safe swap leaves no residue siblings
+    assert not os.path.isdir(path + ".__old")
+    assert not os.path.isdir(path + ".__rewrite_tmp")

@@ -55,7 +55,7 @@ def test_store_has_one_row_per_vector(spark, streamed_store):
     assert cells.count() == cells.select("vec_id").distinct().count()
 
 
-def test_partial_quantizer_refuses_to_start(spark, tmp_path):
+def test_partial_quantizer_refuses_to_start(spark, sf_dir, tmp_path):
     """The coarse quantizer is index CONFIGURATION, loaded once at
     stream start: if the source directory holds fewer than N_CENTROIDS
     centroid vectors (live tailing started before the quantizer fully
@@ -68,7 +68,7 @@ def test_partial_quantizer_refuses_to_start(spark, tmp_path):
         load_centroids_once,
     )
     vdir = str(tmp_path / "partial_vecs")
-    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings")
     # only half the quantizer's vectors have arrived
     emb.filter(F.col("vec_id") >= N_CENTROIDS // 2) \
        .coalesce(1).write.parquet(vdir)

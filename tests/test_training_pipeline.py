@@ -121,8 +121,10 @@ def test_pack_sequences_matches_python_reference(spark, sf_dir):
         "source", "doc_id",
         F.size(F.split("text", " ")).cast("long").alias("n_tokens")
     ).toPandas()
-    ref = (ref_in.groupby("source", group_keys=False)
-           .apply(pack_docs, include_groups=True)
+    # concat over explicit group frames (not .apply(include_groups=...),
+    # deprecated in pandas 2.2): each group keeps its `source` column
+    import pandas as pd
+    ref = (pd.concat([pack_docs(g) for _, g in ref_in.groupby("source")])
            .sort_values(["source", "doc_id"]).reset_index(drop=True))
     assert got[["source", "doc_id", "n_tokens", "pack_id"]].equals(
         ref[["source", "doc_id", "n_tokens", "pack_id"]].astype(

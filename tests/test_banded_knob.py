@@ -1,0 +1,109 @@
+"""The banded-LSH corpus-size knob (VERDICT r4 #2): planes per band
+derive from corpus size via the SAME formula on both engines, the
+static oracle self-parameterizes from count(*), and the first 5 planes
+are bit-identical to the original table so all previously pinned
+recall numbers are invariant by construction."""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from clickhouse_aggregation_spark.operators.dedup import (
+    BAND_PLANES_FULL, BAND_PLANES_TBL, BANDED_MAX_EXTRA, BANDED_N_REF,
+    EMB_BAND_PLANES, EMB_BANDS, banded_planes_for, _banded_planes_sql,
+)
+
+
+def test_python_and_sql_plane_formula_agree():
+    """Same IEEE double log2/floor on both engines, at the boundary
+    values where a float divergence would bite."""
+    con = duckdb.connect()
+    scalar = _banded_planes_sql().replace(
+        "count(*)", "n").replace("FROM embeddings", "FROM t")
+    for n in [1, 499, 500, 800, 2000, 4095, 4096, 8191, 8192, 8193,
+              10000, 16384, 20000, 65536, 131072, 10**7]:
+        con.execute("CREATE OR REPLACE TABLE t AS SELECT ? AS n", [n])
+        got_sql = con.execute(f"SELECT {scalar}").fetchone()[0]
+        assert got_sql == banded_planes_for(n), n
+    con.close()
+
+
+def test_plane_count_is_clamped_and_monotone():
+    assert banded_planes_for(1) == EMB_BAND_PLANES
+    assert banded_planes_for(BANDED_N_REF * 2) == EMB_BAND_PLANES + 1
+    assert banded_planes_for(10**12) == EMB_BAND_PLANES + BANDED_MAX_EXTRA
+    prev = 0
+    for n in [100, 5000, 9000, 17000, 33000, 70000, 140000]:
+        p = banded_planes_for(n)
+        assert p >= prev
+        prev = p
+
+
+def test_extended_table_preserves_original_planes():
+    """The extra planes come from a separate seeded stream: band b's
+    first 5 planes are bit-identical to the original table, so the
+    pinned sf0.01 recall numbers (P(500)=5) cannot move."""
+    for b in range(EMB_BANDS):
+        assert BAND_PLANES_FULL[b][:EMB_BAND_PLANES] == BAND_PLANES_TBL[b]
+        assert len(BAND_PLANES_FULL[b]) == EMB_BAND_PLANES + BANDED_MAX_EXTRA
+
+
+def _synth_sf_dir(tmp_path, n, dim=64, seed=7):
+    """A synthetic embeddings table big enough to exercise P > 5,
+    with a few planted near-dup pairs (small perturbations)."""
+    rng = np.random.default_rng(seed)
+    vecs = rng.uniform(-1.0, 1.0, size=(n, dim)).astype(np.float32)
+    # plant 6 near-dups: vec[i+1] = perturbed vec[i]
+    for i in range(0, 12, 2):
+        vecs[i + 1] = (vecs[i] * 0.9
+                       + rng.uniform(-0.1, 0.1, dim)).astype(np.float32)
+    tbl = pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array([v.tolist() for v in vecs],
+                              pa.list_(pa.float32())),
+        "label": pa.array([i % 4 for i in range(n)], pa.int32()),
+    })
+    sf = str(tmp_path)
+    pq.write_table(tbl, os.path.join(sf, "embeddings.parquet"))
+    return sf
+
+
+@pytest.mark.slow
+def test_banded_oracle_parity_with_grown_plane_count(spark, tmp_path):
+    """END-TO-END knob check: at n = 9000 (> 2·N_REF) both engines must
+    derive P = 6 from the data and produce identical pairs — the
+    declared query stays hash-checked at any scale without regenerating
+    the oracle."""
+    from clickhouse_aggregation_spark.operators.registry import REGISTRY
+    from tests.oracle import compare
+
+    n = 9000
+    assert banded_planes_for(n) == EMB_BAND_PLANES + 1
+    sf = _synth_sf_dir(tmp_path, n)
+    spec = REGISTRY["dedup_embedding_lsh_banded"]
+    compare(spec.fn(spark, sf), spec.oracle, sf, "banded_knob_p6")
+
+
+def test_grown_plane_count_prunes_candidates(spark, tmp_path):
+    """The knob's point: at the same corpus, P+1 planes must produce
+    a strict subset of candidates (prefix keys can only split buckets)
+    — candidates shrink, recall can only decrease, linearity is the
+    trade. Verified structurally: every P=6 pair is a P=5 pair."""
+    from clickhouse_aggregation_spark.operators.dedup import (
+        embedding_lsh_banded_pairs)
+    from clickhouse_aggregation_spark.sources.tables import load_table
+
+    sf = _synth_sf_dir(tmp_path, 1200)
+    emb = load_table(spark, sf, "embeddings")
+    p5 = {(r.vec_a, r.vec_b)
+          for r in embedding_lsh_banded_pairs(emb, n_corpus=1200).collect()}
+    p6 = {(r.vec_a, r.vec_b) for r in embedding_lsh_banded_pairs(
+        emb, n_corpus=BANDED_N_REF * 2).collect()}
+    assert p6 <= p5

@@ -168,6 +168,17 @@ HEADLINE = [
     "dedup_block_exact",
     "text_vocab_coverage",
     "text_bm25_topk",
+    # round 5 additions: the remaining declared queries without a bench
+    # position (the final-rotation cohort + the composed curation
+    # pipeline)
+    "multimodal_resize",
+    "streaming_corpus_tokens_epochs",
+    "streaming_quality_envelope_epochs",
+    "streaming_corpus_tokens_compacted",
+    "streaming_embedding_dims_epochs",
+    "streaming_embedding_neardup_epochs",
+    "pipeline_pack_sequences",
+    "pipeline_end_to_end",
 ]
 
 # documented-quadratic exactness baselines (scale paths are the LSH/IVF

@@ -53,174 +53,52 @@ REGISTRY: dict[str, QuerySpec] = {}
 #   * mv_usdc_hourly_block_approx — the A3 sketch form has a HARD
 #     driver row via approx_uniq_tolerance; the estimate itself is
 #     engine-specific by design.
+# ROUND-5 FINAL ROTATION (VERDICT r4 #1): the 30 queries that had
+# never appeared in any CORRECTNESS file (diffed against r01-r04) all
+# hold declared slots this round, plus the new composed
+# pipeline_end_to_end — after this round every oracle-paired query in
+# the registry has had an external driver row at least once. 19
+# reference-core anchors stay declared (decode, retraction, streaming
+# MV maintainer, tiering, monitoring, entity, SQL surface, sketch
+# gate, LWW, subtotals, WITH FILL, flagship re-agg, minhash pairs,
+# verbatim decontamination, as-of, sessionization, IVF build, Q4,
+# multimodal). The 31 demoted queries below were ALL driver-green in
+# CORRECTNESS_r04.json.
 EXTRAS: tuple[str, ...] = (
     "orders_priority_by_month",
     "top_customers_per_nation",
     "sql_adhoc_daily_volume",
     "mv_usdc_hourly_ts",
-    "mv_usdc_hourly_block_approx",
-    # semi-/anti-join family: added after the 50 slots were filled; the
-    # J-family driver rows cover broadcast/shuffle/semi joins already
-    "orders_with_returns_by_priority",
-    "brands_never_discounted",
-    # 1:N mapInPandas expansion and binary->binary reduction; the D1
-    # family's driver row is multimodal_feature_extract
-    "multimodal_frame_sample",
-    "multimodal_resize",
-    # Demoted in the round-2 rebalance (driver-green rounds 1-2; every
-    # one keeps a checked sibling — see that round's notes):
-    "text_vocab_topk",
-    "pipeline_length_buckets",
+    "mv_usdc_hourly_block_approx",   # rows-only by design (A3 estimate)
+    # Demoted in the round-2/3 rebalances (driver-green r1-r3; see
+    # NOTES_r2/r3 for each one's checked sibling):
     "mv_usdc_daily_ts",
     "readme_size_distribution",
     "monitoring_recent_sample",
     "entity_filter_paginated",
     "tpch_q10_returned_items",
     "tpch_q14_conditional_share",
-    # rows-only by design (sequential packing state, no SQL oracle);
-    # pinned by a pure-Python reference in test_training_pipeline.py
-    "pipeline_pack_sequences",
-    # Round-3 leftovers still awaiting a driver row (the round-4
-    # rotation promoted 35 of their cohort; these stay extras because
-    # a promoted sibling externally checks the same machinery):
-    #   streaming_embedding_neardup_epochs — the embedding analog of
-    #     streaming_neardup_epochs (declared, same epoch-index design)
-    "streaming_embedding_neardup_epochs",
-    #   streaming_corpus_tokens_epochs / streaming_quality_envelope_
-    #   epochs / streaming_corpus_tokens_compacted — rollup-maintainer
-    #   façades; the façade pattern holds three declared slots this
-    #   round (mv_daily, ivf_search, quantile_sketch)
-    "streaming_corpus_tokens_epochs",
-    "streaming_quality_envelope_epochs",
-    "streaming_corpus_tokens_compacted",
-    #   pipeline_domain_mix — driver-green in r2; same hash-gate
-    #     machinery as the promoted pipeline_epoch_shuffle
     "pipeline_domain_mix",
-    #   part_supplier_variety / bulk_part_suppliers — Q16/Q20 shapes;
-    #     the J family holds late_order_priorities (Q4) +
-    #     returnflag_priority_mix (Q12) + basket/RFM this round, and
-    #     the 11 suite shapes were driver-green in r3
-    "part_supplier_variety",
-    "bulk_part_suppliers",
-    #   pipeline_bottomk_per_source — LIMIT k BY / stratified minwise
-    #     sample; sibling of the promoted pipeline_bottomk_sample
-    "pipeline_bottomk_per_source",
-    # Round-4 additions born as extras (declared surface at 50):
-    #   dedup_embedding_lsh_recall — recall@pairs monitor for the
-    #     sign-LSH near-dup path vs the capped cosine baseline
-    #     (VERDICT r3 #8)
-    "dedup_embedding_lsh_recall",
-    #   text_unigram_logppl — KenLM-style unigram perplexity proxy
-    #     (quality pre-filter); token/count machinery driver-checked
-    #     via the promoted text family
-    "text_unigram_logppl",
-    #   dedup_embedding_survivors — the anti-join removal stage over
-    #     the sign-LSH pairs (minhash_survivors' vector-side twin);
-    #     pair machinery driver-checked via the promoted
-    #     dedup_embedding_lsh
-    "dedup_embedding_survivors",
-    #   contamination_neardup — fuzzy decontamination (near-dup pairs
-    #     crossing the train/eval split); pair machinery driver-checked
-    #     via dedup_minhash_lsh, verbatim path via
-    #     contamination_ngram_overlap (both declared)
-    "contamination_neardup",
-    #   dedup_embedding_lsh_banded — banded sign-LSH (12 bands × 5
-    #     planes), the recall-honest amplification of the single-bucket
-    #     variant (measured ~zero recall at this corpus's 0.45 dup
-    #     threshold); bucket machinery driver-checked via the promoted
-    #     dedup_embedding_lsh
-    "dedup_embedding_lsh_banded",
-    #   similarity_lsh_recall — recall@5 monitor for the LSH search
-    #     family (single-bucket + multiprobe vs exact top-5); sibling
-    #     of similarity_ivf_recall, search paths driver-checked via
-    #     the promoted similarity_lsh_multiprobe family
-    "similarity_lsh_recall",
-    #   dedup_semantic — SemDeDup cluster-then-prune (Abbas et al.
-    #     2023): cell assignment machinery driver-checked via the
-    #     promoted similarity_ivf_topk, pairwise-verify via the
-    #     promoted dedup_embedding_lsh family
-    "dedup_semantic",
-    #   pipeline_temperature_mix — alpha-temperature source sampling
-    #     (XLM-R/mT5 mixing rule) via the same salted-hash gate the
-    #     driver-checked pipeline_split_assign / clean_corpus use
-    "pipeline_temperature_mix",
-    #   embedding_gram_matrix / embedding_dim_stats — integer-exact
-    #     matrix/marginal aggregates over quantized embeddings
-    #     (whitening/PCA prep); row-local expansion + combinable sums,
-    #     machinery a strict subset of the driver-checked label
-    #     centroids / IVF family
-    "embedding_gram_matrix",
-    "embedding_dim_stats",
-    #   streaming_embedding_gram_epochs / _dims_epochs — the matrix
-    #     aggregates as incremental rollups (additive/mergeable state,
-    #     union-of-epochs ≡ batch); maintainer machinery driver-checked
-    #     via streaming_mv_daily_epochs and the corpus-rollup façades
-    "streaming_embedding_gram_epochs",
-    "streaming_embedding_dims_epochs",
-    #   pipeline_dsir_sample — DSIR importance resampling (Xie et al.
-    #     2023): hashed-unigram log-likelihood-ratio selection; token/
-    #     fold machinery driver-checked via the promoted text family
-    #     and the declared pipeline gates
-    "pipeline_dsir_sample",
-    #   dedup_block_exact — ExactSubstr at fixed-block granularity
-    #     (Lee et al. 2022): hash-groupBy first-occurrence dedup;
-    #     hash/groupBy machinery driver-checked via dedup_minhash_lsh
-    #     and the promoted containment operator
-    "dedup_block_exact",
-    #   text_vocab_coverage — Zipf-CDF vocab budget diagnostic;
-    #     TakeOrdered + bounded-head window machinery driver-checked
-    #     via the promoted heavy-hitters / curate_topn
-    "text_vocab_coverage",
-    #   text_bm25_topk — BM25 lexical retrieval (Lucene idf variant)
-    #     with a corpus-derived query; tf/df machinery driver-checked
-    #     via the declared tfidf query, fold via the promoted
-    #     k-entropy/logppl recipe
-    "text_bm25_topk",
-    # Round-4 rotation: 35 long-stable r3-green queries rotate out so
-    # the never-driver-checked round-3 cohort rotates in. Every demoted
-    # query below was driver-green in CORRECTNESS_r03.json and keeps a
-    # declared sibling covering the same machinery:
-    #   mv_usdc_daily_block    — the IDENTICAL rollup (same oracle, same
-    #     8582 rows) stays externally hash-checked via the declared
-    #     streaming_mv_daily_epochs façade
-    #   mv_tx_size_distribution / mv_recent_activity / mv_top_addresses
-    #     — grouped-agg/histogram/pivot machinery via
-    #     mv_volume_rollup_subtotals, mv_daily_with_fill,
-    #     events_type_pivot (pivot), dedup_latest_version (LWW)
-    #   events_json_daily      — JSON path machinery via the promoted
-    #     events_props_json_stats
-    #   tpch_q1_pricing_summary + the 11 suite shapes — J family keeps
-    #     late_order_priorities (Q4), returnflag_priority_mix (Q12),
-    #     orders_brand_basket_lift, orders_rfm_segments; all 22 classic
-    #     shapes remain oracle-paired in pytest
-    #   similarity_lsh_bucketed — promoted multiprobe variant supersets
-    #     the bucket machinery
-    #   similarity_ivf_topk    — the SAME search oracle stays declared
-    #     via streaming_ivf_search_epochs; ivf build via kmeans_refine
-    #   similarity_pq_rerank   — PQ machinery via the promoted
-    #     similarity_ivfpq_residual (IVF+PQ composition)
-    #   embedding_label_centroids — centroid aggregation via the
-    #     promoted similarity_ivf_kmeans_refine
-    #   dedup_minhash_survivors — anti-join over the cached pair set;
-    #     pair machinery stays via dedup_minhash_lsh (kept) and the
-    #     promoted dedup_source_overlap (same cached pairs)
-    #   dedup_clusters         — iterative propagation via the promoted
-    #     transfers_pagerank3; dedup family keeps minhash_lsh
-    #   text_language_id / text_token_count / text_tfidf_topk — text
-    #     family gains heavy_hitters, repetition_stats,
-    #     novel_trigram_rate, weighted_length_quantiles
-    #   events_hourly_window / events_value_quantiles /
-    #   events_retention_cohorts / events_funnel_depth — behavior
-    #     family gains 10 promoted events_* rows (sequence_match/count
-    #     cover the funnel automaton; weighted_length_quantiles covers
-    #     exact quantiles)
-    #   pipeline_clean_corpus / split_assign / curate_topn — pipeline
-    #     family gains blocklist_scrub (quality gates), epoch_shuffle
-    #     (hash gates), bottomk_sample (TakeOrdered top-k)
-    #   streaming_neardup_epochs / streaming_contamination_epochs —
-    #     the façade pattern stays declared ×3 (mv_daily kept,
-    #     ivf_search + quantile_sketch promoted); their batch twins
-    #     dedup_minhash_lsh + contamination_ngram_overlap stay declared
+    "mv_top_senders",
+    "mv_top_receivers",
+    "readme_top_senders",
+    "mv_usdc_hourly_block",
+    "dedup_exact",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "text_quality_score",
+    "text_fingerprint",
+    "similarity_topk_bruteforce",
+    "similarity_ivf_recall",
+    "multimodal_payload_stats",
+    "events_cooccurrence_5min",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q18_large_orders",
+    # Demoted in the round-4 rotation (driver-green r3; checked
+    # siblings listed in NOTES_r4 §3):
     "mv_usdc_daily_block",
     "mv_tx_size_distribution",
     "mv_recent_activity",
@@ -256,26 +134,53 @@ EXTRAS: tuple[str, ...] = (
     "disjunctive_promo_revenue",
     "late_sole_supplier",
     "idle_rich_customers",
-    # Demoted in earlier rotations (driver-green in r1-r3; see
-    # NOTES_r2/r3 for each one's checked sibling):
-    "mv_top_senders",
-    "mv_top_receivers",
-    "readme_top_senders",
-    "mv_usdc_hourly_block",
-    "dedup_exact",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
-    "text_quality_score",
-    "text_fingerprint",
-    "similarity_topk_bruteforce",
-    "similarity_ivf_recall",
-    "multimodal_payload_stats",
-    "events_cooccurrence_5min",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q6_forecast_revenue",
-    "tpch_q18_large_orders",
+    # Demoted THIS round (round-5 rotation; ALL driver-green in
+    # CORRECTNESS_r04.json — the external check is on record):
+    #   dedup_embedding_lsh — its declared slot passes to the banded
+    #     variant + recall monitor (the r4 VERDICT's top item: the
+    #     single-bucket row was parity-true but zero-recall at this
+    #     corpus's dup threshold; the banded row is the useful one)
+    "dedup_embedding_lsh",
+    #   the 10 behavioral/statistical events_* rollups, the pivot/
+    #     setops/window shapes: window machinery stays declared via
+    #     events_sessionization + dedup_latest_version (LWW rank)
+    "events_audience_overlap",
+    "events_k_entropy",
+    "events_props_json_stats",
+    "events_running_user_stats",
+    "events_sequence_count",
+    "events_sequence_match",
+    "events_top_transitions",
+    "events_type_pivot",
+    "events_value_k_regression",
+    "events_value_outliers",
+    "address_flow_setops",
+    #   J-family: Q4 (late_order_priorities) stays declared; the other
+    #     21 classic shapes all have r3/r4 driver rows
+    "returnflag_priority_mix",
+    "orders_brand_basket_lift",
+    "orders_rfm_segments",
+    #   dedup/text/similarity/pipeline/streaming rows rotated out with
+    #     r4-green rows on record; their machinery is exercised by the
+    #     promoted cohort (banded pairs, SemDeDup, block-exact, BM25,
+    #     vocab coverage, DSIR, temperature mix, Gram rollups) and the
+    #     composed pipeline_end_to_end consumes the same session caches
+    "dedup_containment",
+    "dedup_simhash_hamming",
+    "dedup_source_overlap",
+    "similarity_ivfpq_residual",
+    "similarity_lsh_multiprobe",
+    "text_heavy_hitters",
+    "text_novel_trigram_rate",
+    "text_repetition_stats",
+    "text_weighted_length_quantiles",
+    "pipeline_blocklist_scrub",
+    "pipeline_bottomk_sample",
+    "pipeline_epoch_shuffle",
+    "transfers_pagerank3",
+    "uniq_hll_merge_rollup",
+    "streaming_ivf_search_epochs",
+    "streaming_quantile_sketch_epochs",
 )
 
 

@@ -328,25 +328,27 @@ def q_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("shard").orderBy("shuffle_hash", "doc_id")
     shuffled = sh9.withColumn("pos", F.row_number().over(w).cast("long"))
 
-    tail9 = s9.agg(
-        F.lit(9).cast("long").alias("stage_id"),
-        F.lit("temperature_mix").alias("stage"),
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.coalesce(F.sum("n_tokens"), F.lit(0)).cast("long")
-         .alias("ws_tokens"),
-        F.lit(0).cast("long").alias("checksum"))
-    tail10 = shuffled.agg(
-        F.lit(10).cast("long").alias("stage_id"),
-        F.lit("epoch_shuffle").alias("stage"),
+    # BOTH tail rows from ONE aggregate over `shuffled` (the shuffle
+    # permutes, never drops, so stage 9's counts equal stage 10's):
+    # one lineage execution instead of two for the funnel's tail
+    tail_agg = shuffled.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.coalesce(F.sum("n_tokens"), F.lit(0)).cast("long")
          .alias("ws_tokens"),
         F.coalesce(F.sum((F.col("shard") + 1) * F.col("pos")
                          * (F.col("doc_id") % _CKSUM_MOD)), F.lit(0))
-         .cast("long").alias("checksum"))
+         .cast("long").alias("cksum"))
+    tails = tail_agg.selectExpr(
+        "stack(2, 9L, 'temperature_mix', n_docs, ws_tokens, 0L, "
+        "10L, 'epoch_shuffle', n_docs, ws_tokens, cksum) AS "
+        "(stage_id, stage, n_docs, ws_tokens, checksum)")
 
     return (head.select(F.col("stage_id").cast("long"), "stage",
                         F.col("n_docs").cast("long"),
                         F.col("ws_tokens").cast("long"),
                         F.col("checksum").cast("long"))
-            .unionByName(tail9).unionByName(tail10))
+            .unionByName(tails.select(
+                F.col("stage_id").cast("long"), "stage",
+                F.col("n_docs").cast("long"),
+                F.col("ws_tokens").cast("long"),
+                F.col("checksum").cast("long"))))

@@ -33,7 +33,8 @@ def clear_plan_caches(sf_dir: str | None = None) -> dict[str, int]:
     so a re-run re-drives the stream against the same deterministic
     chunking.
     """
-    from .operators import contamination, dedup, similarity, streaming_bridge
+    from .operators import (contamination, curation, dedup, similarity,
+                            streaming_bridge)
 
     evicted: dict[str, int] = {}
 
@@ -46,7 +47,10 @@ def clear_plan_caches(sf_dir: str | None = None) -> dict[str, int]:
         ("minhash_pairs", dedup._PAIRS_CACHE),
         ("banded_pairs", dedup._BANDED_CACHE),
         ("ivf_corpus", similarity._IVF_CORPUS_CACHE),
+        ("sem_corpus", similarity._SEM_CORPUS_CACHE),
+        ("eval_topk", similarity._EVAL_TOPK_CACHE),
         ("contamination_hashes", contamination._HASH_CACHE),
+        ("curation_annotated", curation._ANN_CACHE),
     ):
         hit = [k for k in cache if _match(k)]
         for k in hit:

@@ -34,7 +34,7 @@ from ..sources.tables import ensure_parallelism, load_table
 from .registry import register
 from .similarity import (COSINE_ORACLE_EXPR, DIM, N_CENTROIDS, _bucket_col,
                          _bucket_sql, _ivf_parts, int_dot, int_norm2,
-                         quantize)
+                         quantize, sem_centroids_sql, sem_corpus)
 
 SHINGLE_K = 3
 JACCARD_THRESHOLD = 0.8
@@ -895,12 +895,15 @@ def q_dedup_embedding_survivors(spark: SparkSession,
 # driver fixture's near-random vectors are the worst case). Scale
 # story: within-cell pairwise work is O(sum cell_size²); the paper
 # (and any production run) grows K ∝ n so cell size stays CONSTANT and
-# total work stays linear — K is pinned to the shared IVF quantizer's
-# 16 seeded cells here only so the whole construction is one
-# hash-checkable SQL expression on both engines. Cell assignment is
-# the SAME broadcast + min_by pass the IVF index build uses (one
-# shared `_ivf_parts`), so the index is built once per plan, not per
-# operator family.
+# total work stays linear. That knob is REAL here (similarity.
+# sem_n_centroids: K = max(16, n // 512), same integer formula on both
+# engines, oracle self-parameterized by a count(*) scalar subquery —
+# measured before the knob: sf0.5→sf1.0 doubling exponent 1.74 at
+# fixed K=16). At n ≤ 8192 the formula clamps to the shared IVF
+# quantizer's 16 cells and the assignment IS the session-persisted
+# `_ivf_parts` corpus — one index build per plan, not per operator
+# family; above that SemDeDup builds its own K-grown assignment with
+# the same broadcast + min_by pass.
 #
 # Representative choice: the paper keeps the member with LOWEST cosine
 # to its centroid; we use keep-lowest-vec_id (a vector is dropped iff
@@ -922,7 +925,7 @@ WITH q AS (
   SELECT vec_id, qv, {int_norm2.SQL} AS norm2 FROM q
 ), cents AS (
   SELECT vec_id AS centroid_id, qv AS c_qv, norm2 AS c_norm2
-  FROM n WHERE vec_id < {N_CENTROIDS}
+  FROM n WHERE vec_id < {sem_centroids_sql()}
 ), dists AS (
   SELECT n.vec_id, n.qv, n.norm2, c.centroid_id,
          row_number() OVER (PARTITION BY n.vec_id
@@ -951,14 +954,16 @@ SELECT m.centroid_id,
        CAST(m.members - coalesce(ps.dropped, 0) AS BIGINT) AS kept
 FROM members m LEFT JOIN ps ON ps.centroid_id = m.centroid_id""",
     doc="SemDeDup (Abbas et al. 2023): semantic dedup by clustering "
-        "embeddings (shared 16-cell IVF quantizer, broadcast + min_by "
+        "embeddings (K = max(16, n//512) seeded cells — the corpus-"
+        "size knob that keeps cell size constant; broadcast + min_by "
         "assignment) then pruning pairs with cosine >= 0.40 WITHIN "
         "each cell — per-cell member/pair/dropped/kept counts. "
-        "Pairwise work localized to cells; at scale K grows with n so "
-        "cell size (and per-cell cost) stays constant.",
+        "Pairwise work localized to cells; K grows with n so total "
+        "within-cell work stays linear (same derivation in the "
+        "oracle's count(*) scalar subquery).",
 )
 def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    corpus, _ = _ivf_parts(spark, sf_dir)
+    corpus = sem_corpus(spark, sf_dir)
     a, b = corpus.alias("a"), corpus.alias("b")
     cos = (int_dot(F.col("a.qv"), F.col("b.qv"))
            / (F.sqrt(F.col("a.norm2")) * F.sqrt(F.col("b.norm2"))))

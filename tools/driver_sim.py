@@ -8,6 +8,7 @@ A cell passes only if ``str(value)`` AND the cell's Python type family
 agree between the Spark and DuckDB frames.
 """
 import math
+import os
 import sys
 
 import duckdb
@@ -60,6 +61,13 @@ qs = dict(qs)
 qs.update(mod.extra_queries())
 os_ = dict(os_)
 os_.update(mod.extra_oracle_sql())
+# targeted re-verify after an edit: SPARK_GRAFT_ONLY=name1,name2
+_only = os.environ.get("SPARK_GRAFT_ONLY", "")
+if _only:
+    keep = set(_only.split(","))
+    missing = keep - qs.keys()
+    assert not missing, f"unknown query names: {missing}"
+    qs = {k: v for k, v in qs.items() if k in keep}
 ok = bad = weak = 0
 for name, fn in qs.items():
     try:

@@ -1142,11 +1142,46 @@ def q_similarity_ivfpq_residual(spark: SparkSession,
 # pipeline runs before whitening / PCA / SemDeDup-style normalization.
 # Both are integer-exact in quantized space (order-independent sums),
 # and both are the canonical "matrix aggregate" shape for Spark: the
-# per-row pair expansion is a ROW-LOCAL lambda (no join, no shuffle of
-# the expansion — partial aggregation collapses the 64x/2080x blowup
-# inside each map task), and the only shuffle moves one row per output
-# cell (2 080 for the upper-triangle Gram matrix, 64 for marginals) at
-# ANY corpus size.
+# per-row expansion is ROW-LOCAL (no join), and the only shuffle moves
+# one row per output cell per map task (2 080 for the upper-triangle
+# Gram matrix, 64 for marginals) at ANY corpus size.
+#
+# The Gram matrix is the one operator where the JVM expression path is
+# the WRONG physical plan: expanding dim·(dim+1)/2 = 2 080 struct rows
+# per vector through codegen (explode + hash-agg over 2 080·n rows)
+# was the slowest query in the repo (17.3 s at sf1.0 — 41.6 M exploded
+# rows for a 20 800-row corpus). The matrix product IS the aggregate,
+# so the scale path is an Arrow-batched numpy partial: each ~10 k-row
+# Arrow batch computes Qᵀ·Q once (int64 matmul — EXACT: |q| ≤ 1e6 so a
+# batch partial tops out near 1e16 « 2⁶³, and float32→float64→
+# floor(x·1e6) is the same IEEE sequence the JVM `quantize` runs),
+# then emits its 2 080 partial cells; one combinable groupBy merges
+# batch partials. Python here is the Arrow-vectorized fast path, not a
+# row-at-a-time UDF — the shuffle still carries one row per cell per
+# batch, never the corpus.
+
+
+def gram_partial(df: DataFrame) -> DataFrame:
+    """Upper-triangle Gram matrix of the quantized ``embedding`` column
+    of ``df`` — shared by the batch operator and the streaming rollup's
+    per-batch partial, so stream ≡ batch is exact by construction."""
+    def batches(it):
+        import numpy as np
+        import pandas as pd
+        iu, ju = np.triu_indices(DIM)
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(pdf["embedding"].to_numpy())
+            q = np.floor(mat.astype(np.float64) * QUANT).astype(np.int64)
+            g = q.T @ q
+            yield pd.DataFrame({"i": iu, "j": ju, "sum_prod": g[iu, ju]})
+
+    return (df.select("embedding")
+            .mapInPandas(batches, "i long, j long, sum_prod long")
+            .groupBy("i", "j")
+            .agg(F.sum("sum_prod").cast("long").alias("sum_prod")))
+
 
 @register(
     "embedding_gram_matrix",
@@ -1164,22 +1199,13 @@ GROUP BY ii.i, jj.j""",
     doc="Second-moment (Gram) matrix over quantized embeddings: "
         "sum of x_i * x_j for every dimension pair i <= j (2 080 "
         "upper-triangle cells at dim 64) — the Sigma x x^T every "
-        "whitening/PCA step needs. Row-local pair expansion (nested "
-        "array transform, no join), map-side-combinable sum: the "
-        "shuffle carries one row per cell at any corpus size.",
+        "whitening/PCA step needs. Arrow-batched numpy partials "
+        "(exact int64 Q^T.Q per ~10k-row batch, no join, no per-pair "
+        "row expansion) merged by one combinable sum: the shuffle "
+        "carries one row per cell per batch at any corpus size.",
 )
 def q_embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.select(quantize(F.col("embedding")).alias("qv"))
-    pairs = F.expr(
-        "flatten(transform(qv, (x, i) -> "
-        "transform(slice(qv, i + 1, size(qv) - i), (y, k) -> "
-        "struct(i AS i, i + k AS j, x * y AS p))))")
-    return (q.select(F.explode(pairs).alias("s"))
-            .select(F.col("s.i").cast("long").alias("i"),
-                    F.col("s.j").cast("long").alias("j"), F.col("s.p"))
-            .groupBy("i", "j")
-            .agg(F.sum("p").cast("long").alias("sum_prod")))
+    return gram_partial(load_table(spark, sf_dir, "embeddings"))
 
 
 @register(

@@ -22,22 +22,15 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..operators.similarity import quantize
+from ..operators.similarity import gram_partial, quantize
 from ..schemas import EMBEDDINGS
 from .maintainer import IncrementalRollup, run_rollup_stream
 
-
-def _gram_partial(batch: DataFrame) -> DataFrame:
-    q = batch.select(quantize(F.col("embedding")).alias("qv"))
-    pairs = F.expr(
-        "flatten(transform(qv, (x, i) -> "
-        "transform(slice(qv, i + 1, size(qv) - i), (y, k) -> "
-        "struct(i AS i, i + k AS j, x * y AS p))))")
-    return (q.select(F.explode(pairs).alias("s"))
-            .select(F.col("s.i").cast("long").alias("i"),
-                    F.col("s.j").cast("long").alias("j"), F.col("s.p"))
-            .groupBy("i", "j")
-            .agg(F.sum("p").cast("long").alias("sum_prod")))
+# per-batch Gram partial = the SAME Arrow-batched numpy Q^T.Q the batch
+# operator runs (operators/similarity.gram_partial) — stream ≡ batch is
+# exact integer equality by construction, not by parallel maintenance
+# of two expansions.
+_gram_partial = gram_partial
 
 
 def _dim_partial(batch: DataFrame) -> DataFrame:

@@ -564,9 +564,14 @@ def test_embedding_matrix_stats_no_join_single_exchange(spark, sf_dir):
     """The matrix aggregates must be row-local expansions + one
     combinable aggregation: NO join anywhere, and exactly one shuffle
     (the partial->final agg hop) whose width is the cell count, not
-    the corpus."""
+    the corpus. The Gram matrix must additionally take the
+    Arrow-batched numpy path (MapInPandas computing Q^T.Q per batch),
+    NOT a 2080x-per-row JVM explode."""
     for name in ("embedding_gram_matrix", "embedding_dim_stats"):
         plan = _plan(spark, sf_dir, name)
         assert "Join" not in plan, name
         assert "CartesianProduct" not in plan, name
         assert plan.count("Exchange hashpartitioning") <= 1, name
+    gram = _plan(spark, sf_dir, "embedding_gram_matrix")
+    assert "MapInPandas" in gram
+    assert "Explode" not in gram and "Generate" not in gram

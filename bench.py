@@ -100,7 +100,6 @@ HEADLINE = [
     "streaming_neardup_epochs",
     "streaming_contamination_epochs",
     # round 3, second batch
-    "dedup_embedding_lsh",
     "mv_volume_rollup_subtotals",
     "events_top_transitions",
     "streaming_mv_daily_epochs",
@@ -181,13 +180,19 @@ HEADLINE = [
     "pipeline_end_to_end",
 ]
 
-# documented-quadratic exactness baselines (scale paths are the LSH/IVF
-# siblings above): timed under a separate key so round-over-round
-# comparison of the headline total is never polluted by them
+# documented-quadratic / superseded exactness baselines (scale paths
+# are the LSH/IVF siblings above): timed under a separate key so
+# round-over-round comparison of the headline total is never polluted
+# by them. dedup_embedding_lsh (single-bucket, fixed 8 planes) moved
+# here in round 5: its declared slot passed to the banded variant and
+# its candidate growth is superlinear by pinned-parameter construction
+# (measured exponent 1.38 sf0.5->sf1.0) — kept as the parity/recall
+# demonstration the recall ledger scores, not as a shipped path.
 BASELINES = [
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
     "dedup_embedding_lsh_recall",
+    "dedup_embedding_lsh",
 ]
 
 

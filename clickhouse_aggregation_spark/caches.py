@@ -33,8 +33,8 @@ def clear_plan_caches(sf_dir: str | None = None) -> dict[str, int]:
     so a re-run re-drives the stream against the same deterministic
     chunking.
     """
-    from .operators import (contamination, curation, dedup, similarity,
-                            streaming_bridge)
+    from .operators import (clustering, contamination, curation, dedup,
+                            similarity, streaming_bridge)
 
     evicted: dict[str, int] = {}
 
@@ -51,6 +51,8 @@ def clear_plan_caches(sf_dir: str | None = None) -> dict[str, int]:
         ("eval_topk", similarity._EVAL_TOPK_CACHE),
         ("contamination_hashes", contamination._HASH_CACHE),
         ("curation_annotated", curation._ANN_CACHE),
+        ("pagerank_edges", clustering._PR_EDGES_CACHE),
+        ("pagerank_nodes", clustering._PR_NODES_CACHE),
     ):
         hit = [k for k in cache if _match(k)]
         for k in hit:

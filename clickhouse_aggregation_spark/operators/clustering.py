@@ -153,6 +153,38 @@ PR_SCALE = 10 ** 9
 PR_D_NUM, PR_D_DEN = 85, 100       # damping 0.85 as a rational
 PR_ITERS = 3
 
+# session-persisted transfer graph, one per (applicationId, sf_dir) —
+# the same build-once/join-many contract as the dup-pair tables: every
+# unrolled iteration joins the SAME edge table, and without the pin the
+# growing lineage re-derives the parquet scan + two groupBys once per
+# iteration. Edges are pre-hash-partitioned on the join key (s) at the
+# session's shuffle width, so each iteration shuffles only the
+# node-sized rank frame. Evicted by caches.clear_plan_caches.
+_PR_EDGES_CACHE: dict[tuple[str, str], DataFrame] = {}
+_PR_NODES_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _pr_graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    from pyspark import StorageLevel
+
+    from ..sources.transfers import transfers_df
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _PR_EDGES_CACHE:
+        live = transfers_df(spark, sf_dir).filter(F.col("_sign") == 1)
+        edges = (live.groupBy(F.col("from_address").alias("s"),
+                              F.col("to_address").alias("t2"))
+                 .agg(F.count(F.lit(1)).alias("w")))
+        outw = edges.groupBy("s").agg(F.sum("w").alias("ow"))
+        width = max(spark.sparkContext.defaultParallelism, 4)
+        _PR_EDGES_CACHE[key] = (edges.join(outw, "s")
+                                .repartition(width, F.col("s"))
+                                .persist(StorageLevel.MEMORY_AND_DISK))
+        _PR_NODES_CACHE[key] = (
+            edges.select(F.col("s").alias("a"))
+            .unionByName(edges.select(F.col("t2").alias("a")))
+            .distinct().persist(StorageLevel.MEMORY_AND_DISK))
+    return _PR_EDGES_CACHE[key], _PR_NODES_CACHE[key]
+
 
 def _pagerank_oracle() -> str:
     from ..sources.transfers import TRANSFERS_ORACLE_CTE
@@ -200,16 +232,7 @@ FROM r{PR_ITERS}""")
         "graph size N joins back as a 1-row broadcast.",
 )
 def q_transfers_pagerank3(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..sources.transfers import transfers_df
-    live = transfers_df(spark, sf_dir).filter(F.col("_sign") == 1)
-    edges = (live.groupBy(F.col("from_address").alias("s"),
-                          F.col("to_address").alias("t2"))
-             .agg(F.count(F.lit(1)).alias("w")))
-    outw = edges.groupBy("s").agg(F.sum("w").alias("ow"))
-    e = edges.join(outw, "s")
-    nodes = (edges.select(F.col("s").alias("a"))
-             .unionByName(edges.select(F.col("t2").alias("a")))
-             .distinct())
+    e, nodes = _pr_graph(spark, sf_dir)
     ns = nodes.agg(F.count(F.lit(1)).alias("n"))
     base = F.expr(
         f"{(PR_D_DEN - PR_D_NUM) * PR_SCALE}L DIV ({PR_D_DEN} * n)")

@@ -1234,6 +1234,11 @@ FROM rows_ GROUP BY hamming""",
 )
 def q_dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    # the group table is consumed twice (posting lists + intra-group
+    # counts) but needs no checkpoint: both consumers share one shuffle
+    # subtree and Spark reuses the exchange (measured: a localCheckpoint
+    # here is net SLOWER — eager materialization costs more than the
+    # reuse saves).
     groups = simhash60_groups(docs)
     key_structs = []
     for t, (a, b, c) in enumerate(_BLOCK_TRIPLES):

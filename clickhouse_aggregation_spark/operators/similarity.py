@@ -915,13 +915,20 @@ c0 AS (
 )
 def q_similarity_ivf_kmeans_refine(spark: SparkSession,
                                    sf_dir: str) -> DataFrame:
-    n = _quantized(spark, sf_dir).select("vec_id", "qv", "norm2")
+    # localCheckpoint per round (the connected_components pattern):
+    # without it the unioned 3-row result re-executes assignment pass t
+    # once per LATER row that depends on it — 1+2+3 = 6 broadcast-join
+    # passes instead of 3 — and each pass re-derives the parquet scan +
+    # quantization. Checkpointing the corpus once and each round's
+    # assignment makes every Lloyd pass execute exactly once.
+    n = (_quantized(spark, sf_dir).select("vec_id", "qv", "norm2")
+         .localCheckpoint())
     cents = n.filter(F.col("vec_id") < N_CENTROIDS).select(
         F.col("vec_id").alias("centroid_id"),
         F.col("qv").alias("c_qv"), F.col("norm2").alias("c_norm2"))
     rows = []
     for t in range(KMEANS_ITERS + 1):
-        assigned = _assign_cells(n, cents)
+        assigned = _assign_cells(n, cents).localCheckpoint()
         rows.append(assigned.agg(
             F.lit(t).cast("long").alias("iteration"),
             F.sum("dist").cast("long").alias("inertia"),

@@ -354,10 +354,19 @@ def q_events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # semantics: greedy scan, counter resets after each full match). The
 # oracle technique is new here: DuckDB's list_reduce runs the SAME
 # state machine as Spark's aggregate HOF — both engines literally fold
-# (step, cnt) over the identically-sorted per-user event list, so the
-# gate compares two independent implementations of one automaton
+# the automaton state over the identically-sorted per-user event list,
+# so the gate compares two independent implementations of one automaton
 # instead of an automaton against a closed form (no closed form exists
 # for non-overlapping counting without recursion).
+#
+# The oracle packs (step, cnt) into ONE BIGINT (acc = step + 4*cnt,
+# step ∈ {0,1,2}) instead of a struct accumulator: DuckDB 1.0.0's
+# list_reduce DETERMINISTICALLY miscomputes struct-accumulator lambdas
+# when folding a full-width vector of variable-length lists (found by
+# the round-5 full-registry sf0.1 sweep — 3 of 1500 users wrong, e.g.
+# user 342 folded to 7 instead of 9; the same lambda filtered to one
+# row is correct, and a Python reference automaton sides with Spark).
+# Integer accumulators are immune on the same data.
 
 SEQ_COUNT_STEPS = ("view", "click", "purchase")
 
@@ -376,21 +385,19 @@ WITH q AS (
 ),
 arr AS (
   SELECT user_id,
-         list({{'step': pi, 'cnt': -1}} ORDER BY ts, event_id) AS xs
+         list(CAST(pi AS BIGINT) ORDER BY ts, event_id) AS xs
   FROM q GROUP BY user_id
 ),
 folded AS (
+  -- acc = step + 4*cnt (step in 0..2): integer-packed automaton state
   SELECT user_id,
          list_reduce(
-           list_prepend({{'step': 0, 'cnt': 0}}, xs),
+           list_prepend(CAST(0 AS BIGINT), xs),
            (a, e) -> CASE
-             WHEN (CASE WHEN e.step = a.step THEN a.step + 1
-                        ELSE a.step END) = 3
-             THEN {{'step': 0, 'cnt': a.cnt + 1}}
-             ELSE {{'step': CASE WHEN e.step = a.step THEN a.step + 1
-                                 ELSE a.step END,
-                    'cnt': a.cnt}} END
-         ).cnt AS cnt
+             WHEN e = a % 4 AND a % 4 = 2 THEN (a // 4 + 1) * 4
+             WHEN e = a % 4 THEN a + 1
+             ELSE a END
+         ) // 4 AS cnt
   FROM arr
 ),
 u AS (SELECT DISTINCT user_id FROM events)

@@ -181,6 +181,13 @@ EXTRAS: tuple[str, ...] = (
     "uniq_hll_merge_rollup",
     "streaming_ivf_search_epochs",
     "streaming_quantile_sketch_epochs",
+    # Born round 5 AFTER the rotation's 50 slots were set (declared cap
+    # is 50): BPE tokenizer-training pair counts, batch top-k + the live
+    # streaming rollup twin. Oracle-paired; externally hash-checked via
+    # the committed correctness-sweep artifacts; declared-slot
+    # candidates for round 6.
+    "text_bpe_pair_counts",
+    "streaming_bpe_pairs_epochs",
 )
 
 

@@ -30,6 +30,7 @@ from ..sources.tables import load_table
 from ..streaming.contamination import read_flags, run_contamination_stream
 from ..streaming.neardup import read_dup_pairs, run_neardup_stream
 from .registry import REGISTRY, register
+from .text import BPE_PAIRS_SQL
 
 N_EPOCHS = 3
 _STREAM_TIMEOUT_S = 600
@@ -175,6 +176,29 @@ def q_streaming_quality_envelope_epochs(spark: SparkSession,
     store = _maintained_store(spark, sf_dir, "corpus_rollups",
                               run_corpus_rollup_stream)
     roll = next(r for r in CORPUS_ROLLUPS if r.name == "quality_envelope")
+    return roll.read(spark, store)
+
+
+@register(
+    "streaming_bpe_pairs_epochs",
+    oracle=f"""
+WITH {BPE_PAIRS_SQL.strip()}
+SELECT pair, pair_count FROM bpe_pairs""",
+    doc="The live BPE pair-count rollup (tokenizer-training input) "
+        "driven over the documents table in 3 micro-batch epochs; the "
+        "merged read must equal the batch pair-count aggregate over "
+        "the full corpus — pair counts are additive, so the "
+        "SummingMergeTree machinery applies unchanged. Hash-checked "
+        "against the same CTE the batch top-k oracle uses.",
+    tags=("streaming",),
+)
+def q_streaming_bpe_pairs_epochs(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    from ..streaming.corpus_rollups import (CORPUS_ROLLUPS,
+                                            run_corpus_rollup_stream)
+    store = _maintained_store(spark, sf_dir, "corpus_rollups",
+                              run_corpus_rollup_stream)
+    roll = next(r for r in CORPUS_ROLLUPS if r.name == "bpe_pairs")
     return roll.read(spark, store)
 
 

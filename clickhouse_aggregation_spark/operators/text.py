@@ -869,3 +869,78 @@ def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(fold, 6).alias("bm25_score"))
             .orderBy(F.col("bm25_score").desc(), "doc_id")
             .limit(BM25_TOPK))
+
+
+# ---------------------------------------------------------------------------
+# BPE pair counting — the inner loop of tokenizer training (Sennrich et
+# al. 2016, arXiv:1508.07909): count adjacent symbol pairs over the
+# whitespace-pretokenized corpus; the most frequent pair becomes the
+# next merge. This is THE aggregation a 100 TB tokenizer-training run
+# repeats per merge, and its scale shape is the point: the corpus
+# collapses to DISTINCT words with frequencies FIRST (map-side
+# combinable; the pair explosion then runs over the vocabulary, which
+# grows ~Heaps-law sublinearly, never over corpus tokens), and the
+# shuffle carries one row per distinct pair. Overlapping occurrences
+# ("aaa" -> two "aa") count per position, the standard counting rule
+# before merge conflicts are resolved.
+
+BPE_TOPK = 20
+
+# shared CTE: full (pair, pair_count) table — consumed by the batch
+# top-k oracle and verbatim by the streaming rollup façade's oracle
+BPE_PAIRS_SQL = """
+words AS (
+  SELECT word, count(*) AS freq FROM (
+    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE length(word) >= 2 GROUP BY word
+),
+bpe_pairs AS (
+  SELECT pair, CAST(sum(freq) AS BIGINT) AS pair_count FROM (
+    SELECT unnest(list_transform(range(1, length(word)),
+                  i -> substr(word, CAST(i AS INT), 2))) AS pair,
+           freq
+    FROM words)
+  GROUP BY pair
+)"""
+
+
+def bpe_pair_counts(batch: DataFrame) -> DataFrame:
+    """Full (pair, pair_count) table for a document frame — the batch
+    aggregate AND the streaming rollup's per-batch partial (pair counts
+    are additive, so replayed epochs merge to exactly this)."""
+    words = (batch.select(F.explode(F.split("text", " ")).alias("word"))
+             .filter(F.length("word") >= 2)
+             .groupBy("word").agg(F.count(F.lit(1)).alias("freq")))
+    pairs = words.select(
+        F.explode(F.expr(
+            "transform(sequence(1, length(word) - 1), "
+            "i -> substring(word, i, 2))")).alias("pair"),
+        "freq")
+    return (pairs.groupBy("pair")
+            .agg(F.sum("freq").cast("long").alias("pair_count")))
+
+
+@register(
+    "text_bpe_pair_counts",
+    oracle=f"""
+WITH {BPE_PAIRS_SQL.strip()}
+SELECT CAST(row_number() OVER (ORDER BY pair_count DESC, pair) AS BIGINT)
+         AS rank,
+       pair, pair_count
+FROM bpe_pairs
+ORDER BY pair_count DESC, pair
+LIMIT {BPE_TOPK}""",
+    doc="BPE tokenizer-training pair counts (Sennrich 2016): adjacent "
+        "character pairs over whitespace-pretokenized words, weighted "
+        "by word frequency — the top pair is the next BPE merge. "
+        "Corpus collapses to distinct words first (vocabulary-sized "
+        "pair explosion, never corpus-sized), TakeOrdered top-k, "
+        "bounded rank window over k rows.",
+)
+def q_text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    counts = bpe_pair_counts(docs)
+    top = counts.orderBy(F.col("pair_count").desc(), "pair").limit(BPE_TOPK)
+    w = Window.orderBy(F.col("pair_count").desc(), "pair")
+    return (top.withColumn("rank", F.row_number().over(w).cast("long"))
+            .select("rank", "pair", "pair_count"))

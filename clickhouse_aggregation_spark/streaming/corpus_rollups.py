@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..operators.text import BPE_ISH_PATTERN
+from ..operators.text import BPE_ISH_PATTERN, bpe_pair_counts
 from ..schemas import DOCUMENTS
 from .maintainer import IncrementalRollup, run_rollup_stream
 
@@ -71,6 +71,12 @@ CORPUS_ROLLUPS: tuple[IncrementalRollup, ...] = (
                       ("ws_tokens", "bpe_ish_tokens", "total_chars",
                        "n_docs"), _source_tokens_partial),
     IncrementalRollup("vocab", ("token",), ("freq",), _vocab_partial),
+    # live BPE pair counts (operators/text.bpe_pair_counts — the SAME
+    # aggregate as the batch operator, so replay ≡ recompute is exact):
+    # the tokenizer-training input stays current as shards land, without
+    # ever re-scanning the corpus for the next merge round
+    IncrementalRollup("bpe_pairs", ("pair",), ("pair_count",),
+                      bpe_pair_counts),
     IncrementalRollup(
         "quality_envelope", ("source",),
         ("min_quality", "max_quality", "n_docs"), _quality_partial,

@@ -560,6 +560,19 @@ def test_bm25_query_join_broadcast_topk_take_ordered(spark, sf_dir):
     assert "BatchEvalPython" not in plan
 
 
+def test_bpe_pair_counts_vocab_sized_takeordered(spark, sf_dir):
+    """BPE pair counting must collapse the corpus to distinct words
+    BEFORE the pair explosion (two combinable aggs), finish with
+    TakeOrdered top-k (no global sort), and stay JVM-side."""
+    plan = _plan(spark, sf_dir, "text_bpe_pair_counts")
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan
+    # word-collapse agg + pair-count agg = exactly two hash exchanges
+    assert plan.count("Exchange hashpartitioning") == 2
+
+
 def test_embedding_matrix_stats_no_join_single_exchange(spark, sf_dir):
     """The matrix aggregates must be row-local expansions + one
     combinable aggregation: NO join anywhere, and exactly one shuffle

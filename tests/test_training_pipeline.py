@@ -171,3 +171,16 @@ def test_temperature_mix_rates(spark, sf_oracle_dir):
                 assert a.threshold >= b.threshold
         assert a.sampled_docs <= a.docs
         assert a.sampled_toks <= a.toks
+
+
+def test_bpe_pair_counts_known_corpus(spark):
+    """Planted corpus with hand-computable pair counts: overlapping
+    occurrences count per position ('aaa' -> two 'aa'), single-char
+    words contribute nothing, and word frequency multiplies."""
+    from clickhouse_aggregation_spark.operators.text import bpe_pair_counts
+    docs = spark.createDataFrame(
+        [(1, "aaa ab"), (2, "ab x")], ["doc_id", "text"])
+    got = {r["pair"]: r["pair_count"]
+           for r in bpe_pair_counts(docs).collect()}
+    # 'aaa' once: aa@1, aa@2; 'ab' twice (freq 2): ab; 'x' too short
+    assert got == {"aa": 2, "ab": 2}

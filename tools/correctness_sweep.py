@@ -26,7 +26,7 @@ from tests.oracle import canon, duckdb_con  # noqa: E402
 
 from clickhouse_aggregation_spark.operators import REGISTRY  # noqa: E402
 from clickhouse_aggregation_spark.operators.registry import (  # noqa: E402
-    declared_order)
+    declared_order, extras_order)
 from clickhouse_aggregation_spark.session import get_spark  # noqa: E402
 
 
@@ -41,7 +41,13 @@ def main() -> int:
     results: dict[str, dict] = {}
     n_bad = 0
     t0 = time.time()
-    for name in declared_order():
+    # SPARK_GRAFT_SWEEP_ALL=1 sweeps the ENTIRE registry (declared +
+    # extras) — the "every oracle-paired query hash-checked at this
+    # scale" artifact; default remains the declared driver set.
+    names = declared_order()
+    if os.environ.get("SPARK_GRAFT_SWEEP_ALL", ""):
+        names = names + extras_order()
+    for name in names:
         spec = REGISTRY[name]
         rec = {"rows_match": False, "schema_match": False,
                "hash_match": False, "spark_rows": None,

@@ -178,6 +178,9 @@ HEADLINE = [
     "streaming_embedding_neardup_epochs",
     "pipeline_pack_sequences",
     "pipeline_end_to_end",
+    # round 5, post-rotation: BPE tokenizer-training pair counts
+    "text_bpe_pair_counts",
+    "streaming_bpe_pairs_epochs",
 ]
 
 # documented-quadratic / superseded exactness baselines (scale paths

@@ -96,3 +96,76 @@ def test_ann_index_live_tail_equals_batch(spark, sf_dir, tmp_path):
             for r in corpus_cells.select("vec_id", "centroid_id").collect()}
     assert got == want
     assert len(got) > 0
+
+
+@pytest.mark.slow
+def test_contamination_live_tail_equals_batch(spark, sf_dir, tmp_path):
+    """Docs (train + eval holdout) arrive in 4 waves while the monitor
+    is running; flags must match the batch operator, each pair once."""
+    from clickhouse_aggregation_spark.operators.contamination import (
+        q_contamination_ngram_overlap)
+    from clickhouse_aggregation_spark.streaming.contamination import (
+        read_flags, run_contamination_stream)
+
+    ddir = str(tmp_path / "docs")
+    store = str(tmp_path / "store")
+    docs = load_table(spark, sf_dir, "documents")
+    waves = [docs.filter(F.col("doc_id") % 4 == i) for i in range(4)]
+
+    _write_shard(waves[0], ddir)
+    q = run_contamination_stream(spark, ddir, store, available_now=False)
+    try:
+        q.processAllAvailable()
+        for w in waves[1:]:
+            _write_shard(w, ddir)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {(r.train_doc, r.eval_doc, r.common_shingles)
+           for r in read_flags(spark, store).collect()}
+    want = {(r.train_doc, r.eval_doc, r.common_shingles)
+            for r in q_contamination_ngram_overlap(spark, sf_dir)
+            .collect()}
+    assert got == want
+    assert len(got) > 0
+    # exactly-once: no flagged pair in more than one epoch
+    import os as _os
+    from clickhouse_aggregation_spark.streaming.contamination import (
+        FLAGS_DIR)
+    flags = spark.read.parquet(_os.path.join(store, FLAGS_DIR))
+    assert flags.groupBy("train_doc", "eval_doc").count() \
+                .filter(F.col("count") > 1).count() == 0
+
+
+@pytest.mark.slow
+def test_corpus_rollups_live_tail_equals_recompute(spark, sf_dir,
+                                                   tmp_path):
+    """The IncrementalRollup store machinery (shared by the MV, corpus,
+    and embedding-matrix maintainers) under live tailing: shards land
+    mid-stream, and every rollup's merged read must equal the batch
+    recompute over everything that arrived — additive AND
+    mergeable-not-additive (min/max) merge paths both exercised."""
+    from clickhouse_aggregation_spark.streaming.corpus_rollups import (
+        CORPUS_ROLLUPS, run_corpus_rollup_stream)
+
+    ddir = str(tmp_path / "docs")
+    store = str(tmp_path / "store")
+    docs = load_table(spark, sf_dir, "documents")
+    waves = [docs.filter(F.col("doc_id") % 4 == i) for i in range(4)]
+
+    _write_shard(waves[0], ddir)
+    q = run_corpus_rollup_stream(spark, ddir, store, available_now=False)
+    try:
+        q.processAllAvailable()
+        for w in waves[1:]:
+            _write_shard(w, ddir)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    for rollup in CORPUS_ROLLUPS:
+        got = {tuple(r) for r in rollup.read(spark, store).collect()}
+        want = {tuple(r) for r in rollup.recompute(docs).collect()}
+        assert got == want, rollup.name
+        assert len(got) > 0, rollup.name

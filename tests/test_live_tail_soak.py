@@ -169,3 +169,40 @@ def test_corpus_rollups_live_tail_equals_recompute(spark, sf_dir,
         want = {tuple(r) for r in rollup.recompute(docs).collect()}
         assert got == want, rollup.name
         assert len(got) > 0, rollup.name
+
+
+@pytest.mark.slow
+def test_quantile_sketch_live_tail_equals_batch(spark, sf_dir, tmp_path):
+    """The stateful sketch (applyInPandasWithState) under live tailing:
+    event shards land in 3 waves while the query runs; the final
+    per-key estimate must equal the batch twin over everything that
+    arrived (counter merge is exact addition, so equality is exact)."""
+    from clickhouse_aggregation_spark.streaming.quantile_sketch import (
+        PCTS, histogram_quantiles_batch, quantile_sketch_stream)
+
+    edir = str(tmp_path / "events")
+    out = str(tmp_path / "out")
+    events = load_table(spark, sf_dir, "events")
+    waves = [events.filter(F.col("event_id") % 3 == i) for i in range(3)]
+
+    _write_shard(waves[0], edir)
+    q = (quantile_sketch_stream(spark, edir).writeStream
+         .format("parquet").option("path", out)
+         .option("checkpointLocation", str(tmp_path / "_ckpt"))
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        for w in waves[1:]:
+            _write_shard(w, edir)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    est = spark.read.parquet(out)
+    latest = est.groupBy("event_type").agg(F.max("n").alias("n"))
+    final = {r.event_type: (r.n, *[getattr(r, f"q_{p}") for p in PCTS])
+             for r in est.join(latest, ["event_type", "n"]).collect()}
+    batch = {r.event_type: (r.n, *[getattr(r, f"q_{p}") for p in PCTS])
+             for r in histogram_quantiles_batch(events).collect()}
+    assert final == batch
+    assert len(final) > 0

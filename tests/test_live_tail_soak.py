@@ -206,3 +206,40 @@ def test_quantile_sketch_live_tail_equals_batch(spark, sf_dir, tmp_path):
              for r in histogram_quantiles_batch(events).collect()}
     assert final == batch
     assert len(final) > 0
+
+
+@pytest.mark.slow
+def test_embedding_neardup_live_tail_equals_batch(spark, sf_dir,
+                                                  tmp_path):
+    """Vectors arrive in 3 waves mid-stream; the dup-pair store must
+    equal the batch sign-LSH operator over the full table, each
+    unordered pair exactly once."""
+    from clickhouse_aggregation_spark.operators.dedup import (
+        q_dedup_embedding_lsh)
+    from clickhouse_aggregation_spark.streaming.embedding_neardup import (
+        read_dup_pairs, run_embedding_neardup_stream)
+
+    vdir = str(tmp_path / "vecs")
+    store = str(tmp_path / "store")
+    emb = load_table(spark, sf_dir, "embeddings")
+    waves = [emb.filter(F.col("vec_id") % 3 == i) for i in range(3)]
+
+    _write_shard(waves[0], vdir)
+    q = run_embedding_neardup_stream(spark, vdir, store,
+                                     available_now=False)
+    try:
+        q.processAllAvailable()
+        for w in waves[1:]:
+            _write_shard(w, vdir)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {(r.vec_a, r.vec_b, round(r.cosine, 9))
+           for r in read_dup_pairs(spark, store).collect()}
+    want = {(r.vec_a, r.vec_b, round(r.cosine, 9))
+            for r in q_dedup_embedding_lsh(spark, sf_dir).collect()}
+    assert got == want
+    pairs = spark.read.parquet(os.path.join(store, "dup_pairs"))
+    assert pairs.groupBy("vec_a", "vec_b").count() \
+                .filter(F.col("count") > 1).count() == 0

@@ -252,14 +252,18 @@ SELECT CAST(count(*) AS BIGINT) AS n_buckets,
 FROM hourly"""),
     doc="Hard driver-checkable gate on the A3 sketch form: per hour "
         "bucket, |approx_count_distinct - exact| must be within "
-        "greatest(3*rsd*exact, 3) — relative bound for real "
+        "greatest(4*rsd*exact, 3) — relative bound for real "
         "cardinalities, small absolute slack for tiny buckets where "
         "HLL error is quantized to whole counts. The oracle predicts "
         "every bucket within tolerance, so any sketch regression "
         "hash-mismatches. ClickHouse uniq() contract "
-        "(analytics.sql:24-38). Empirical margin: max observed error "
-        "is 0.13x exact at sf0.1 / +-3 absolute at small SFs vs the "
-        "0.15x / +-3 bound.",
+        "(analytics.sql:24-38). The bound is 4 sigma, not 3: the gate "
+        "takes the MAX over 721 buckets x 2 columns = 1442 estimates, "
+        "and P(any >3 sigma) ~ 1 at that trial count (the round-5 "
+        "sf1.0 sweep measured max 0.172 = 3.4 sigma, concentrated in "
+        "HLL++'s sparse-to-dense transition around n~1000); "
+        "P(any >4 sigma) ~ 0.09 over 1442. Measured max error: 0.130 "
+        "(sf0.1), 0.158 (sf0.5), 0.172 (sf1.0) vs the 0.20 bound.",
     tags=("approx",),
 )
 def q_approx_uniq_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -274,7 +278,7 @@ def q_approx_uniq_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def within(approx: Column, exact: Column) -> Column:
-        slack = F.greatest(F.lit(3 * rsd) * exact, F.lit(3))
+        slack = F.greatest(F.lit(4 * rsd) * exact, F.lit(3))
         return (F.abs(approx - exact) <= slack).cast("long")
 
     return hourly.agg(

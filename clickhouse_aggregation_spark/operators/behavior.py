@@ -352,21 +352,29 @@ def q_events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sequenceCount parity: the number of NON-OVERLAPPING completed
 # view -> click -> purchase matches per user (ClickHouse sequenceCount
 # semantics: greedy scan, counter resets after each full match). The
-# oracle technique is new here: DuckDB's list_reduce runs the SAME
-# state machine as Spark's aggregate HOF — both engines literally fold
-# the automaton state over the identically-sorted per-user event list,
-# so the gate compares two independent implementations of one automaton
-# instead of an automaton against a closed form (no closed form exists
-# for non-overlapping counting without recursion).
+# oracle technique: the greedy automaton is EXACTLY non-overlapping
+# leftmost-lazy regex matching — count = len(regexp_extract_all(seq,
+# '0.*?1.*?2')) over the concatenated per-user step string. The regex
+# engine's contract mirrors the automaton move for move: the leftmost
+# match starts at the first step-0 symbol, lazy '.*?' takes the
+# earliest step-1 then step-2 after it, and scanning resumes AFTER the
+# match end — the automaton's reset. Verified identical to a Python
+# fold for every user at sf0.01/sf0.1/sf1.0 (0 mismatches / 16 650
+# users). This also makes the gate compare two genuinely independent
+# implementations: Spark folds (step, cnt) with a JVM aggregate HOF,
+# DuckDB pattern-matches with RE2.
 #
-# The oracle packs (step, cnt) into ONE BIGINT (acc = step + 4*cnt,
-# step ∈ {0,1,2}) instead of a struct accumulator: DuckDB 1.0.0's
-# list_reduce DETERMINISTICALLY miscomputes struct-accumulator lambdas
-# when folding a full-width vector of variable-length lists (found by
-# the round-5 full-registry sf0.1 sweep — 3 of 1500 users wrong, e.g.
-# user 342 folded to 7 instead of 9; the same lambda filtered to one
-# row is correct, and a Python reference automaton sides with Spark).
-# Integer accumulators are immune on the same data.
+# Why not fold in DuckDB too: DuckDB 1.0.0's list_reduce
+# DETERMINISTICALLY miscomputes lambdas at full vector width over
+# variable-length lists — found by the round-5 full-registry sweeps.
+# A struct accumulator folded 3 of 1 500 users wrong at sf0.1 (user
+# 342: 7 instead of 9); an integer-packed accumulator still folded 7
+# of 15 000 users wrong at sf1.0, errors in both directions. The same
+# lambdas evaluated on a filtered single row are correct, the ordered
+# input lists are verifiably correct, and the Python reference sides
+# with Spark on every user — the bug is batch-level state mixing in
+# list_reduce, independent of accumulator shape, so the oracle avoids
+# list_reduce entirely.
 
 SEQ_COUNT_STEPS = ("view", "click", "purchase")
 
@@ -385,19 +393,13 @@ WITH q AS (
 ),
 arr AS (
   SELECT user_id,
-         list(CAST(pi AS BIGINT) ORDER BY ts, event_id) AS xs
+         string_agg(CAST(pi AS VARCHAR), '' ORDER BY ts, event_id) AS s
   FROM q GROUP BY user_id
 ),
 folded AS (
-  -- acc = step + 4*cnt (step in 0..2): integer-packed automaton state
+  -- greedy automaton == non-overlapping leftmost-lazy regex matches
   SELECT user_id,
-         list_reduce(
-           list_prepend(CAST(0 AS BIGINT), xs),
-           (a, e) -> CASE
-             WHEN e = a % 4 AND a % 4 = 2 THEN (a // 4 + 1) * 4
-             WHEN e = a % 4 THEN a + 1
-             ELSE a END
-         ) // 4 AS cnt
+         len(regexp_extract_all(s, '0.*?1.*?2')) AS cnt
   FROM arr
 ),
 u AS (SELECT DISTINCT user_id FROM events)
@@ -411,8 +413,11 @@ FROM u LEFT JOIN folded f ON f.user_id = u.user_id""",
         "view->click->purchase matches per user via a (step, count) "
         "automaton folded over the sorted per-user timeline — one "
         "shuffle on user_id, JVM-side HOF, no join chain. The oracle "
-        "runs the SAME automaton through DuckDB's list_reduce lambda, "
-        "so the gate cross-checks two independent fold engines.",
+        "counts the SAME matches as non-overlapping leftmost-lazy "
+        "regex extraction (provably equivalent to the greedy "
+        "automaton; see module comment — DuckDB's list_reduce "
+        "miscomputes at vector width, so the fold-vs-regex pairing is "
+        "both the workaround and a stronger independence argument).",
 )
 def q_events_sequence_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")

@@ -63,6 +63,13 @@ def clear_plan_caches(sf_dir: str | None = None) -> dict[str, int]:
                 pass
         evicted[name] = len(hit)
 
+    # scalar memos that ride along with the frame caches (no unpersist)
+    for name, memo in (("sem_k", similarity._SEM_K_CACHE),):
+        hit = [k for k in memo if _match(k)]
+        for k in hit:
+            memo.pop(k)
+        evicted[name] = len(hit)
+
     hit = [k for k in streaming_bridge._STORE_CACHE if _match(k)]
     for k in hit:
         store = streaming_bridge._STORE_CACHE.pop(k)

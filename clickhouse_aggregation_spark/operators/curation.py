@@ -228,12 +228,15 @@ FROM stages"""
 # The frame is one narrow row per document (ids + 4 small numerics),
 # exactly the per-doc curation ledger a production pipeline writes
 # between the corpus-level passes and the row-local tail.
-_ANN_CACHE: dict[tuple[str, str], DataFrame] = {}
+_ANN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
 def _annotated(spark: SparkSession, sf_dir: str,
-               build) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir)
+               build, kind: str = "funnel") -> DataFrame:
+    # `kind` discriminates the cache entry (ADVICE r5): a future caller
+    # reusing this helper with a DIFFERENT build function must pass its
+    # own kind, or it would silently read the funnel's frame.
+    key = (kind, spark.sparkContext.applicationId, sf_dir)
     if key not in _ANN_CACHE:
         _ANN_CACHE[key] = build().persist(StorageLevel.MEMORY_AND_DISK)
     return _ANN_CACHE[key]

@@ -409,19 +409,26 @@ def sem_centroids_sql() -> str:
 # one persisted K-grown cell assignment per (session, sf_dir) — only
 # populated when K > N_CENTROIDS (below that, SemDeDup reads the
 # shared _IVF_CORPUS_CACHE); evicted by caches.clear_plan_caches.
+# _SEM_K_CACHE memoizes the corpus-size-derived K alongside it, so a
+# warm call never re-runs the count() job just to rediscover K
+# (ADVICE r5: only the assignment was memoized, not K).
 _SEM_CORPUS_CACHE: dict[tuple[str, str], DataFrame] = {}
+_SEM_K_CACHE: dict[tuple[str, str], int] = {}
 
 
 def sem_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Every vector with its nearest-of-K_sem cell, K_sem derived from
-    the corpus size. The count() is one parquet-metadata job; the
-    assignment is the same broadcast + min_by pass as the IVF build."""
-    n_vectors = load_table(spark, sf_dir, "embeddings").count()
-    k = sem_n_centroids(n_vectors)
+    the corpus size. The count() is one parquet-metadata job, run once
+    per (session, sf_dir); the assignment is the same broadcast +
+    min_by pass as the IVF build."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    k = _SEM_K_CACHE.get(key)
+    if k is None:
+        n_vectors = load_table(spark, sf_dir, "embeddings").count()
+        k = _SEM_K_CACHE[key] = sem_n_centroids(n_vectors)
     if k == N_CENTROIDS:
         corpus, _ = _ivf_parts(spark, sf_dir)
         return corpus
-    key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _SEM_CORPUS_CACHE:
         _SEM_CORPUS_CACHE[key] = build_ivf_corpus(spark, sf_dir, k) \
             .persist(StorageLevel.MEMORY_AND_DISK)
@@ -920,15 +927,31 @@ def q_similarity_ivf_kmeans_refine(spark: SparkSession,
     # once per LATER row that depends on it — 1+2+3 = 6 broadcast-join
     # passes instead of 3 — and each pass re-derives the parquet scan +
     # quantization. Checkpointing the corpus once and each round's
-    # assignment makes every Lloyd pass execute exactly once.
+    # assignment makes every Lloyd pass execute once per materialized
+    # run. eager=False (ADVICE r5): the checkpoint materializes on the
+    # FIRST ACTION, not at plan-build time, so merely constructing /
+    # explaining this DataFrame (plan gates, tools/plan_audit) costs
+    # nothing; localCheckpoint persists its blocks, and each round's
+    # centroid recompute is a broadcast build-side sub-job, so the
+    # rounds still execute sequentially and exactly once per run.
+    # Measured caveat (ADVICE r5, documented as offered): under AQE,
+    # Dataset.localCheckpoint's withAction materializes the adaptive
+    # plan's exchanges even with eager=False, so CONSTRUCTING this
+    # DataFrame still executes the Lloyd passes once (jobs at build
+    # time, collect then only fetches); eager=False still skips the
+    # final count job per round. Plan gates / explain on the RETURNED
+    # frame are free — they read the already-materialized LogicalRDD.
+    # (Cluster-mode caveat stands: localCheckpoint blocks are not
+    # fault-tolerant to executor loss; a cluster deployment would swap
+    # in reliable checkpoint() or persist(DISK_ONLY_2).)
     n = (_quantized(spark, sf_dir).select("vec_id", "qv", "norm2")
-         .localCheckpoint())
+         .localCheckpoint(eager=False))
     cents = n.filter(F.col("vec_id") < N_CENTROIDS).select(
         F.col("vec_id").alias("centroid_id"),
         F.col("qv").alias("c_qv"), F.col("norm2").alias("c_norm2"))
     rows = []
     for t in range(KMEANS_ITERS + 1):
-        assigned = _assign_cells(n, cents).localCheckpoint()
+        assigned = _assign_cells(n, cents).localCheckpoint(eager=False)
         rows.append(assigned.agg(
             F.lit(t).cast("long").alias("iteration"),
             F.sum("dist").cast("long").alias("inertia"),

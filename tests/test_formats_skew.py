@@ -41,3 +41,37 @@ def test_approx_distinct_within_rsd_tolerance(spark, sf_oracle_dir):
         F.approx_count_distinct("from_address", rsd).alias("approx"),
         F.countDistinct("from_address").alias("exact")).first()
     assert abs(row["approx"] - row["exact"]) <= max(2, 3 * rsd * row["exact"])
+
+
+def test_approx_distinct_mean_error_tight(spark, sf_oracle_dir):
+    """Secondary non-tail sketch gate (ADVICE r5): the driver's
+    approx_uniq_tolerance row bounds the MAX relative error at 4*rsd
+    (correct for max-of-1442 estimates, but it tolerates ~33% more
+    tail error than 3 sigma). A SYSTEMATIC sketch regression shifts the
+    whole error distribution, not just the tail — so pin the MEAN
+    relative error over the per-hour buckets: HLL's expected |err| is
+    ~ rsd*sqrt(2/pi) ~ 0.8*rsd, and the mean over hundreds of buckets
+    concentrates hard; 1.5*rsd is far above any healthy run yet far
+    below a mis-parameterized sketch (e.g. rsd accidentally 0.1)."""
+    from clickhouse_aggregation_spark.operators.rollups import live
+
+    rsd = 0.05
+    lv = live(transfers_df(spark, sf_oracle_dir))
+    # daily buckets, not hourly: at the test fixture's scale the hourly
+    # buckets hold ~13 distinct senders (HLL sparse mode is near-exact
+    # there, so the gate would test nothing); daily buckets carry
+    # ~64-142 distinct senders — real estimation territory
+    daily = (
+        lv.groupBy((F.col("block_number") / 7200).cast("long").alias("d"))
+        .agg(F.countDistinct("from_address").alias("exact"),
+             F.approx_count_distinct("from_address", rsd).alias("approx"))
+        # tiny buckets quantize HLL error to whole counts; the relative
+        # error is only meaningful at real cardinalities
+        .filter(F.col("exact") >= 50)
+    )
+    row = daily.agg(
+        F.avg(F.abs(F.col("approx") - F.col("exact"))
+              / F.col("exact")).alias("mean_rel_err"),
+        F.count(F.lit(1)).alias("n")).first()
+    assert row["n"] > 0
+    assert row["mean_rel_err"] <= 1.5 * rsd, row["mean_rel_err"]

@@ -11,12 +11,15 @@ Usage: python tools/drift_probe.py [sf_dir] [q1,q2,...]
 Prints one JSON line {query: {"first": s, "warm": s}}.
 """
 import json
+import os
 import sys
 import time
+from pathlib import Path
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+SF = (sys.argv[1] if len(sys.argv) > 1
+      else os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
 NAMES = (sys.argv[2].split(",") if len(sys.argv) > 2 else
          ["transfers_pagerank3", "dedup_simhash_hamming",
           "contamination_ngram_overlap", "product_profit_by_nation_year",
@@ -41,9 +44,10 @@ for name in NAMES:
     t0 = time.monotonic()
     fn(spark, SF).collect()
     first = time.monotonic() - t0
-    warm = min(
-        (lambda: (lambda t: (fn(spark, SF).collect(),
-                             time.monotonic() - t)[1])(time.monotonic()))()
-        for _ in range(2))
+    warm = float("inf")
+    for _ in range(2):
+        t0 = time.monotonic()
+        fn(spark, SF).collect()
+        warm = min(warm, time.monotonic() - t0)
     out[name] = {"first": round(first, 3), "warm": round(warm, 3)}
 print(json.dumps(out))

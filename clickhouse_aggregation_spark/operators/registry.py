@@ -189,6 +189,17 @@ EXTRAS: tuple[str, ...] = (
     # orders_with_returns_by_priority and part_supplier_variety:
     "brands_never_discounted",
     "bulk_part_suppliers",
+    # Demoted round 6 for pipeline_pack_invariants (the new external
+    # invariants gate over the greedy packer — VERDICT r5 #2):
+    # length-bucket histogram machinery stays declared via
+    # sql_adhoc_whale_report (A10 multiIf histogram) and the quality
+    # metrics inside pipeline_end_to_end; r5 driver row green.
+    "pipeline_length_buckets",
+    # Demoted round 6 for multimodal_decode_stats (decode is REAL now —
+    # VERDICT r5 #3): same mapInPandas binary->typed-rows machinery,
+    # r5 driver row green; the multimodal family stays declared via
+    # feature_extract + frame_sample + decode_stats.
+    "multimodal_resize",
 )
 
 

@@ -181,6 +181,11 @@ HEADLINE = [
     # round 5, post-rotation: BPE tokenizer-training pair counts
     "text_bpe_pair_counts",
     "streaming_bpe_pairs_epochs",
+    # round 6 additions: packer invariants gate, real media decode,
+    # recall-floor-routed near-dup candidates
+    "pipeline_pack_invariants",
+    "multimodal_decode_stats",
+    "dedup_neardup_floor_route",
 ]
 
 # documented-quadratic / superseded exactness baselines (scale paths

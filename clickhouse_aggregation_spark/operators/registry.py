@@ -200,6 +200,12 @@ EXTRAS: tuple[str, ...] = (
     # r5 driver row green; the multimodal family stays declared via
     # feature_extract + frame_sample + decode_stats.
     "multimodal_resize",
+    # Demoted round 6 for dedup_neardup_floor_route (the recall-floor-
+    # ENFORCED candidate router — VERDICT r5 wrong-#1): J-family
+    # coverage stays declared via late_order_priorities (Q4),
+    # orders_with_returns_by_priority's machinery also lives in
+    # part_supplier_variety; r5 driver row green.
+    "orders_with_returns_by_priority",
 )
 
 

@@ -944,3 +944,141 @@ def q_text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy(F.col("pair_count").desc(), "pair")
     return (top.withColumn("rank", F.row_number().over(w).cast("long"))
             .select("rank", "pair", "pair_count"))
+
+
+# ---------------------------------------------------------------------------
+# BPE merge TRAINING loop (Sennrich et al. 2016, arXiv:1508.07909,
+# algorithm 1): not just one round of pair counts but the actual
+# iteration — count weighted adjacent symbol pairs over the vocabulary,
+# take the argmax as the next merge, APPLY it to every word, repeat.
+# Symbols are multi-character after the first merge, so words carry a
+# FRAMED representation: every symbol s is stored as <US>s<US> (US =
+# chr(31), absent from the corpus), i.e. "hello" starts as
+# "\x1fh\x1f\x1fe\x1f\x1fl\x1f\x1fl\x1f\x1fo\x1f". Under this framing,
+# one leftmost non-overlapping string replace of <US>x<US><US>y<US> ->
+# <US>xy<US> is EXACTLY BPE's greedy left-to-right merge of the pair
+# (x, y): occurrences never share characters (each consumes its own
+# frames), so "a a a" merges to "aa a" and "x y x y" to "xy xy" — the
+# same result as the classic fold, which tests/test_bpe_reference.py
+# pins against an independent pure-Python BPE implementation (the
+# third-reference discipline for every oracle of this shape).
+#
+# Scale shape per round: the corpus collapsed to DISTINCT words once
+# (map-side combinable, Heaps-sublinear vocabulary), each round is one
+# vocabulary-sized pair aggregation + a 1-row broadcast of the argmax
+# into the merge projection — no corpus-sized shuffle anywhere, and
+# the round count is the (fixed) number of merges being trained.
+
+BPE_MERGE_ROUNDS = 3
+_US = "\x1f"
+
+
+def _framed_vocab(docs: DataFrame) -> DataFrame:
+    """(w framed, freq) over distinct words of length >= 2 — the same
+    corpus collapse as bpe_pair_counts."""
+    words = (docs.select(F.explode(F.split("text", " ")).alias("word"))
+             .filter(F.length("word") >= 2)
+             .groupBy("word").agg(F.count(F.lit(1)).alias("freq")))
+    return words.select(
+        F.regexp_replace("word", "(.)", f"{_US}$1{_US}").alias("w"), "freq")
+
+
+def _bpe_round_top(vocab: DataFrame) -> DataFrame:
+    """1-row (x, y, pair_count): the weighted argmax adjacent pair,
+    ties broken by ascending pair key on both engines."""
+    toks = F.split(F.btrim(F.col("w"), F.lit(_US)), _US + _US)
+    # guard the single-symbol case (a word fully merged into one
+    # token): Spark's sequence(1, 0) infers step -1 and yields [1, 0]
+    # instead of an empty array — DuckDB's range(1, 1) is empty
+    pairs = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat(F.element_at(toks, i), F.lit(_US),
+                               F.element_at(toks, i + 1)))
+    ).otherwise(F.array().cast("array<string>"))
+    counted = (vocab.select(F.explode(pairs).alias("pair"), "freq")
+               .groupBy("pair")
+               .agg(F.sum("freq").cast("long").alias("pair_count")))
+    return (counted.orderBy(F.col("pair_count").desc(), "pair").limit(1)
+            .select(F.split_part("pair", F.lit(_US), F.lit(1)).alias("x"),
+                    F.split_part("pair", F.lit(_US), F.lit(2)).alias("y"),
+                    "pair_count"))
+
+
+def _bpe_apply(vocab: DataFrame, top: DataFrame) -> DataFrame:
+    """Merge the round's pair in every word: one broadcast of the 1-row
+    argmax into a leftmost non-overlapping replace."""
+    pat = F.concat(F.lit(_US), F.col("x"), F.lit(_US + _US),
+                   F.col("y"), F.lit(_US))
+    rep = F.concat(F.lit(_US), F.col("x"), F.col("y"), F.lit(_US))
+    return (vocab.crossJoin(F.broadcast(top))
+            .select(F.replace(F.col("w"), pat, rep).alias("w"), "freq"))
+
+
+def _bpe_train_oracle(rounds: int = BPE_MERGE_ROUNDS) -> str:
+    us = "chr(31)"
+    toks = f"string_split(trim(w, {us}), {us} || {us})"
+    pairs = (f"list_transform(range(1, len({toks})), "
+             f"i -> {toks}[i] || {us} || {toks}[i + 1])")
+    parts = [f"""v0 AS (
+  SELECT regexp_replace(word, '(.)', {us} || '\\1' || {us}, 'g') AS w,
+         freq
+  FROM (
+    SELECT word, count(*) AS freq FROM (
+      SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+    WHERE length(word) >= 2 GROUP BY word)
+)"""]
+    for r in range(1, rounds + 1):
+        parts.append(f"""p{r} AS (
+  SELECT pair, CAST(sum(freq) AS BIGINT) AS pair_count
+  FROM (SELECT unnest({pairs}) AS pair, freq FROM v{r - 1})
+  GROUP BY pair
+), t{r} AS (
+  SELECT split_part(pair, {us}, 1) AS x, split_part(pair, {us}, 2) AS y,
+         pair_count
+  FROM p{r} ORDER BY pair_count DESC, pair LIMIT 1
+)""")
+        if r < rounds:
+            parts.append(f"""v{r} AS (
+  SELECT replace(w, (SELECT {us} || x || {us} || {us} || y || {us} FROM t{r}),
+                    (SELECT {us} || x || y || {us} FROM t{r})) AS w, freq
+  FROM v{r - 1}
+)""")
+    selects = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS BIGINT) AS round, x AS merge_left, "
+        f"y AS merge_right, pair_count FROM t{r}"
+        for r in range(1, rounds + 1))
+    return "WITH " + ",\n".join(parts) + "\n" + selects
+
+
+@register(
+    "text_bpe_train_merges",
+    oracle=_bpe_train_oracle(),
+    doc="The BPE tokenizer-training LOOP (Sennrich 2016, alg. 1): "
+        f"{BPE_MERGE_ROUNDS} rounds of weighted argmax adjacent-pair "
+        "selection, each merge APPLIED to the whole vocabulary before "
+        "the next count — multi-character symbols, deterministic "
+        "tie-break, emitted as the learned merge table (round, left, "
+        "right, count). Framed-string replace == greedy BPE merge "
+        "(see module comment; pinned against an independent Python "
+        "BPE in tests/test_bpe_reference.py). Per round: one "
+        "vocabulary-sized combinable aggregation + a 1-row broadcast "
+        "argmax into the merge projection.",
+)
+def q_text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = _framed_vocab(docs)
+    outs = []
+    for r in range(1, BPE_MERGE_ROUNDS + 1):
+        top = _bpe_round_top(vocab)
+        outs.append(top.select(
+            F.lit(r).cast("long").alias("round"),
+            F.col("x").alias("merge_left"),
+            F.col("y").alias("merge_right"), "pair_count"))
+        if r < BPE_MERGE_ROUNDS:
+            vocab = _bpe_apply(vocab, top)
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -186,6 +186,8 @@ HEADLINE = [
     "pipeline_pack_invariants",
     "multimodal_decode_stats",
     "dedup_neardup_floor_route",
+    "text_bpe_train_merges",
+    "streaming_media_stats_epochs",
 ]
 
 # documented-quadratic / superseded exactness baselines (scale paths

@@ -195,16 +195,16 @@ _MAKERS = {"image": make_image_ppm, "audio": make_audio_wav,
            "video": make_video_blob}
 
 
-def synth_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """media(media_id, kind, payload) with REAL format bytes — the
+def synth_media_from_docs(docs: DataFrame) -> DataFrame:
+    """media(media_id, kind, payload) with REAL format bytes for any
+    documents frame (batch table or a streaming micro-batch) — the
     Arrow-batched synthesis stage standing in for reading parquet/tar
     shards of actual media; everything downstream of this frame
     (partitioning, decode, stats) is production-shaped."""
-    ids = (ensure_parallelism(load_table(spark, sf_dir, "documents"))
-           .select(F.col("doc_id").alias("media_id"),
-                   F.element_at(F.array(*[F.lit(k) for k in KINDS]),
-                                (F.col("doc_id") % 3 + 1).cast("int"))
-                   .alias("kind")))
+    ids = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(F.array(*[F.lit(k) for k in KINDS]),
+                     (F.col("doc_id") % 3 + 1).cast("int")).alias("kind"))
 
     def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -217,6 +217,29 @@ def synth_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return ids.mapInPandas(
         _synth, schema="media_id bigint, kind string, payload binary")
+
+
+def synth_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """synth_media_from_docs over the driver documents table."""
+    return synth_media_from_docs(
+        ensure_parallelism(load_table(spark, sf_dir, "documents")))
+
+
+def media_stats_partial(batch: DataFrame) -> DataFrame:
+    """Per-kind decode-stats aggregate for one documents micro-batch —
+    the additive partial the streaming media rollup appends as shards
+    land: synthesize (stand-in for reading the shard's media bytes),
+    REAL-decode, aggregate. px/amp sums are NULL for non-applicable
+    kinds, coalesced to 0 so every measure is a plain additive sum."""
+    decoded = synth_media_from_docs(batch).mapInPandas(
+        _decode_stats, schema=DECODE_SCHEMA)
+    return (decoded.groupBy("kind")
+            .agg(F.count(F.lit(1)).alias("n_items"),
+                 F.sum("n_bytes").alias("total_bytes"),
+                 F.sum(F.coalesce(F.col("px_sum"), F.lit(0)))
+                 .alias("px_sum"),
+                 F.sum(F.coalesce(F.col("amp_sum"), F.lit(0)))
+                 .alias("amp_sum")))
 
 
 DECODE_SCHEMA = T.StructType([

@@ -206,6 +206,17 @@ EXTRAS: tuple[str, ...] = (
     # orders_with_returns_by_priority's machinery also lives in
     # part_supplier_variety; r5 driver row green.
     "orders_with_returns_by_priority",
+    # Demoted round 6 for text_bpe_train_merges (the actual Sennrich
+    # merge-training loop, multi-char symbols + independent Python
+    # reference): per-group TakeOrdered coverage stays declared via
+    # readme_daily_volume_7d and text_vocab_topk; r5 driver row green.
+    "pipeline_bottomk_per_source",
+    # Demoted round 6 for streaming_media_stats_epochs (the live
+    # multimodal decode ledger): the additive embedding-rollup
+    # machinery it shares stays declared via
+    # streaming_embedding_gram_epochs (same partial/merge path, richer
+    # state); r5 driver row green.
+    "streaming_embedding_dims_epochs",
 )
 
 

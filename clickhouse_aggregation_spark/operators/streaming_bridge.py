@@ -202,6 +202,37 @@ def q_streaming_bpe_pairs_epochs(spark: SparkSession,
     return roll.read(spark, store)
 
 
+@register(
+    "streaming_media_stats_epochs",
+    # replay ≡ recompute: the merged rollup equals the per-kind
+    # aggregate over the batch decode-stats oracle (NULL pixel/sample
+    # sums coalesced to 0 so every measure is additive)
+    oracle=f"""
+SELECT kind, CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+       CAST(sum(coalesce(px_sum, 0)) AS BIGINT) AS px_sum,
+       CAST(sum(coalesce(amp_sum, 0)) AS BIGINT) AS amp_sum
+FROM ({{decode_oracle}}) GROUP BY kind""".replace(
+        "{decode_oracle}", REGISTRY["multimodal_decode_stats"].raw_oracle),
+    doc="The live multimodal ingest ledger: as document shards land, "
+        "each micro-batch's media bytes run through the REAL decode "
+        "stage (PPM/WAV/container parsers) and append one additive "
+        "per-kind partial (items, bytes, pixel and amplitude sums) to "
+        "the maintained rollup; the merged read after 3 epochs must "
+        "equal the batch per-kind aggregate — hash-checked against "
+        "the decode-stats oracle rolled up by kind.",
+    tags=("streaming", "pandas-udf"),
+)
+def q_streaming_media_stats_epochs(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    from ..streaming.corpus_rollups import (CORPUS_ROLLUPS,
+                                            run_corpus_rollup_stream)
+    store = _maintained_store(spark, sf_dir, "corpus_rollups",
+                              run_corpus_rollup_stream)
+    roll = next(r for r in CORPUS_ROLLUPS if r.name == "media_stats")
+    return roll.read(spark, store)
+
+
 def _signed_daily_oracle() -> str:
     from ..sources.transfers import TRANSFERS_ORACLE_CTE
     return f"""

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..operators.multimodal import media_stats_partial
 from ..operators.text import BPE_ISH_PATTERN, bpe_pair_counts
 from ..schemas import DOCUMENTS
 from .maintainer import IncrementalRollup, run_rollup_stream
@@ -83,6 +84,15 @@ CORPUS_ROLLUPS: tuple[IncrementalRollup, ...] = (
         merge_exprs=("min(min_quality) AS min_quality",
                      "max(max_quality) AS max_quality",
                      "sum(n_docs) AS n_docs")),
+    # live per-kind media decode accounting: each arriving shard's
+    # media bytes go through the REAL decode stage
+    # (operators/multimodal.decode_media) and contribute one additive
+    # per-kind partial — the running byte/pixel/sample ledger a
+    # multimodal ingest pipeline keeps without ever re-decoding old
+    # shards
+    IncrementalRollup("media_stats", ("kind",),
+                      ("n_items", "total_bytes", "px_sum", "amp_sum"),
+                      media_stats_partial),
 )
 
 

@@ -46,6 +46,8 @@ def clear_plan_caches(sf_dir: str | None = None) -> dict[str, int]:
         ("dedup_sets", dedup._SETS_CACHE),
         ("minhash_pairs", dedup._PAIRS_CACHE),
         ("banded_pairs", dedup._BANDED_CACHE),
+        ("cosine_base", dedup._COSINE_BASE_CACHE),
+        ("banded_capped", dedup._BANDED_CAPPED_CACHE),
         ("ivf_corpus", similarity._IVF_CORPUS_CACHE),
         ("sem_corpus", similarity._SEM_CORPUS_CACHE),
         ("eval_topk", similarity._EVAL_TOPK_CACHE),

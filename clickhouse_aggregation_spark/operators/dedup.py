@@ -494,6 +494,25 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# one persisted capped exact-baseline pair table per (session,
+# sf_dir): the O(CAP²) allpairs verify is the dominant cost of EVERY
+# recall measurement (the declared three-arm monitor, the floor
+# router's banded-only read), and its output is a few-dozen-row pair
+# list — materialize once, join many times (the evaluation-table
+# pattern _EVAL_TOPK_CACHE uses). Evicted by caches.clear_plan_caches.
+_COSINE_BASE_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def capped_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (_session_key(spark), sf_dir)
+    if key not in _COSINE_BASE_CACHE:
+        _COSINE_BASE_CACHE[key] = (
+            q_dedup_embedding_cosine(spark, sf_dir)
+            .select("vec_a", "vec_b")
+            .persist(StorageLevel.MEMORY_AND_DISK))
+    return _COSINE_BASE_CACHE[key]
+
+
 # the LSH scale path for embedding near-dup: candidates must share the
 # 8-bit sign-LSH bucket (the same seeded hyperplanes as
 # similarity_lsh_bucketed), so the join is an equi-join on the bucket
@@ -820,19 +839,19 @@ SELECT CAST((SELECT count(*) FROM base) AS BIGINT) AS n_true,
 )
 def q_dedup_embedding_lsh_recall(spark: SparkSession,
                                  sf_dir: str) -> DataFrame:
-    base = q_dedup_embedding_cosine(spark, sf_dir).select("vec_a", "vec_b")
+    base = capped_exact_pairs(spark, sf_dir)
     emb_full = load_table(spark, sf_dir, "embeddings")
     # the monitor measures the PRODUCTION parameterization: planes
     # derived from the FULL corpus size, evaluated on the labeled
     # capped domain — so the recall cost of each corpus-growth-added
     # plane is an externally hash-checked number (the oracle's P
-    # subquery counts the full table identically)
-    n_full = emb_full.count()
+    # subquery counts the full table identically); the banded arm is
+    # the same session-persisted frame the floor router reads
     emb = emb_full.filter(F.col("vec_id") < COSINE_BASELINE_CAP)
     lsh = embedding_lsh_pairs(emb).select("vec_a", "vec_b") \
         .withColumn("_single", F.lit(1))
-    banded = embedding_lsh_banded_pairs(emb, n_corpus=n_full) \
-        .select("vec_a", "vec_b").withColumn("_banded", F.lit(1))
+    banded = capped_banded_pairs(spark, sf_dir) \
+        .withColumn("_banded", F.lit(1))
     return (
         base.join(lsh, ["vec_a", "vec_b"], "left")
         .join(banded, ["vec_a", "vec_b"], "left")
@@ -889,15 +908,51 @@ def ivf_cell_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# capped-domain banded pairs at the PRODUCTION parameterization, one
+# persisted copy per (session, sf_dir): the 12-band key expressions
+# compile into large codegen units, so the dominant cost of building
+# this frame is plan/compile time, not the 800-vector data — paid once;
+# both the router's gate and the declared three-arm monitor read it.
+_BANDED_CAPPED_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def capped_banded_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (_session_key(spark), sf_dir)
+    if key not in _BANDED_CAPPED_CACHE:
+        emb_full = load_table(spark, sf_dir, "embeddings")
+        n_full = emb_full.count()
+        emb = emb_full.filter(F.col("vec_id") < COSINE_BASELINE_CAP)
+        _BANDED_CAPPED_CACHE[key] = (
+            embedding_lsh_banded_pairs(emb, n_corpus=n_full)
+            .select("vec_a", "vec_b")
+            .persist(StorageLevel.MEMORY_AND_DISK))
+    return _BANDED_CAPPED_CACHE[key]
+
+
+def measured_banded_recall(spark: SparkSession, sf_dir: str) -> float:
+    """Banded-arm-only recall at the production parameterization — the
+    router's gate. Same numbers as the declared three-arm monitor's
+    banded column (asserted in tests), but skips the single-bucket arm
+    and reads the session-persisted exact baseline and capped banded
+    pairs, so a warm router call is two joins over persisted
+    few-dozen-row tables."""
+    base = capped_exact_pairs(spark, sf_dir)
+    banded = capped_banded_pairs(spark, sf_dir).withColumn("_hit", F.lit(1))
+    row = (base.join(banded, ["vec_a", "vec_b"], "left")
+           .agg(F.count(F.lit(1)).alias("n_true"),
+                F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("found"))
+           .first())
+    return row["found"] / row["n_true"]
+
+
 def neardup_candidate_pairs(spark: SparkSession, sf_dir: str,
                             floor: float = NEARDUP_RECALL_FLOOR):
     """The production near-dup candidate entry point: (pairs, route,
     banded_recall). Routes to the cheap banded-LSH generator only while
     its measured recall holds the floor; below it, IVF cells. The
-    recall read is one 1-row collect of the already-declared monitor
+    recall read is one 1-row collect of the banded-arm monitor
     (bounded driver-side scalar, like the ANN centroid load)."""
-    recall = float(q_dedup_embedding_lsh_recall(spark, sf_dir)
-                   .first()["banded_recall"])
+    recall = measured_banded_recall(spark, sf_dir)
     if recall >= floor:
         return (confirmed_banded_pairs(spark, sf_dir)
                 .select("vec_a", "vec_b", "cosine"), "banded", recall)

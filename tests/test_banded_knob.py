@@ -141,3 +141,14 @@ def test_recall_floor_router_falls_back_to_ivf(spark, sf_oracle_dir):
     exp = {(r.vec_a, r.vec_b)
            for r in ivf_cell_pairs(spark, sf_oracle_dir).collect()}
     assert got == exp and len(got) > 0
+
+
+def test_banded_arm_monitor_equals_declared_monitor(spark, sf_oracle_dir):
+    """The router's cheap banded-only recall read must equal the
+    declared three-arm monitor's banded_recall column exactly."""
+    from clickhouse_aggregation_spark.operators.dedup import (
+        measured_banded_recall, q_dedup_embedding_lsh_recall)
+
+    full = q_dedup_embedding_lsh_recall(spark, sf_oracle_dir).first()
+    assert measured_banded_recall(spark, sf_oracle_dir) \
+        == full["banded_recall"]

@@ -188,6 +188,7 @@ HEADLINE = [
     "dedup_neardup_floor_route",
     "text_bpe_train_merges",
     "streaming_media_stats_epochs",
+    "text_bpe_encode_corpus",
 ]
 
 # documented-quadratic / superseded exactness baselines (scale paths

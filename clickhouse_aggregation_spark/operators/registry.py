@@ -217,6 +217,11 @@ EXTRAS: tuple[str, ...] = (
     # streaming_embedding_gram_epochs (same partial/merge path, richer
     # state); r5 driver row green.
     "streaming_embedding_dims_epochs",
+    # Demoted round 6 for text_bpe_encode_corpus (the encode half of
+    # tokenizer training): J-family anchors stay declared via
+    # late_order_priorities (Q4); all 22 classic shapes have r3-r5
+    # driver rows on record.
+    "part_supplier_variety",
 )
 
 

@@ -10,6 +10,7 @@ identical across engines); fingerprints are md5.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import (Column, DataFrame, SparkSession, Window,
                          functions as F)
 
@@ -974,12 +975,14 @@ _US = "\x1f"
 
 
 def _framed_vocab(docs: DataFrame) -> DataFrame:
-    """(w framed, freq) over distinct words of length >= 2 — the same
-    corpus collapse as bpe_pair_counts."""
+    """(word, w framed, freq) over distinct words of length >= 2 — the
+    same corpus collapse as bpe_pair_counts; the raw word rides along
+    as the join key for corpus encoding."""
     words = (docs.select(F.explode(F.split("text", " ")).alias("word"))
              .filter(F.length("word") >= 2)
              .groupBy("word").agg(F.count(F.lit(1)).alias("freq")))
     return words.select(
+        "word",
         F.regexp_replace("word", "(.)", f"{_US}$1{_US}").alias("w"), "freq")
 
 
@@ -1013,16 +1016,23 @@ def _bpe_apply(vocab: DataFrame, top: DataFrame) -> DataFrame:
                    F.col("y"), F.lit(_US))
     rep = F.concat(F.lit(_US), F.col("x"), F.col("y"), F.lit(_US))
     return (vocab.crossJoin(F.broadcast(top))
-            .select(F.replace(F.col("w"), pat, rep).alias("w"), "freq"))
+            .select("word", F.replace(F.col("w"), pat, rep).alias("w"),
+                    "freq"))
 
 
-def _bpe_train_oracle(rounds: int = BPE_MERGE_ROUNDS) -> str:
+def _bpe_cte_chain(rounds: int = BPE_MERGE_ROUNDS,
+                   through_final: bool = False) -> list[str]:
+    """The shared DuckDB CTE chain of the merge-training loop: framed
+    vocabulary v0, then per round r the pair counts p{r}, argmax t{r},
+    and merged vocabulary v{r} (the final v{rounds} only when
+    ``through_final`` — the encode oracle needs it, the train oracle
+    stops at the last argmax)."""
     us = "chr(31)"
     toks = f"string_split(trim(w, {us}), {us} || {us})"
     pairs = (f"list_transform(range(1, len({toks})), "
              f"i -> {toks}[i] || {us} || {toks}[i + 1])")
     parts = [f"""v0 AS (
-  SELECT regexp_replace(word, '(.)', {us} || '\\1' || {us}, 'g') AS w,
+  SELECT word, regexp_replace(word, '(.)', {us} || '\\1' || {us}, 'g') AS w,
          freq
   FROM (
     SELECT word, count(*) AS freq FROM (
@@ -1039,17 +1049,22 @@ def _bpe_train_oracle(rounds: int = BPE_MERGE_ROUNDS) -> str:
          pair_count
   FROM p{r} ORDER BY pair_count DESC, pair LIMIT 1
 )""")
-        if r < rounds:
+        if r < rounds or through_final:
             parts.append(f"""v{r} AS (
-  SELECT replace(w, (SELECT {us} || x || {us} || {us} || y || {us} FROM t{r}),
+  SELECT word,
+         replace(w, (SELECT {us} || x || {us} || {us} || y || {us} FROM t{r}),
                     (SELECT {us} || x || y || {us} FROM t{r})) AS w, freq
   FROM v{r - 1}
 )""")
+    return parts
+
+
+def _bpe_train_oracle(rounds: int = BPE_MERGE_ROUNDS) -> str:
     selects = "\nUNION ALL\n".join(
         f"SELECT CAST({r} AS BIGINT) AS round, x AS merge_left, "
         f"y AS merge_right, pair_count FROM t{r}"
         for r in range(1, rounds + 1))
-    return "WITH " + ",\n".join(parts) + "\n" + selects
+    return "WITH " + ",\n".join(_bpe_cte_chain(rounds)) + "\n" + selects
 
 
 @register(
@@ -1068,7 +1083,13 @@ def _bpe_train_oracle(rounds: int = BPE_MERGE_ROUNDS) -> str:
 )
 def q_text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    vocab = _framed_vocab(docs)
+    # persist the round-0 vocabulary: its BUILD is the only
+    # corpus-sized pass (explode + groupBy word); every round's argmax
+    # broadcast subtree re-executes its lineage otherwise, turning 3
+    # rounds into ~6 corpus collapses. The frame itself is
+    # vocabulary-sized (Heaps-sublinear), so pinning it is the same
+    # trade every session cache in this module makes.
+    vocab = _framed_vocab(docs).persist(StorageLevel.MEMORY_AND_DISK)
     outs = []
     for r in range(1, BPE_MERGE_ROUNDS + 1):
         top = _bpe_round_top(vocab)
@@ -1082,3 +1103,66 @@ def q_text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def _bpe_encode_oracle(rounds: int = BPE_MERGE_ROUNDS) -> str:
+    us = "chr(31)"
+    parts = _bpe_cte_chain(rounds, through_final=True)
+    parts.append(f"""enc AS (
+  SELECT word,
+         CAST(len(string_split(trim(w, {us}), {us} || {us})) AS BIGINT)
+           AS toks
+  FROM v{rounds}
+)""")
+    parts.append("""sw AS (
+  SELECT source, word, count(*) AS n_occ FROM (
+    SELECT source, unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE length(word) >= 2 GROUP BY source, word
+)""")
+    return ("WITH " + ",\n".join(parts) + """
+SELECT sw.source,
+       CAST(sum(sw.n_occ) AS BIGINT) AS n_words,
+       CAST(sum(sw.n_occ * length(sw.word)) AS BIGINT) AS n_chars,
+       CAST(sum(sw.n_occ * enc.toks) AS BIGINT) AS bpe_tokens,
+       CAST(sum(sw.n_occ * length(sw.word)) AS DOUBLE)
+         / sum(sw.n_occ * enc.toks) AS chars_per_token
+FROM sw JOIN enc ON sw.word = enc.word
+GROUP BY sw.source""")
+
+
+@register(
+    "text_bpe_encode_corpus",
+    oracle=_bpe_encode_oracle(),
+    doc="Apply the trained BPE merges to the corpus — the encode half "
+        "of tokenizer training: the same merge loop runs to completion "
+        "on the vocabulary (including the final merge application), "
+        "each distinct word's encoded token count is computed ONCE, "
+        "and the corpus joins against that encoding table — per-source "
+        "word/char/BPE-token totals and the resulting chars-per-token "
+        "compression. Encoding work is vocabulary-sized; the corpus "
+        "contributes one (source, word) aggregation and an equi-join, "
+        "never per-occurrence re-encoding — exactly how a 100 TB "
+        "token-count forecast under a candidate tokenizer is done.",
+)
+def q_text_bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = _framed_vocab(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    for _ in range(BPE_MERGE_ROUNDS):
+        vocab = _bpe_apply(vocab, _bpe_round_top(vocab))
+    toks = F.split(F.btrim(F.col("w"), F.lit(_US)), _US + _US)
+    enc = vocab.select("word", F.size(toks).cast("long").alias("toks"))
+    sw = (docs.select("source",
+                      F.explode(F.split("text", " ")).alias("word"))
+          .filter(F.length("word") >= 2)
+          .groupBy("source", "word")
+          .agg(F.count(F.lit(1)).alias("n_occ")))
+    return (sw.join(enc, "word")
+            .groupBy("source")
+            .agg(F.sum("n_occ").cast("long").alias("n_words"),
+                 F.sum(F.col("n_occ") * F.length("word")).cast("long")
+                 .alias("n_chars"),
+                 F.sum(F.col("n_occ") * F.col("toks")).cast("long")
+                 .alias("bpe_tokens"))
+            .select("source", "n_words", "n_chars", "bpe_tokens",
+                    (F.col("n_chars").cast("double") / F.col("bpe_tokens"))
+                    .alias("chars_per_token")))

@@ -600,3 +600,36 @@ def test_decode_stats_two_arrow_stages_no_shuffle(spark, sf_dir):
     assert "BatchEvalPython" not in plan
     assert "Join" not in plan
     assert "hashpartitioning" not in plan       # no keyed shuffle
+
+
+def test_bpe_train_no_corpus_join_jvm_only(spark, sf_dir):
+    """The merge loop must stay JVM-side (no Python anywhere) with the
+    only joins being the 1-row argmax broadcasts; the vocabulary
+    persist keeps the corpus collapse out of repeated subtrees."""
+    plan = _plan(spark, sf_dir, "text_bpe_train_merges")
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan       # nothing corpus-sized joins
+    assert "InMemoryTableScan" in plan       # persisted round-0 vocab
+
+
+def test_bpe_encode_single_equijoin_on_word(spark, sf_dir):
+    """Corpus encoding must be ONE equi-join of the (source, word)
+    aggregate against the vocabulary-sized encoding table — never
+    per-occurrence re-encoding, never Python."""
+    plan = _plan(spark, sf_dir, "text_bpe_encode_corpus")
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_floor_route_reads_persisted_eval_tables(spark, sf_oracle_dir):
+    """The router's gate must read the session-persisted baseline and
+    capped banded pairs (InMemoryTableScan), not rebuild the allpairs
+    verify per call."""
+    from clickhouse_aggregation_spark.operators import dedup
+
+    # populate the session caches, then check the routed plan reads them
+    dedup.capped_exact_pairs(spark, sf_oracle_dir).count()
+    dedup.capped_banded_pairs(spark, sf_oracle_dir).count()
+    plan = _plan(spark, sf_oracle_dir, "dedup_neardup_floor_route")
+    assert "InMemoryTableScan" in plan

@@ -189,6 +189,7 @@ HEADLINE = [
     "text_bpe_train_merges",
     "streaming_media_stats_epochs",
     "text_bpe_encode_corpus",
+    "text_quality_robust_calibration",
 ]
 
 # documented-quadratic / superseded exactness baselines (scale paths

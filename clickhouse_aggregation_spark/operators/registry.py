@@ -222,6 +222,12 @@ EXTRAS: tuple[str, ...] = (
     # late_order_priorities (Q4); all 22 classic shapes have r3-r5
     # driver rows on record.
     "part_supplier_variety",
+    # Demoted round 6 for text_quality_robust_calibration (per-source
+    # median/MAD Hampel thresholds): fuzzy-decontamination machinery
+    # stays externally checked via contamination_ngram_overlap
+    # (declared) and the cached near-dup pair tables the dedup rows
+    # check; r5 driver row green.
+    "contamination_neardup",
 )
 
 

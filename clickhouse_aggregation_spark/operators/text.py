@@ -1166,3 +1166,85 @@ def q_text_bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("source", "n_words", "n_chars", "bpe_tokens",
                     (F.col("n_chars").cast("double") / F.col("bpe_tokens"))
                     .alias("chars_per_token")))
+
+
+# ---------------------------------------------------------------------------
+# Robust per-source quality calibration: median/MAD z-scores. Mean/std
+# thresholds break on the skewed, outlier-heavy quality distributions
+# real corpora have (one boilerplate-spam domain drags the mean);
+# median + median-absolute-deviation is the standard robust alternative
+# (Hampel filter), and per-SOURCE calibration is how production
+# curation sets per-domain filtering thresholds instead of one global
+# cutoff. Exact medians on both engines (Spark median() == DuckDB
+# median(), interpolated identically on even counts — verified to 0.0
+# divergence at the gated scale), so the whole calibration is
+# hash-checkable. Scale shape: two combinable per-source aggregations
+# plus two broadcast joins of the n_sources-row stats frame — the
+# corpus is scanned twice and never shuffled on a wide key.
+
+MAD_K = 3.0        # Hampel threshold: |q - median| > 3 * MAD
+
+
+def _quality_expr() -> Column:
+    words = F.split("text", " ")
+    n_tokens = F.size(words)
+    avg_tok = (F.length("text") - n_tokens + 1) / n_tokens
+    return (0.5 * F.least(n_tokens, F.lit(200)) / 200.0
+            + 0.3 * F.when(avg_tok.between(3, 10), 1.0).otherwise(0.0)
+            + 0.2 * (F.size(F.array_distinct(words)) / n_tokens))
+
+
+_QUALITY_SQL = """
+  0.5 * (CASE WHEN t < 200 THEN t ELSE 200 END) / 200.0
+  + 0.3 * (CASE WHEN (c - t + 1) / t BETWEEN 3 AND 10 THEN 1.0 ELSE 0.0 END)
+  + 0.2 * (d / t)"""
+
+
+@register(
+    "text_quality_robust_calibration",
+    oracle=f"""
+WITH b AS (
+  SELECT source, length(text) AS c, len(string_split(text, ' ')) AS t,
+         len(list_distinct(string_split(text, ' '))) AS d
+  FROM documents
+), m AS (
+  SELECT source, {_QUALITY_SQL} AS q FROM b
+), med AS (
+  SELECT source, median(q) AS median_q FROM m GROUP BY source
+), dev AS (
+  SELECT m.source, abs(q - median_q) AS dev, median_q
+  FROM m JOIN med ON m.source = med.source
+), mad AS (
+  SELECT source, median(dev) AS mad_q FROM dev GROUP BY source
+)
+SELECT dev.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       min(dev.median_q) AS median_q,
+       min(mad.mad_q) AS mad_q,
+       CAST(sum(CASE WHEN dev.dev > {MAD_K} * mad.mad_q
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM dev JOIN mad ON dev.source = mad.source
+GROUP BY dev.source""",
+    doc="Robust per-source quality calibration (Hampel filter): exact "
+        "median and MAD of the composite quality score per source, "
+        "plus the count of |q - median| > 3*MAD outliers — the "
+        "per-domain threshold-setting pass a curation pipeline runs "
+        "instead of one global cutoff. Two combinable aggregations + "
+        "two broadcast stats joins; medians are engine-exact.",
+)
+def q_text_quality_robust_calibration(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select("source", _quality_expr().alias("q"))
+    med = per_doc.groupBy("source").agg(F.median("q").alias("median_q"))
+    dev = (per_doc.join(F.broadcast(med), "source")
+           .select("source", F.abs(F.col("q") - F.col("median_q"))
+                   .alias("dev"), "median_q"))
+    mad = dev.groupBy("source").agg(F.median("dev").alias("mad_q"))
+    return (dev.join(F.broadcast(mad), "source")
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.min("median_q").alias("median_q"),
+                 F.min("mad_q").alias("mad_q"),
+                 F.sum((F.col("dev") > MAD_K * F.col("mad_q"))
+                       .cast("long")).cast("long").alias("n_outliers")))

@@ -209,9 +209,11 @@ BASELINES = [
 
 
 def _sf_from_dir(path: str) -> float:
+    # take the digits after the LAST "sf" in the dir name, so
+    # "/tmp/testdata_sf0.5" parses as 0.5 (not ValueError -> -1)
     name = os.path.basename(os.path.normpath(path))
     try:
-        return float(name.replace("sf", ""))
+        return float(name.rsplit("sf", 1)[-1])
     except ValueError:
         return -1.0
 

@@ -190,6 +190,7 @@ HEADLINE = [
     "streaming_media_stats_epochs",
     "text_bpe_encode_corpus",
     "text_quality_robust_calibration",
+    "multimodal_decode_audit",
 ]
 
 # documented-quadratic / superseded exactness baselines (scale paths

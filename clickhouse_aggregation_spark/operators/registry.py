@@ -228,6 +228,13 @@ EXTRAS: tuple[str, ...] = (
     # (declared) and the cached near-dup pair tables the dedup rows
     # check; r5 driver row green.
     "contamination_neardup",
+    # Demoted round 6 for multimodal_decode_audit (corrupt-shard
+    # quarantine with a value-checked error-capture path): the 1:N
+    # byte-window expansion machinery stays pytest- and sweep-gated,
+    # and the multimodal family holds three declared rows
+    # (feature_extract, decode_stats, decode_audit) plus the streaming
+    # ledger; r5 driver row green.
+    "multimodal_frame_sample",
 )
 
 

@@ -90,3 +90,23 @@ def test_decode_stats_query_matches_decoder(spark, sf_dir):
         assert s["n_bytes"] == len(b)
         for k, v in d.items():
             assert s[k] == v, (row["media_id"], k)
+
+
+def test_decode_audit_quarantines_and_counts(spark, sf_dir):
+    """Error capture must quarantine exactly the corrupted items and
+    decode everything else; totals tie out to the corpus."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_aggregation_spark.operators.multimodal import (
+        CORRUPT_MOD, q_multimodal_decode_audit,
+    )
+    from clickhouse_aggregation_spark.sources.tables import load_table
+    rows = {r["kind"]: r for r in
+            q_multimodal_decode_audit(spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    assert sum(r["n_ok"] + r["n_quarantined"] for r in rows.values()) \
+        == n_docs
+    n_corrupt = docs.filter(F.col("doc_id") % CORRUPT_MOD == 0).count()
+    assert sum(r["n_quarantined"] for r in rows.values()) == n_corrupt
+    assert all(r["n_ok"] > 0 for r in rows.values())

@@ -34,7 +34,7 @@ def clear_plan_caches(sf_dir: str | None = None) -> dict[str, int]:
     chunking.
     """
     from .operators import (clustering, contamination, curation, dedup,
-                            similarity, streaming_bridge)
+                            similarity, streaming_bridge, text)
 
     evicted: dict[str, int] = {}
 
@@ -55,6 +55,7 @@ def clear_plan_caches(sf_dir: str | None = None) -> dict[str, int]:
         ("curation_annotated", curation._ANN_CACHE),
         ("pagerank_edges", clustering._PR_EDGES_CACHE),
         ("pagerank_nodes", clustering._PR_NODES_CACHE),
+        ("bpe_vocab", text._VOCAB_CACHE),
     ):
         hit = [k for k in cache if _match(k)]
         for k in hit:

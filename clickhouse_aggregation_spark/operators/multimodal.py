@@ -76,7 +76,10 @@ def decode_media(payload: bytes, kind: str) -> dict:
       decoder.
 
     Returns the decoded stats dict consumed by the decode-stats stage;
-    raises ValueError on malformed payloads (tested)."""
+    raises on malformed payloads (tested): ValueError from the PPM /
+    container checks here, and whatever the stdlib decoders raise
+    (wave.Error, EOFError, struct.error) passed through — the audit
+    stage quarantines on any Exception."""
     if kind == "image":
         w, h, px = _parse_ppm(payload)
         return {"width": w, "height": h, "n_frames": 1,
@@ -612,8 +615,9 @@ def q_multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Corrupt-shard quarantine: real media ingest MUST survive bad bytes —
 # a decode stage that crashes the job on one truncated image loses the
 # whole batch. This operator decodes with per-item error capture and
-# emits the per-kind ok/quarantined ledger (plus the first error text
-# per kind for triage). Corruption is synthesized deterministically
+# emits the per-kind ok/quarantined ledger plus a representative error
+# type per kind for triage (min over the captured exception type names
+# — deterministic, unlike first()). Corruption is synthesized deterministically
 # (every CORRUPT_MOD-th media item's payload truncated to 3 bytes —
 # guaranteed to fail all three parsers: no P6 magic fits, no RIFF
 # header, no VID0 magic), so the quarantine counts have a closed-form
@@ -646,20 +650,31 @@ def _decode_audit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 @register(
     "multimodal_decode_audit",
+    # the representative error type per kind is closed-form too: every
+    # corrupted payload is truncated to 3 bytes, so image fails the PPM
+    # header tokenizer and video the VID0 magic check (ValueError) while
+    # audio dies in the stdlib chunk reader (EOFError) — pinned here so
+    # the triage column is value-checked, not just populated
     oracle=f"""
 SELECT CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
             WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
        CAST(sum(CASE WHEN doc_id % {CORRUPT_MOD} <> 0
                 THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
        CAST(sum(CASE WHEN doc_id % {CORRUPT_MOD} = 0
-                THEN 1 ELSE 0 END) AS BIGINT) AS n_quarantined
-FROM documents GROUP BY 1""",
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_quarantined,
+       CASE WHEN sum(CASE WHEN doc_id % {CORRUPT_MOD} = 0
+                     THEN 1 ELSE 0 END) > 0
+            THEN (CASE WHEN CAST(doc_id % 3 AS INTEGER) = 1
+                       THEN 'EOFError' ELSE 'ValueError' END)
+            ELSE NULL END AS first_err
+FROM documents GROUP BY 1, CAST(doc_id % 3 AS INTEGER)""",
     doc="Corrupt-shard quarantine: the decode stage with per-item "
         "error capture — bad payloads (deterministically truncated "
         "every 37th item) are counted and quarantined per kind instead "
         "of failing the batch, the non-negotiable property of a real "
-        "media ingest. The ok/quarantined ledger has a closed-form "
-        "oracle, so the error-capture path is value-checked.",
+        "media ingest. The ok/quarantined ledger AND the surfaced "
+        "per-kind error type have closed-form oracles, so the "
+        "error-capture path is value-checked.",
     tags=("pandas-udf",),
 )
 def q_multimodal_decode_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -668,4 +683,8 @@ def q_multimodal_decode_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         _decode_audit, schema="kind string, ok int, err string")
     return (audited.groupBy("kind")
             .agg(F.sum("ok").cast("long").alias("n_ok"),
-                 F.sum(1 - F.col("ok")).cast("long").alias("n_quarantined")))
+                 F.sum(1 - F.col("ok")).cast("long").alias("n_quarantined"),
+                 # min over type names: deterministic representative
+                 # error for triage (first() would be partition-order-
+                 # dependent); NULL-skipping like every SQL aggregate
+                 F.min("err").alias("first_err")))

@@ -986,6 +986,25 @@ def _framed_vocab(docs: DataFrame) -> DataFrame:
         F.regexp_replace("word", "(.)", f"{_US}$1{_US}").alias("w"), "freq")
 
 
+# one persisted round-0 framed vocabulary per (session, sf_dir): both
+# BPE queries (train and encode) hang every merge round off this frame,
+# and its BUILD is the only corpus-sized pass in the family. Persisting
+# it per INVOCATION (ADVICE r6) pinned a fresh duplicate copy in the
+# block manager on every warm bench call / multi-scale sweep; the memo
+# makes it the same build-once-read-many cache as the shingle index,
+# evicted by caches.clear_plan_caches.
+_VOCAB_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _persisted_framed_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _VOCAB_CACHE:
+        _VOCAB_CACHE[key] = _framed_vocab(
+            load_table(spark, sf_dir, "documents")
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+    return _VOCAB_CACHE[key]
+
+
 def _bpe_round_top(vocab: DataFrame) -> DataFrame:
     """1-row (x, y, pair_count): the weighted argmax adjacent pair,
     ties broken by ascending pair key on both engines."""
@@ -1082,14 +1101,13 @@ def _bpe_train_oracle(rounds: int = BPE_MERGE_ROUNDS) -> str:
         "argmax into the merge projection.",
 )
 def q_text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    # persist the round-0 vocabulary: its BUILD is the only
+    # session-persisted round-0 vocabulary: its BUILD is the only
     # corpus-sized pass (explode + groupBy word); every round's argmax
     # broadcast subtree re-executes its lineage otherwise, turning 3
     # rounds into ~6 corpus collapses. The frame itself is
     # vocabulary-sized (Heaps-sublinear), so pinning it is the same
     # trade every session cache in this module makes.
-    vocab = _framed_vocab(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    vocab = _persisted_framed_vocab(spark, sf_dir)
     outs = []
     for r in range(1, BPE_MERGE_ROUNDS + 1):
         top = _bpe_round_top(vocab)
@@ -1146,7 +1164,7 @@ GROUP BY sw.source""")
 )
 def q_text_bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    vocab = _framed_vocab(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    vocab = _persisted_framed_vocab(spark, sf_dir)
     for _ in range(BPE_MERGE_ROUNDS):
         vocab = _bpe_apply(vocab, _bpe_round_top(vocab))
     toks = F.split(F.btrim(F.col("w"), F.lit(_US)), _US + _US)

@@ -110,3 +110,9 @@ def test_decode_audit_quarantines_and_counts(spark, sf_dir):
     n_corrupt = docs.filter(F.col("doc_id") % CORRUPT_MOD == 0).count()
     assert sum(r["n_quarantined"] for r in rows.values()) == n_corrupt
     assert all(r["n_ok"] > 0 for r in rows.values())
+    # the surfaced triage column: every corrupted payload is a 3-byte
+    # truncation, so the representative error type per kind is fixed
+    for kind, r in rows.items():
+        expected = "EOFError" if kind == "audio" else "ValueError"
+        assert r["first_err"] == (expected if r["n_quarantined"] > 0
+                                  else None)

@@ -191,6 +191,10 @@ HEADLINE = [
     "text_bpe_encode_corpus",
     "text_quality_robust_calibration",
     "multimodal_decode_audit",
+    # round 7 additions: bands-escalation + threshold-derived floor in
+    # the near-dup router, and the IVF fallback's recall ledger
+    "dedup_neardup_floor_route_t48",
+    "dedup_ivf_route_recall",
 ]
 
 # documented-quadratic / superseded exactness baselines (scale paths

@@ -133,7 +133,7 @@ exact_dropped AS (
 ),
 emb_q AS (SELECT vec_id, {quantize.SQL} AS qv FROM embeddings),
 n AS (SELECT vec_id, qv, {int_norm2.SQL} AS norm2 FROM emb_q),
-posts AS (
+posts AS MATERIALIZED (
 {_banded_posts_sql()}
 ),
 emb_dropped AS (

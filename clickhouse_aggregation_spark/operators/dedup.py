@@ -503,7 +503,10 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # recall measurement (the declared three-arm monitor, the floor
 # router's banded-only read), and its output is a few-dozen-row pair
 # list — materialize once, join many times (the evaluation-table
-# pattern _EVAL_TOPK_CACHE uses). Evicted by caches.clear_plan_caches.
+# pattern _EVAL_TOPK_CACHE uses). The COSINE column rides along so the
+# threshold-parameterized router variants derive their truth set as a
+# filter of the one cached frame (valid for any threshold >= the base
+# COSINE_DUP_THRESHOLD). Evicted by caches.clear_plan_caches.
 _COSINE_BASE_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
@@ -512,7 +515,6 @@ def capped_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     if key not in _COSINE_BASE_CACHE:
         _COSINE_BASE_CACHE[key] = (
             q_dedup_embedding_cosine(spark, sf_dir)
-            .select("vec_a", "vec_b")
             .persist(StorageLevel.MEMORY_AND_DISK))
     return _COSINE_BASE_CACHE[key]
 
@@ -709,7 +711,7 @@ WITH q AS (
   SELECT vec_id, {quantize.SQL} AS qv FROM embeddings
 ), n AS (
   SELECT vec_id, qv, {int_norm2.SQL} AS norm2 FROM q
-), posts AS (
+), posts AS MATERIALIZED (
 {_banded_posts_sql()}
 )
 SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -742,14 +744,17 @@ def q_dedup_embedding_lsh_banded(spark: SparkSession,
 # many times, exactly like the dup-pairs table a production pipeline
 # writes. The capped-domain recall query builds its own (different
 # input domain, never cached).
-_BANDED_CACHE: dict[tuple[str, str], DataFrame] = {}
+_BANDED_CACHE: dict[tuple[str, int, str], DataFrame] = {}
 
 
-def confirmed_banded_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (_session_key(spark), sf_dir)
+def confirmed_banded_pairs(spark: SparkSession, sf_dir: str,
+                           bands: int = EMB_BANDS) -> DataFrame:
+    # sf_dir stays LAST in the key (caches.clear_plan_caches matches
+    # on key[-1]); bands discriminates the escalated 18-band index
+    key = (_session_key(spark), bands, sf_dir)
     if key not in _BANDED_CACHE:
         _BANDED_CACHE[key] = embedding_lsh_banded_pairs(
-            load_table(spark, sf_dir, "embeddings")
+            load_table(spark, sf_dir, "embeddings"), bands=bands
         ).persist(StorageLevel.MEMORY_AND_DISK)
     return _BANDED_CACHE[key]
 
@@ -843,7 +848,7 @@ WITH q AS (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
   FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
   WHERE {COSINE_ORACLE_EXPR} >= {COSINE_DUP_THRESHOLD}
-), posts AS (
+), posts AS MATERIALIZED (
 {{banded_posts}}
 ), banded AS (
   SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
@@ -875,7 +880,7 @@ SELECT CAST((SELECT count(*) FROM base) AS BIGINT) AS n_true,
 )
 def q_dedup_embedding_lsh_recall(spark: SparkSession,
                                  sf_dir: str) -> DataFrame:
-    base = capped_exact_pairs(spark, sf_dir)
+    base = capped_exact_pairs(spark, sf_dir).select("vec_a", "vec_b")
     emb_full = load_table(spark, sf_dir, "embeddings")
     # the monitor measures the PRODUCTION parameterization: planes
     # derived from the FULL corpus size, evaluated on the labeled
@@ -886,7 +891,7 @@ def q_dedup_embedding_lsh_recall(spark: SparkSession,
     emb = emb_full.filter(F.col("vec_id") < COSINE_BASELINE_CAP)
     lsh = embedding_lsh_pairs(emb).select("vec_a", "vec_b") \
         .withColumn("_single", F.lit(1))
-    banded = capped_banded_pairs(spark, sf_dir) \
+    banded = capped_banded_pairs(spark, sf_dir).select("vec_a", "vec_b") \
         .withColumn("_banded", F.lit(1))
     return (
         base.join(lsh, ["vec_a", "vec_b"], "left")
@@ -905,31 +910,67 @@ def q_dedup_embedding_lsh_recall(spark: SparkSession,
 
 
 # ---------------------------------------------------------------------------
-# Recall-floor-enforced candidate generation (VERDICT r5 wrong-#1):
+# Recall-floor-enforced candidate generation (VERDICT r5 wrong-#1;
+# escalation + threshold-aware floor added per VERDICT r6 next-#3/#5):
 # banded-LSH recall declines with corpus growth at fixed bands
 # (measured 0.79 -> 0.69 -> 0.50 across sf0.01/0.5/1.0 — the
 # documented rho-exponent trade), so a 100x user running the banded
 # pre-filter unguarded would silently miss near-dup pairs. The router
-# makes the floor ENFORCED rather than a module comment: it measures
-# banded recall on the labeled capped domain at the production
-# parameterization (the same hash-checked monitor the driver sees) and
-# falls back to IVF-cell-localized candidate generation (ledger recall
-# 0.92 at mining thresholds) whenever the monitor drops below the
-# floor. The routing decision and the routed pair count are themselves
+# makes the floor ENFORCED rather than a module comment:
+#
+#  1. measure banded recall on the labeled capped domain at the
+#     production parameterization (the same hash-checked monitor the
+#     driver sees); at/above floor -> serve the banded generator;
+#  2. below floor, ESCALATE BANDS first (recall 1-(1-p^P)^b rises with
+#     b at cost linear in b — the cheap lever the rho-analysis above
+#     prescribes): re-measure at EMB_BANDS_ESC bands and serve the
+#     escalated banded generator if that holds the floor;
+#  3. only when escalation can't reach the floor either, fall back to
+#     IVF-cell-localized candidates (quality pinned by the
+#     dedup_ivf_route_recall ledger below).
+#
+# The floor itself is THRESHOLD-AWARE rather than one global constant:
+# a fixed 0.60 tuned for cosine 0.45 would be the wrong bar for a user
+# mining at 0.7, where the banded scheme's design recall is far higher.
+# neardup_recall_floor derives the bar from the same LSH collision
+# model the plane knob uses — per-plane agreement p = 1 - acos(t)/pi,
+# design recall 1-(1-p^P0)^B at the reference parameterization — and
+# demands NEARDUP_FLOOR_FRACTION of it. Computed ONCE in Python and
+# embedded as the same literal in the Spark plan and the oracle SQL,
+# so no cross-engine libm divergence can enter the hash. (At t = 0.45
+# the derived floor is 0.576 — the retired constant 0.60 was this
+# number hand-rounded.)
+#
+# Routing decision, measured recalls and the routed pair count are all
 # oracle-paired, so the driver hash-checks WHICH generator a given
-# corpus gets — at sf0.01 recall 11/14 = 0.786 routes banded; at the
-# sf1.0 fixture recall 0.50 routes ivf_cells (both branches externally
-# exercised by the multi-scale sweeps).
+# corpus gets: at sf0.01 banded recall 11/14 = 0.786 routes banded; at
+# the sf1.0 fixture recall 0.50 drops below the 0.576 floor and the
+# 18-band escalation (~0.65 measured) takes it; at sf2.0 even
+# escalation can't hold the floor and IVF cells serve (all three
+# branches externally exercised by the multi-scale sweeps).
 
-NEARDUP_RECALL_FLOOR = 0.60
+NEARDUP_FLOOR_FRACTION = 0.75
 
 
-def ivf_cell_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def neardup_recall_floor(threshold: float) -> float:
+    """Threshold-aware recall floor: NEARDUP_FLOOR_FRACTION of the
+    banded scheme's design recall 1-(1-p^P0)^B at the reference
+    parameterization (P0 base planes, B production bands), with
+    p = 1 - acos(threshold)/pi the standard sign-LSH per-plane
+    agreement probability. Rounded so the literal embeds identically
+    in both engines' plans."""
+    p = 1.0 - math.acos(threshold) / math.pi
+    design = 1.0 - (1.0 - p ** EMB_BAND_PLANES) ** EMB_BANDS
+    return round(NEARDUP_FLOOR_FRACTION * design, 6)
+
+
+def ivf_cell_pairs(spark: SparkSession, sf_dir: str,
+                   threshold: float = COSINE_DUP_THRESHOLD) -> DataFrame:
     """Near-dup candidate pairs localized to the corpus-size-derived
     IVF cell assignment (sem_corpus: K = max(16, n//512) keeps cell
     size constant, so within-cell pairwise work stays linear in n) and
     verified at the near-dup threshold — SemDeDup's join shape run at
-    COSINE_DUP_THRESHOLD instead of SEM_EPS."""
+    ``threshold`` instead of SEM_EPS."""
     corpus = sem_corpus(spark, sf_dir)
     a, b = corpus.alias("a"), corpus.alias("b")
     cos = (int_dot(F.col("a.qv"), F.col("b.qv"))
@@ -940,70 +981,111 @@ def ivf_cell_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.vec_id").alias("vec_a"),
                 F.col("b.vec_id").alias("vec_b"),
                 cos.alias("cosine"))
-        .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
+        .filter(F.col("cosine") >= threshold)
     )
 
 
 # capped-domain banded pairs at the PRODUCTION parameterization, one
-# persisted copy per (session, sf_dir): the 12-band key expressions
-# compile into large codegen units, so the dominant cost of building
-# this frame is plan/compile time, not the 800-vector data — paid once;
-# both the router's gate and the declared three-arm monitor read it.
-_BANDED_CAPPED_CACHE: dict[tuple[str, str], DataFrame] = {}
+# persisted copy per (session, bands, sf_dir): the recall gate's
+# sample-sized index build — the 100 TB architecture measures recall
+# on the labeled sample BEFORE deciding whether to build the full
+# index, so this frame must stay a capped-only build, never a filter
+# of the full pair table. Cosine rides along for the threshold-
+# parameterized router variants (same one-cache-many-thresholds trick
+# as the exact baseline).
+_BANDED_CAPPED_CACHE: dict[tuple[str, int, str], DataFrame] = {}
 
 
-def capped_banded_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (_session_key(spark), sf_dir)
+def capped_banded_pairs(spark: SparkSession, sf_dir: str,
+                        bands: int = EMB_BANDS) -> DataFrame:
+    key = (_session_key(spark), bands, sf_dir)
     if key not in _BANDED_CAPPED_CACHE:
         emb_full = load_table(spark, sf_dir, "embeddings")
         n_full = emb_full.count()
         emb = emb_full.filter(F.col("vec_id") < COSINE_BASELINE_CAP)
         _BANDED_CAPPED_CACHE[key] = (
-            embedding_lsh_banded_pairs(emb, n_corpus=n_full)
-            .select("vec_a", "vec_b")
+            embedding_lsh_banded_pairs(emb, n_corpus=n_full, bands=bands)
             .persist(StorageLevel.MEMORY_AND_DISK))
     return _BANDED_CAPPED_CACHE[key]
 
 
-def measured_banded_recall(spark: SparkSession, sf_dir: str) -> float:
-    """Banded-arm-only recall at the production parameterization — the
+def measured_banded_recall(spark: SparkSession, sf_dir: str,
+                           bands: int = EMB_BANDS,
+                           threshold: float = COSINE_DUP_THRESHOLD
+                           ) -> float | None:
+    """Banded-arm recall at the production parameterization — the
     router's gate. Same numbers as the declared three-arm monitor's
-    banded column (asserted in tests), but skips the single-bucket arm
-    and reads the session-persisted exact baseline and capped banded
-    pairs, so a warm router call is two joins over persisted
-    few-dozen-row tables."""
-    base = capped_exact_pairs(spark, sf_dir)
-    banded = capped_banded_pairs(spark, sf_dir).withColumn("_hit", F.lit(1))
+    banded column for bands=EMB_BANDS (asserted in tests); reads the
+    session-persisted exact baseline and capped banded pairs, so a warm
+    router call is two joins over persisted few-dozen-row tables.
+
+    Returns None on an empty truth set (no labeled pairs >= threshold
+    at this scale/fixture) — the SQL monitor's NULL, which the router
+    treats as below-floor (ADVICE r6: the old division raised on
+    n_true = 0 instead of degrading like the oracle)."""
+    base = capped_exact_pairs(spark, sf_dir) \
+        .filter(F.col("cosine") >= threshold).select("vec_a", "vec_b")
+    banded = (capped_banded_pairs(spark, sf_dir, bands)
+              .filter(F.col("cosine") >= threshold)
+              .select("vec_a", "vec_b").withColumn("_hit", F.lit(1)))
     row = (base.join(banded, ["vec_a", "vec_b"], "left")
            .agg(F.count(F.lit(1)).alias("n_true"),
                 F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("found"))
            .first())
+    if not row["n_true"]:
+        return None
     return row["found"] / row["n_true"]
 
 
 def neardup_candidate_pairs(spark: SparkSession, sf_dir: str,
-                            floor: float = NEARDUP_RECALL_FLOOR):
-    """The production near-dup candidate entry point: (pairs, route,
-    banded_recall). Routes to the cheap banded-LSH generator only while
-    its measured recall holds the floor; below it, IVF cells. The
-    recall read is one 1-row collect of the banded-arm monitor
-    (bounded driver-side scalar, like the ANN centroid load)."""
-    recall = measured_banded_recall(spark, sf_dir)
-    if recall >= floor:
-        return (confirmed_banded_pairs(spark, sf_dir)
-                .select("vec_a", "vec_b", "cosine"), "banded", recall)
-    return ivf_cell_pairs(spark, sf_dir), "ivf_cells", recall
+                            threshold: float = COSINE_DUP_THRESHOLD):
+    """The production near-dup candidate entry point:
+    (pairs, route, floor, banded_recall, esc_recall).
+
+    Routes to the cheap banded-LSH generator while its measured recall
+    holds the threshold-derived floor; below it, escalates to
+    EMB_BANDS_ESC bands; only when escalation can't hold the floor
+    either, IVF cells. Recall reads are 1-row collects of the
+    banded-arm monitor (bounded driver-side scalars, like the ANN
+    centroid load); esc_recall is None unless escalation was measured,
+    matching the oracle's NULL."""
+    floor = neardup_recall_floor(threshold)
+    banded_recall = measured_banded_recall(
+        spark, sf_dir, EMB_BANDS, threshold)
+    if banded_recall is not None and banded_recall >= floor:
+        pairs = (confirmed_banded_pairs(spark, sf_dir)
+                 .filter(F.col("cosine") >= threshold)
+                 .select("vec_a", "vec_b", "cosine"))
+        return pairs, "banded", floor, banded_recall, None
+    esc_recall = measured_banded_recall(
+        spark, sf_dir, EMB_BANDS_ESC, threshold)
+    if esc_recall is not None and esc_recall >= floor:
+        pairs = (confirmed_banded_pairs(spark, sf_dir, EMB_BANDS_ESC)
+                 .filter(F.col("cosine") >= threshold)
+                 .select("vec_a", "vec_b", "cosine"))
+        return pairs, "banded_esc", floor, banded_recall, esc_recall
+    return (ivf_cell_pairs(spark, sf_dir, threshold), "ivf_cells",
+            floor, banded_recall, esc_recall)
 
 
-@register(
-    "dedup_neardup_floor_route",
-    oracle=f"""
+def _floor_route_oracle(threshold: float) -> str:
+    """The router's full DuckDB twin at one threshold: measure the
+    12-band arm's capped-domain recall, the 18-band escalation arm's,
+    apply the threshold-derived floor, and count the winning
+    generator's full-corpus confirmed pairs. The 12-band arm is the
+    ``band < EMB_BANDS`` prefix of the one 18-band posting CTE (the
+    escalated table only ADDS bands), and both recall divisions NULLIF
+    an empty truth set — NULL recalls fall through every CASE arm to
+    the IVF route, exactly like the Python router's None."""
+    t = repr(float(threshold))
+    f = repr(neardup_recall_floor(threshold))
+    return f"""
 WITH q AS (
   SELECT vec_id, {quantize.SQL} AS qv FROM embeddings
-), n AS (
+), n AS MATERIALIZED (
   SELECT vec_id, qv, {int_norm2.SQL} AS norm2 FROM q
-), posts AS (
-{{banded_posts}}
+), posts AS MATERIALIZED (
+{_banded_posts_sql(EMB_BANDS_ESC)}
 ), nc AS (
   SELECT * FROM n WHERE vec_id < {COSINE_BASELINE_CAP}
 ), postsc AS (
@@ -1012,23 +1094,36 @@ WITH q AS (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
   FROM nc a, nc b
   WHERE a.vec_id < b.vec_id
-    AND {COSINE_ORACLE_EXPR} >= {COSINE_DUP_THRESHOLD}
-), banded_c AS (
-  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+    AND {COSINE_ORACLE_EXPR} >= {t}
+), esc_c AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b, a.band AS band
   FROM postsc a JOIN postsc b
     ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id
-  WHERE {COSINE_ORACLE_EXPR} >= {COSINE_DUP_THRESHOLD}
+  WHERE {COSINE_ORACLE_EXPR} >= {t}
 ), rec AS (
-  SELECT CAST((SELECT count(*) FROM base JOIN banded_c
-               ON base.vec_a = banded_c.vec_a
-              AND base.vec_b = banded_c.vec_b) AS DOUBLE)
-         / (SELECT count(*) FROM base) AS banded_recall
+  SELECT CAST((SELECT count(DISTINCT (base.vec_a, base.vec_b))
+               FROM base JOIN esc_c
+                 ON base.vec_a = esc_c.vec_a
+                AND base.vec_b = esc_c.vec_b
+               WHERE esc_c.band < {EMB_BANDS}) AS DOUBLE)
+         / NULLIF((SELECT count(*) FROM base), 0) AS banded_recall,
+         CAST((SELECT count(DISTINCT (base.vec_a, base.vec_b))
+               FROM base JOIN esc_c
+                 ON base.vec_a = esc_c.vec_a
+                AND base.vec_b = esc_c.vec_b) AS DOUBLE)
+         / NULLIF((SELECT count(*) FROM base), 0) AS esc_recall
 ), banded_full AS (
   SELECT count(*) AS c FROM (
     SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
     FROM posts a JOIN posts b
       ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id
-    WHERE {COSINE_ORACLE_EXPR} >= {COSINE_DUP_THRESHOLD})
+    WHERE a.band < {EMB_BANDS} AND {COSINE_ORACLE_EXPR} >= {t})
+), esc_full AS (
+  SELECT count(*) AS c FROM (
+    SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+    FROM posts a JOIN posts b
+      ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id
+    WHERE {COSINE_ORACLE_EXPR} >= {t})
 ), cents AS (
   SELECT vec_id AS centroid_id, qv AS c_qv, norm2 AS c_norm2
   FROM n WHERE vec_id < {sem_centroids_sql()}
@@ -1045,37 +1140,145 @@ WITH q AS (
   SELECT count(*) AS c
   FROM corpus a JOIN corpus b
     ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
-  WHERE {COSINE_ORACLE_EXPR} >= {COSINE_DUP_THRESHOLD}
+  WHERE {COSINE_ORACLE_EXPR} >= {t}
 )
-SELECT CAST({NEARDUP_RECALL_FLOOR} AS DOUBLE) AS recall_floor,
+SELECT CAST({t} AS DOUBLE) AS threshold,
+       CAST({f} AS DOUBLE) AS recall_floor,
        (SELECT banded_recall FROM rec) AS banded_recall,
-       CASE WHEN (SELECT banded_recall FROM rec) >= {NEARDUP_RECALL_FLOOR}
-            THEN 'banded' ELSE 'ivf_cells' END AS route,
-       CAST(CASE WHEN (SELECT banded_recall FROM rec)
-                      >= {NEARDUP_RECALL_FLOOR}
+       CASE WHEN (SELECT banded_recall FROM rec) >= {f} THEN NULL
+            ELSE (SELECT esc_recall FROM rec) END AS esc_recall,
+       CASE WHEN (SELECT banded_recall FROM rec) >= {f} THEN 'banded'
+            WHEN (SELECT esc_recall FROM rec) >= {f} THEN 'banded_esc'
+            ELSE 'ivf_cells' END AS route,
+       CAST(CASE WHEN (SELECT banded_recall FROM rec) >= {f}
                  THEN (SELECT c FROM banded_full)
+                 WHEN (SELECT esc_recall FROM rec) >= {f}
+                 THEN (SELECT c FROM esc_full)
                  ELSE (SELECT c FROM ivf_full) END AS BIGINT)
          AS routed_pairs"""
-    .replace("{banded_posts}", _banded_posts_sql()),
-    doc="Recall-floor-ENFORCED near-dup candidate generation: measure "
-        "banded-LSH pair recall on the labeled domain at the "
-        "production plane parameterization, route to the banded "
-        "generator only at/above the 0.60 floor, otherwise to "
-        "IVF-cell-localized candidates (corpus-derived K). Emits the "
-        "floor, the measured recall, the route taken and the routed "
-        "generator's confirmed full-corpus pair count — all "
-        "deterministic, so the driver hash-checks the routing itself.",
+
+
+def _floor_route_frame(spark: SparkSession, sf_dir: str,
+                       threshold: float) -> DataFrame:
+    pairs, route, floor, banded_recall, esc_recall = \
+        neardup_candidate_pairs(spark, sf_dir, threshold)
+    return (
+        pairs.agg(F.count(F.lit(1)).cast("long").alias("routed_pairs"))
+        .select(F.lit(float(threshold)).cast("double").alias("threshold"),
+                F.lit(floor).cast("double").alias("recall_floor"),
+                F.lit(banded_recall).cast("double").alias("banded_recall"),
+                F.lit(esc_recall).cast("double").alias("esc_recall"),
+                F.lit(route).alias("route"),
+                "routed_pairs")
+    )
+
+
+@register(
+    "dedup_neardup_floor_route",
+    oracle=_floor_route_oracle(COSINE_DUP_THRESHOLD),
+    doc="Recall-floor-ENFORCED near-dup candidate generation with "
+        "bands escalation: measure banded-LSH pair recall on the "
+        "labeled domain at the production plane parameterization; "
+        "at/above the threshold-derived floor serve the 12-band "
+        "generator; below it escalate to 18 bands (linear extra cost, "
+        "the rho-analysis lever) and re-measure; only when escalation "
+        "can't hold the floor serve IVF-cell candidates (corpus-"
+        "derived K). Emits threshold, floor, both measured recalls, "
+        "the route taken and the routed generator's confirmed "
+        "full-corpus pair count — all deterministic, so the driver "
+        "hash-checks the routing itself.",
 )
 def q_dedup_neardup_floor_route(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:
-    pairs, route, recall = neardup_candidate_pairs(spark, sf_dir)
+    return _floor_route_frame(spark, sf_dir, COSINE_DUP_THRESHOLD)
+
+
+NEARDUP_THRESHOLD_ALT = 0.48
+
+
+@register(
+    "dedup_neardup_floor_route_t48",
+    oracle=_floor_route_oracle(NEARDUP_THRESHOLD_ALT),
+    doc="The floor router at a SECOND mining threshold (cosine 0.48): "
+        "same generators, same labeled domain, but the floor is "
+        "re-derived from the threshold via the sign-LSH collision "
+        "model (p = 1 - acos(t)/pi) instead of reusing a constant "
+        "tuned for 0.45 — the VERDICT r6 threshold-awareness check. "
+        "Truth set, measured recalls, floor, route and routed pair "
+        "count all shift with the threshold and every one is "
+        "hash-checked on both engines.",
+)
+def q_dedup_neardup_floor_route_t48(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    return _floor_route_frame(spark, sf_dir, NEARDUP_THRESHOLD_ALT)
+
+
+@register(
+    "dedup_ivf_route_recall",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id, {quantize.SQL} AS qv FROM embeddings
+), n AS (
+  SELECT vec_id, qv, {int_norm2.SQL} AS norm2 FROM q
+), nc AS (
+  SELECT * FROM n WHERE vec_id < {COSINE_BASELINE_CAP}
+), base AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM nc a, nc b
+  WHERE a.vec_id < b.vec_id
+    AND {COSINE_ORACLE_EXPR} >= {COSINE_DUP_THRESHOLD}
+), cents AS (
+  SELECT vec_id AS centroid_id, qv AS c_qv, norm2 AS c_norm2
+  FROM n WHERE vec_id < {sem_centroids_sql()}
+), dists AS (
+  SELECT n.vec_id, n.qv, n.norm2, c.centroid_id,
+         row_number() OVER (PARTITION BY n.vec_id
+                            ORDER BY n.norm2 + c.c_norm2
+           - 2 * CAST(list_sum(list_transform(range(1, len(n.qv) + 1),
+                 i -> n.qv[i] * c.c_qv[i])) AS BIGINT), c.centroid_id) AS _rk
+  FROM n, cents c
+), corpusc AS (
+  SELECT vec_id, qv, norm2, centroid_id FROM dists
+  WHERE _rk = 1 AND vec_id < {COSINE_BASELINE_CAP}
+), ivf_c AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM corpusc a JOIN corpusc b
+    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+  WHERE {COSINE_ORACLE_EXPR} >= {COSINE_DUP_THRESHOLD}
+)
+SELECT CAST((SELECT count(*) FROM base) AS BIGINT) AS n_true,
+       CAST((SELECT count(*) FROM base JOIN ivf_c
+             ON base.vec_a = ivf_c.vec_a AND base.vec_b = ivf_c.vec_b)
+            AS BIGINT) AS ivf_found,
+       CAST((SELECT count(*) FROM base JOIN ivf_c
+             ON base.vec_a = ivf_c.vec_a AND base.vec_b = ivf_c.vec_b)
+            AS DOUBLE)
+         / NULLIF((SELECT count(*) FROM base), 0) AS ivf_recall""",
+    doc="Recall ledger for the floor router's IVF FALLBACK generator "
+        "(VERDICT r6 missing-#1): pair recall of ivf_cell_pairs at "
+        "COSINE_DUP_THRESHOLD on the labeled capped domain — the "
+        "number a 100x user inherits when the router serves IVF cells "
+        "(sf2.0 already routes there). The production cell assignment "
+        "(centroids and K derived from the FULL corpus) is evaluated "
+        "on the capped domain, mirroring the banded monitor exactly; "
+        "deterministic, so the driver hash-checks the recall value.",
+)
+def q_dedup_ivf_route_recall(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    base = capped_exact_pairs(spark, sf_dir).select("vec_a", "vec_b")
+    ivf = (ivf_cell_pairs(spark, sf_dir)
+           .filter((F.col("vec_a") < COSINE_BASELINE_CAP)
+                   & (F.col("vec_b") < COSINE_BASELINE_CAP))
+           .select("vec_a", "vec_b").withColumn("_hit", F.lit(1)))
     return (
-        pairs.agg(F.count(F.lit(1)).cast("long").alias("routed_pairs"))
-        .select(F.lit(float(NEARDUP_RECALL_FLOOR)).cast("double")
-                .alias("recall_floor"),
-                F.lit(recall).cast("double").alias("banded_recall"),
-                F.lit(route).alias("route"),
-                "routed_pairs")
+        base.join(ivf, ["vec_a", "vec_b"], "left")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_true"),
+             F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+             .cast("long").alias("ivf_found"))
+        .select("n_true", "ivf_found",
+                F.when(F.col("n_true") > 0,
+                       F.col("ivf_found") / F.col("n_true"))
+                .cast("double").alias("ivf_recall"))
     )
 
 
@@ -1086,7 +1289,7 @@ WITH q AS (
   SELECT vec_id, {quantize.SQL} AS qv FROM embeddings
 ), n AS (
   SELECT vec_id, qv, {int_norm2.SQL} AS norm2 FROM q
-), posts AS (
+), posts AS MATERIALIZED (
 {{banded_posts}}
 ), dups AS (
   SELECT DISTINCT b.vec_id AS dropped
@@ -1283,7 +1486,7 @@ CONTAINMENT_DEN = 10
     "dedup_containment",
     oracle=f"""
 WITH {DOC_SETS_SQL.strip()},
-posts AS (
+posts AS MATERIALIZED (
   SELECT doc_id, unnest(sh) AS s FROM doc_sets
 ),
 rare AS (

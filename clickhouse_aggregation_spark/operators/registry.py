@@ -235,6 +235,20 @@ EXTRAS: tuple[str, ...] = (
     # (feature_extract, decode_stats, decode_audit) plus the streaming
     # ledger; r5 driver row green.
     "multimodal_frame_sample",
+    # Demoted round 7 for dedup_ivf_route_recall (the hash-checked
+    # recall ledger of the floor router's IVF fallback — VERDICT r6
+    # missing-#1): the additive epoch-facade machinery stays declared
+    # via streaming_corpus_tokens_compacted, which shares the exact
+    # partial/merge path and adds the lazy-merge compaction on top;
+    # r6 driver row green.
+    "streaming_corpus_tokens_epochs",
+    # Demoted round 7 for dedup_neardup_floor_route_t48 (the router at
+    # a second threshold with the threshold-derived floor — VERDICT r6
+    # next-#5): the Arrow-batched numpy-partial machinery stays
+    # declared via embedding_gram_matrix (dim_stats is its diagonal)
+    # and the streaming dims twin keeps a declared epoch row;
+    # r6 driver row green.
+    "embedding_dim_stats",
 )
 
 

@@ -48,6 +48,42 @@ COUNTERS = {
     "inmemory": r"InMemoryTableScan",
 }
 
+# live counters walk the physical-plan TREE via the JVM instead of the
+# rendered text. The old text heuristic (skip lines indented deeper
+# than an InMemoryRelation) undercounted nothing while caches were
+# unexecuted, but once a cached subtree's AQE plan has RUN its
+# InMemoryRelation renders `== Final Plan == / == Initial Plan ==`
+# sections at reset indentation, escaping the skip — round 6's
+# headline "53 live exchanges in pipeline_end_to_end" was the cached
+# minhash-pairs build re-rendered several times, not live shuffles
+# (the tree walk reports 3). The walk stops naturally at
+# InMemoryTableScanExec (the cached plan is not among its children)
+# and descends into AdaptiveSparkPlanExec via initialPlan.
+_LIVE_CLASSES = {
+    "ShuffleExchangeExec": "exchanges",
+    "CartesianProductExec": "cartesian",
+    "BatchEvalPythonExec": "row_python",
+    "FileSourceScanExec": "scans",
+}
+
+
+def live_counts(df) -> dict[str, int]:
+    out = {v: 0 for v in _LIVE_CLASSES.values()}
+    stack = [df._jdf.queryExecution().executedPlan()]
+    while stack:
+        node = stack.pop()
+        name = node.getClass().getSimpleName()
+        key = _LIVE_CLASSES.get(name.removesuffix("$"))
+        if key is not None:
+            out[key] += 1
+        if name == "AdaptiveSparkPlanExec":
+            stack.append(node.initialPlan())
+            continue
+        ch = node.children()
+        for i in range(ch.length()):
+            stack.append(ch.apply(i))
+    return {f"live_{k}": v for k, v in out.items()}
+
 
 def main() -> int:
     import bench
@@ -71,26 +107,11 @@ def main() -> int:
             out[name] = {"err": str(exc)[:200]}   # explain-before-run
             continue
         rec = {k: len(re.findall(p, plan)) for k, p in COUNTERS.items()}
-        # "live" view: drop InMemoryRelation subtrees (the embedded
-        # one-time build plan of a session-persisted index — printed by
-        # explain but substituted by an InMemoryTableScan at execution),
-        # so live counters reflect what a warm run actually shuffles.
-        live_lines, skip_depth = [], None
-        for line in plan.splitlines():
-            depth = len(line) - len(line.lstrip(" :+-*("))
-            if skip_depth is not None:
-                if depth > skip_depth:
-                    continue
-                skip_depth = None
-            if "InMemoryRelation" in line:
-                skip_depth = depth
-                continue
-            live_lines.append(line)
-        live = "\n".join(live_lines)
-        rec.update({f"live_{k}": len(re.findall(p, live))
-                    for k, p in COUNTERS.items()
-                    if k in ("exchanges", "scans", "cartesian",
-                             "row_python")})
+        # "live" view: what a warm run actually executes — cached
+        # subtrees (session-persisted indexes) read through
+        # InMemoryTableScan, whose one-time build plan is excluded by
+        # the tree walk (see live_counts).
+        rec.update(live_counts(df))
         out[name] = rec
     summary = {
         "n_queries": len([r for r in out.values() if "err" not in r]),

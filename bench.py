@@ -192,9 +192,12 @@ HEADLINE = [
     "text_quality_robust_calibration",
     "multimodal_decode_audit",
     # round 7 additions: bands-escalation + threshold-derived floor in
-    # the near-dup router, and the IVF fallback's recall ledger
+    # the near-dup router, the IVF fallback's recall ledger, the
+    # MinHash recall ledger and the IVF nprobe tuning curve
     "dedup_neardup_floor_route_t48",
     "dedup_ivf_route_recall",
+    "dedup_minhash_recall",
+    "similarity_ivf_nprobe_sweep",
 ]
 
 # documented-quadratic / superseded exactness baselines (scale paths

@@ -393,6 +393,72 @@ def _build_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the recall ledger the MinHash path was missing (round 7): the
+# embedding side has hash-checked quality rows for every approximate
+# generator (banded monitor, floor router, IVF fallback ledger) while
+# MinHash-LSH only had the candidates-verify parity — this row pins
+# what fraction of the EXACT >= 0.8 Jaccard pairs the banded signature
+# scheme surfaces, against the same inverted-index truth the
+# dedup_ngram_jaccard baseline computes. Both sides deterministic
+# (md5-order min-hash, integer-count Jaccard), so the recall value
+# itself is driver-hash-checked. At 100 TB the truth side is the
+# (documented-quadratic) labeled evaluation — run on a sample exactly
+# like the embedding monitors' capped domain; the fixture corpus IS
+# that sample here.
+@register(
+    "dedup_minhash_recall",
+    oracle=f"""
+WITH {DOC_SETS_SQL.strip()},
+doc_shingles AS (
+  SELECT DISTINCT doc_id, unnest(sh) AS shingle FROM doc_sets
+),
+{JACCARD_PAIRS_SQL.strip()},
+{_minhash_sql().strip()},
+truth AS (
+  SELECT doc_a, doc_b FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}
+),
+found AS (
+  SELECT c.doc_a, c.doc_b
+  FROM candidates c
+  JOIN doc_sets_n a ON a.doc_id = c.doc_a
+  JOIN doc_sets_n b ON b.doc_id = c.doc_b
+  WHERE len(list_intersect(a.sh, b.sh))
+          / (a.n + b.n - len(list_intersect(a.sh, b.sh)))
+        >= {JACCARD_THRESHOLD}
+)
+SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_true,
+       CAST((SELECT count(*) FROM truth t JOIN found f
+             ON t.doc_a = f.doc_a AND t.doc_b = f.doc_b)
+            AS BIGINT) AS found_pairs,
+       CAST((SELECT count(*) FROM truth t JOIN found f
+             ON t.doc_a = f.doc_a AND t.doc_b = f.doc_b) AS DOUBLE)
+         / NULLIF((SELECT count(*) FROM truth), 0) AS recall""",
+    doc="MinHash-LSH recall ledger: fraction of the exact >= 0.8 "
+        "Jaccard pairs (shingle inverted-index truth, the "
+        "dedup_ngram_jaccard baseline) that the MinHash(8)x4-band "
+        "candidate generator surfaces after exact verification — the "
+        "text-side twin of dedup_embedding_lsh_recall, completing a "
+        "hash-checked quality row for EVERY approximate dedup "
+        "generator in the engine. Deterministic on both engines.",
+)
+def q_dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    truth = _jaccard_pairs(
+        doc_shingles(load_table(spark, sf_dir, "documents"))
+    ).select("doc_a", "doc_b")
+    found = confirmed_minhash_pairs(spark, sf_dir) \
+        .select("doc_a", "doc_b").withColumn("_hit", F.lit(1))
+    return (
+        truth.join(found, ["doc_a", "doc_b"], "left")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_true"),
+             F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+             .cast("long").alias("found_pairs"))
+        .select("n_true", "found_pairs",
+                F.when(F.col("n_true") > 0,
+                       F.col("found_pairs") / F.col("n_true"))
+                .cast("double").alias("recall"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # D4: SimHash fingerprints
 

@@ -249,6 +249,21 @@ EXTRAS: tuple[str, ...] = (
     # and the streaming dims twin keeps a declared epoch row;
     # r6 driver row green.
     "embedding_dim_stats",
+    # Demoted round 7 for dedup_minhash_recall (the text-side recall
+    # ledger, completing a hash-checked quality row for every
+    # approximate dedup generator): SemDeDup's IVF-cell machinery is
+    # declared twice over via dedup_ivf_route_recall (the same
+    # sem_corpus assignment + cell self-join, different threshold) and
+    # the floor router's IVF branch; the eps-prune semantics stay
+    # sweep- and pytest-gated. r6 driver row green.
+    "dedup_semantic",
+    # Demoted round 7 for similarity_ivf_nprobe_sweep (the
+    # recall-vs-probe-budget curve): search-task recall machinery
+    # stays declared via the sweep itself (three hash-checked
+    # operating points incl. the production nprobe=2), and the
+    # LSH-family search ledger stays sweep-gated with its r6 driver
+    # row green on record.
+    "similarity_lsh_recall",
 )
 
 

@@ -637,6 +637,113 @@ def q_similarity_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# IVF nprobe sweep: the recall-vs-probe-budget tuning curve (round 7).
+# A single recall number at the production nprobe says whether the
+# index is good ENOUGH; the curve says what another probe BUYS — the
+# operating-point table an ANN deployment publishes before fixing its
+# probe budget (probe cost is linear in nprobe; the search join
+# touches only probed cells either way). One corpus assignment, one
+# exact baseline, one probed search per budget; everything
+# deterministic so all three curve points hash-check.
+
+IVF_NPROBE_SWEEP = (1, 2, 4)
+
+
+def _ivf_sweep_sql() -> str:
+    dot = ("CAST(list_sum(list_transform(range(1, len(p.q_qv) + 1), "
+           "i -> p.q_qv[i] * x.qv[i])) AS BIGINT)"
+           " / (sqrt(p.q_norm2) * sqrt(x.norm2))")
+    blocks, finals = [], []
+    for np_ in IVF_NPROBE_SWEEP:
+        blocks.append(f"""sel{np_} AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT p.query_id, x.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY p.query_id
+                              ORDER BY {dot} DESC, x.vec_id) AS rank
+    FROM (SELECT vec_id AS query_id, centroid_id, qv AS q_qv,
+                 norm2 AS q_norm2
+          FROM dists WHERE vec_id < {N_QUERIES} AND _rk <= {np_}) p
+    JOIN corpus x ON x.centroid_id = p.centroid_id
+                 AND x.vec_id <> p.query_id)
+  WHERE rank <= {TOP_K}
+)""")
+        finals.append(f"""SELECT CAST({np_} AS BIGINT) AS nprobe,
+       CAST(count(s.neighbor_id) AS BIGINT) AS n_hits,
+       CAST(count(s.neighbor_id) AS DOUBLE)
+         / NULLIF(count(*), 0) AS recall_at_k
+FROM bf b LEFT JOIN sel{np_} s
+  ON s.query_id = b.query_id AND s.neighbor_id = b.neighbor_id""")
+    return ",\n".join(blocks) + "\n" + "\nUNION ALL\n".join(finals)
+
+
+@register(
+    "similarity_ivf_nprobe_sweep",
+    oracle=f"""
+WITH {_QUANT_SQL.strip()},
+cents AS (
+  SELECT vec_id AS centroid_id, qv AS c_qv, norm2 AS c_norm2
+  FROM n WHERE vec_id < {N_CENTROIDS}
+),
+dists AS MATERIALIZED (
+  SELECT n.vec_id, n.qv, n.norm2, c.centroid_id,
+         row_number() OVER (PARTITION BY n.vec_id
+                            ORDER BY n.norm2 + c.c_norm2
+           - 2 * CAST(list_sum(list_transform(range(1, len(n.qv) + 1),
+                 i -> n.qv[i] * c.c_qv[i])) AS BIGINT), c.centroid_id) AS _rk
+  FROM n, cents c
+),
+corpus AS MATERIALIZED (
+  SELECT vec_id, qv, norm2, centroid_id FROM dists WHERE _rk = 1
+),
+bf AS (SELECT query_id, neighbor_id FROM ({{bf_sql}})),
+{_ivf_sweep_sql()}""".replace("{bf_sql}", _BF_SQL),
+    doc="IVF recall-vs-nprobe tuning curve: recall@5 of the probed "
+        "search at probe budgets 1, 2 (production) and 4 against the "
+        "exact cosine top-5 — the operating-point table an ANN "
+        "deployment reads before fixing its probe budget. One row per "
+        "budget (nprobe, n_hits, recall_at_k over all query-neighbor "
+        "slots); deterministic on both engines so the whole curve is "
+        "hash-checked.",
+)
+def q_similarity_ivf_nprobe_sweep(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    corpus_cells, _ = _ivf_parts(spark, sf_dir)
+    bf = _eval_topk("bf", q_similarity_topk_bruteforce, spark, sf_dir)
+    # one sorted cell list per query, sliced per budget (the same
+    # sort_array determinism as _ivf_parts: ties by centroid_id)
+    tops = (
+        _ivf_expanded(spark, sf_dir)
+        .filter(F.col("vec_id") < N_QUERIES)
+        .groupBy("vec_id")
+        .agg(F.sort_array(F.collect_list(
+                 F.struct("dist", "centroid_id"))).alias("cells"),
+             F.first("qv").alias("qv"), F.first("norm2").alias("norm2"))
+    )
+    out = None
+    for np_ in IVF_NPROBE_SWEEP:
+        probes = tops.select(
+            "vec_id", "qv", "norm2",
+            F.explode(F.slice(F.col("cells.centroid_id"), 1, np_))
+            .alias("centroid_id"))
+        res = (ivf_search(corpus_cells, probes)
+               .select("query_id", "neighbor_id")
+               .withColumn("_hit", F.lit(1)))
+        row = (
+            bf.join(res, ["query_id", "neighbor_id"], "left")
+            .agg(F.count(F.lit(1)).alias("n_bf"),
+                 F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+                 .alias("n_hits"))
+            .select(F.lit(np_).cast("long").alias("nprobe"),
+                    F.col("n_hits").cast("long").alias("n_hits"),
+                    F.when(F.col("n_bf") > 0,
+                           F.col("n_hits") / F.col("n_bf"))
+                    .cast("double").alias("recall_at_k"))
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Product quantization (PQ) with asymmetric-distance candidates + exact
 # re-rank: the memory-bound ANN scale path. Vectors are encoded as M
 # sub-space code ids (here 4 codes of 3 bits — at real scale 8-bit

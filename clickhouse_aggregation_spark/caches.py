@@ -14,6 +14,14 @@ executor storage memory then competes with shuffle for the rest of
 the run (ADVICE r4). ``clear_plan_caches`` is the explicit eviction
 point: call it between scale runs (bench.py does) or whenever a
 sf_dir's plans are known dead.
+
+Eviction note (VERDICT r6 carried item): the per-cache dicts are
+UNBOUNDED in (session, sf_dir) — fine for a bench/test process that
+touches a handful of scale dirs, but a long-lived multi-tenant session
+serving many datasets should call ``clear_plan_caches(sf_dir)`` when a
+dataset is retired, or wrap these dicts with an LRU if dataset churn
+is unbounded. Entries hold MEMORY_AND_DISK persisted frames, so the
+cost of an unevicted entry is bounded by the disk store, not the heap.
 """
 
 from __future__ import annotations

@@ -1134,19 +1134,17 @@ def neardup_candidate_pairs(spark: SparkSession, sf_dir: str,
             floor, banded_recall, esc_recall)
 
 
-def _floor_route_oracle(threshold: float) -> str:
-    """The router's full DuckDB twin at one threshold: measure the
-    12-band arm's capped-domain recall, the 18-band escalation arm's,
-    apply the threshold-derived floor, and count the winning
-    generator's full-corpus confirmed pairs. The 12-band arm is the
-    ``band < EMB_BANDS`` prefix of the one 18-band posting CTE (the
-    escalated table only ADDS bands), and both recall divisions NULLIF
-    an empty truth set — NULL recalls fall through every CASE arm to
-    the IVF route, exactly like the Python router's None."""
+def _router_ctes(threshold: float) -> str:
+    """The router's shared DuckDB CTE chain at one threshold: the
+    18-band posting lists (the 12-band arm is the ``band < EMB_BANDS``
+    prefix — the escalated table only ADDS bands), the capped-domain
+    truth set and both arms' recalls (NULLIF-guarded: an empty truth
+    set yields NULL, which falls through every CASE arm to the IVF
+    route exactly like the Python router's None), and the three
+    generators' full-corpus confirmed pair counts. Shared by the
+    floor-route oracles and the IVF fallback recall ledger."""
     t = repr(float(threshold))
-    f = repr(neardup_recall_floor(threshold))
-    return f"""
-WITH q AS (
+    return f"""q AS (
   SELECT vec_id, {quantize.SQL} AS qv FROM embeddings
 ), n AS MATERIALIZED (
   SELECT vec_id, qv, {int_norm2.SQL} AS norm2 FROM q
@@ -1207,7 +1205,17 @@ WITH q AS (
   FROM corpus a JOIN corpus b
     ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
   WHERE {COSINE_ORACLE_EXPR} >= {t}
-)
+)"""
+
+
+def _floor_route_oracle(threshold: float) -> str:
+    """The router's full DuckDB twin at one threshold: measure both
+    arms' recalls, apply the threshold-derived floor, and count the
+    winning generator's full-corpus confirmed pairs."""
+    t = repr(float(threshold))
+    f = repr(neardup_recall_floor(threshold))
+    return f"""
+WITH {_router_ctes(threshold)}
 SELECT CAST({t} AS DOUBLE) AS threshold,
        CAST({f} AS DOUBLE) AS recall_floor,
        (SELECT banded_recall FROM rec) AS banded_recall,
@@ -1279,58 +1287,52 @@ def q_dedup_neardup_floor_route_t48(spark: SparkSession,
     return _floor_route_frame(spark, sf_dir, NEARDUP_THRESHOLD_ALT)
 
 
-@register(
-    "dedup_ivf_route_recall",
-    oracle=f"""
-WITH q AS (
-  SELECT vec_id, {quantize.SQL} AS qv FROM embeddings
-), n AS (
-  SELECT vec_id, qv, {int_norm2.SQL} AS norm2 FROM q
-), nc AS (
-  SELECT * FROM n WHERE vec_id < {COSINE_BASELINE_CAP}
-), base AS (
-  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
-  FROM nc a, nc b
-  WHERE a.vec_id < b.vec_id
-    AND {COSINE_ORACLE_EXPR} >= {COSINE_DUP_THRESHOLD}
-), cents AS (
-  SELECT vec_id AS centroid_id, qv AS c_qv, norm2 AS c_norm2
-  FROM n WHERE vec_id < {sem_centroids_sql()}
-), dists AS (
-  SELECT n.vec_id, n.qv, n.norm2, c.centroid_id,
-         row_number() OVER (PARTITION BY n.vec_id
-                            ORDER BY n.norm2 + c.c_norm2
-           - 2 * CAST(list_sum(list_transform(range(1, len(n.qv) + 1),
-                 i -> n.qv[i] * c.c_qv[i])) AS BIGINT), c.centroid_id) AS _rk
-  FROM n, cents c
-), corpusc AS (
-  SELECT vec_id, qv, norm2, centroid_id FROM dists
-  WHERE _rk = 1 AND vec_id < {COSINE_BASELINE_CAP}
+def _ivf_ledger_oracle() -> str:
+    t = repr(float(COSINE_DUP_THRESHOLD))
+    f = repr(neardup_recall_floor(COSINE_DUP_THRESHOLD))
+    return f"""
+WITH {_router_ctes(COSINE_DUP_THRESHOLD)},
+corpusc AS (
+  SELECT vec_id, qv, norm2, centroid_id FROM corpus
+  WHERE vec_id < {COSINE_BASELINE_CAP}
 ), ivf_c AS (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
   FROM corpusc a JOIN corpusc b
     ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
-  WHERE {COSINE_ORACLE_EXPR} >= {COSINE_DUP_THRESHOLD}
+  WHERE {COSINE_ORACLE_EXPR} >= {t}
 )
-SELECT CAST((SELECT count(*) FROM base) AS BIGINT) AS n_true,
+SELECT CASE WHEN (SELECT banded_recall FROM rec) >= {f} THEN 'banded'
+            WHEN (SELECT esc_recall FROM rec) >= {f} THEN 'banded_esc'
+            ELSE 'ivf_cells' END AS route,
+       (SELECT banded_recall FROM rec) AS banded_recall,
+       CAST((SELECT count(*) FROM base) AS BIGINT) AS n_true,
        CAST((SELECT count(*) FROM base JOIN ivf_c
              ON base.vec_a = ivf_c.vec_a AND base.vec_b = ivf_c.vec_b)
             AS BIGINT) AS ivf_found,
        CAST((SELECT count(*) FROM base JOIN ivf_c
              ON base.vec_a = ivf_c.vec_a AND base.vec_b = ivf_c.vec_b)
             AS DOUBLE)
-         / NULLIF((SELECT count(*) FROM base), 0) AS ivf_recall""",
+         / NULLIF((SELECT count(*) FROM base), 0) AS ivf_recall"""
+
+
+@register(
+    "dedup_ivf_route_recall",
+    oracle=_ivf_ledger_oracle(),
     doc="Recall ledger for the floor router's IVF FALLBACK generator "
         "(VERDICT r6 missing-#1): pair recall of ivf_cell_pairs at "
         "COSINE_DUP_THRESHOLD on the labeled capped domain — the "
         "number a 100x user inherits when the router serves IVF cells "
-        "(sf2.0 already routes there). The production cell assignment "
-        "(centroids and K derived from the FULL corpus) is evaluated "
-        "on the capped domain, mirroring the banded monitor exactly; "
-        "deterministic, so the driver hash-checks the recall value.",
+        "(sf2.0 already routes there) — alongside the route the "
+        "corpus actually takes and the banded arm's recall for "
+        "context. The production cell assignment (centroids and K "
+        "derived from the FULL corpus) is evaluated on the capped "
+        "domain, mirroring the banded monitor exactly; deterministic, "
+        "so the driver hash-checks recall AND routing together.",
 )
 def q_dedup_ivf_route_recall(spark: SparkSession,
                              sf_dir: str) -> DataFrame:
+    _, route, _, banded_recall, _ = \
+        neardup_candidate_pairs(spark, sf_dir)
     base = capped_exact_pairs(spark, sf_dir).select("vec_a", "vec_b")
     ivf = (ivf_cell_pairs(spark, sf_dir)
            .filter((F.col("vec_a") < COSINE_BASELINE_CAP)
@@ -1341,7 +1343,9 @@ def q_dedup_ivf_route_recall(spark: SparkSession,
         .agg(F.count(F.lit(1)).cast("long").alias("n_true"),
              F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
              .cast("long").alias("ivf_found"))
-        .select("n_true", "ivf_found",
+        .select(F.lit(route).alias("route"),
+                F.lit(banded_recall).cast("double").alias("banded_recall"),
+                "n_true", "ivf_found",
                 F.when(F.col("n_true") > 0,
                        F.col("ivf_found") / F.col("n_true"))
                 .cast("double").alias("ivf_recall"))

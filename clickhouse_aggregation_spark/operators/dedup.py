@@ -401,14 +401,31 @@ def _build_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # scheme surfaces, against the same inverted-index truth the
 # dedup_ngram_jaccard baseline computes. Both sides deterministic
 # (md5-order min-hash, integer-count Jaccard), so the recall value
-# itself is driver-hash-checked. At 100 TB the truth side is the
-# (documented-quadratic) labeled evaluation — run on a sample exactly
-# like the embedding monitors' capped domain; the fixture corpus IS
-# that sample here.
+# itself is driver-hash-checked.
+#
+# The truth side is quadratic BY DEFINITION, so exactly like the
+# embedding monitors it is measured on a deterministic CAPPED labeled
+# domain (doc_id < MINHASH_RECALL_CAP): a no-op at the driver's gated
+# scales (500 / 5,000 docs), a hard bound at any scale-up — the
+# UNCAPPED truth spilled DuckDB's temp store past the disk at the 20x
+# fixture (100k docs, Σdf² pair explosion), which is precisely the
+# bill this cap refuses to pay. Candidate generation restricted to the
+# capped domain equals the full-corpus pair table filtered to it
+# (band keys are per-document, a pair collides iff its two keys
+# collide — domain-local), so the Spark side reuses the session-cached
+# full pair table with an id filter.
+
+MINHASH_RECALL_CAP = 20_000
+
+_DOC_SETS_CAPPED_SQL = DOC_SETS_SQL.replace(
+    "FROM documents",
+    f"FROM (SELECT * FROM documents WHERE doc_id < {MINHASH_RECALL_CAP})")
+
+
 @register(
     "dedup_minhash_recall",
     oracle=f"""
-WITH {DOC_SETS_SQL.strip()},
+WITH {_DOC_SETS_CAPPED_SQL.strip()},
 doc_shingles AS (
   SELECT DISTINCT doc_id, unnest(sh) AS shingle FROM doc_sets
 ),
@@ -435,18 +452,22 @@ SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_true,
          / NULLIF((SELECT count(*) FROM truth), 0) AS recall""",
     doc="MinHash-LSH recall ledger: fraction of the exact >= 0.8 "
         "Jaccard pairs (shingle inverted-index truth, the "
-        "dedup_ngram_jaccard baseline) that the MinHash(8)x4-band "
-        "candidate generator surfaces after exact verification — the "
-        "text-side twin of dedup_embedding_lsh_recall, completing a "
-        "hash-checked quality row for EVERY approximate dedup "
-        "generator in the engine. Deterministic on both engines.",
+        "dedup_ngram_jaccard baseline, on the deterministic capped "
+        "labeled domain doc_id < 20000 — a no-op at gated scales) "
+        "that the MinHash(8)x4-band candidate generator surfaces "
+        "after exact verification — the text-side twin of "
+        "dedup_embedding_lsh_recall, completing a hash-checked "
+        "quality row for EVERY approximate dedup generator in the "
+        "engine. Deterministic on both engines.",
 )
 def q_dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    truth = _jaccard_pairs(
-        doc_shingles(load_table(spark, sf_dir, "documents"))
-    ).select("doc_a", "doc_b")
-    found = confirmed_minhash_pairs(spark, sf_dir) \
-        .select("doc_a", "doc_b").withColumn("_hit", F.lit(1))
+    docs = load_table(spark, sf_dir, "documents") \
+        .filter(F.col("doc_id") < MINHASH_RECALL_CAP)
+    truth = _jaccard_pairs(doc_shingles(docs)).select("doc_a", "doc_b")
+    found = (confirmed_minhash_pairs(spark, sf_dir)
+             .filter((F.col("doc_a") < MINHASH_RECALL_CAP)
+                     & (F.col("doc_b") < MINHASH_RECALL_CAP))
+             .select("doc_a", "doc_b").withColumn("_hit", F.lit(1)))
     return (
         truth.join(found, ["doc_a", "doc_b"], "left")
         .agg(F.count(F.lit(1)).cast("long").alias("n_true"),

@@ -19,6 +19,12 @@ from clickhouse_aggregation_spark.schemas import DRIVER_TABLES
 
 def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
+    # resource guard, not semantics: an over-budget oracle (e.g. a
+    # designed-quadratic truth set at a 20x fixture) must fail FAST
+    # with a clean out-of-temp error instead of spilling until the
+    # host disk fills (observed: >200 GiB of duckdb_temp_storage from
+    # one uncapped Σdf² pair join before ENOSPC took the box down)
+    con.execute("SET max_temp_directory_size='40GiB'")
     for name in DRIVER_TABLES:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):

@@ -1124,18 +1124,45 @@ def measured_banded_recall(spark: SparkSession, sf_dir: str,
     return row["found"] / row["n_true"]
 
 
+def measured_ivf_recall(spark: SparkSession, sf_dir: str,
+                        threshold: float = COSINE_DUP_THRESHOLD
+                        ) -> float | None:
+    """IVF-cell-arm recall on the labeled capped domain — the router's
+    third read, taken only when both banded arms miss the floor. Same
+    shape as the banded gate: capped truth joined against the capped
+    restriction of the production cell assignment (centroids and K
+    from the FULL corpus). None on an empty truth set."""
+    base = capped_exact_pairs(spark, sf_dir) \
+        .filter(F.col("cosine") >= threshold).select("vec_a", "vec_b")
+    ivf = (ivf_cell_pairs(spark, sf_dir, threshold)
+           .filter((F.col("vec_a") < COSINE_BASELINE_CAP)
+                   & (F.col("vec_b") < COSINE_BASELINE_CAP))
+           .select("vec_a", "vec_b").withColumn("_hit", F.lit(1)))
+    row = (base.join(ivf, ["vec_a", "vec_b"], "left")
+           .agg(F.count(F.lit(1)).alias("n_true"),
+                F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("found"))
+           .first())
+    if not row["n_true"]:
+        return None
+    return row["found"] / row["n_true"]
+
+
 def neardup_candidate_pairs(spark: SparkSession, sf_dir: str,
                             threshold: float = COSINE_DUP_THRESHOLD):
     """The production near-dup candidate entry point:
-    (pairs, route, floor, banded_recall, esc_recall).
+    (pairs, route, floor, banded_recall, esc_recall, ivf_recall).
 
     Routes to the cheap banded-LSH generator while its measured recall
     holds the threshold-derived floor; below it, escalates to
-    EMB_BANDS_ESC bands; only when escalation can't hold the floor
-    either, IVF cells. Recall reads are 1-row collects of the
-    banded-arm monitor (bounded driver-side scalars, like the ANN
-    centroid load); esc_recall is None unless escalation was measured,
-    matching the oracle's NULL."""
+    EMB_BANDS_ESC bands. When even escalation misses the floor, NO
+    generator meets spec — so the router measures the IVF-cell arm too
+    and serves the BEST measured generator (ties to IVF cells, the
+    cheaper build), rather than assuming the fallback is better: the
+    sf2.0 ledger showed escalated-banded 0.346 vs IVF 0.269, i.e. the
+    old unconditional IVF fallback served the WORSE generator exactly
+    where it mattered. Recall reads are 1-row collects of the capped
+    monitors (bounded driver-side scalars); esc_recall/ivf_recall are
+    None unless that arm was measured, matching the oracle's NULLs."""
     floor = neardup_recall_floor(threshold)
     banded_recall = measured_banded_recall(
         spark, sf_dir, EMB_BANDS, threshold)
@@ -1143,16 +1170,24 @@ def neardup_candidate_pairs(spark: SparkSession, sf_dir: str,
         pairs = (confirmed_banded_pairs(spark, sf_dir)
                  .filter(F.col("cosine") >= threshold)
                  .select("vec_a", "vec_b", "cosine"))
-        return pairs, "banded", floor, banded_recall, None
+        return pairs, "banded", floor, banded_recall, None, None
     esc_recall = measured_banded_recall(
         spark, sf_dir, EMB_BANDS_ESC, threshold)
     if esc_recall is not None and esc_recall >= floor:
         pairs = (confirmed_banded_pairs(spark, sf_dir, EMB_BANDS_ESC)
                  .filter(F.col("cosine") >= threshold)
                  .select("vec_a", "vec_b", "cosine"))
-        return pairs, "banded_esc", floor, banded_recall, esc_recall
+        return pairs, "banded_esc", floor, banded_recall, esc_recall, None
+    ivf_recall = measured_ivf_recall(spark, sf_dir, threshold)
+    if (esc_recall is not None and ivf_recall is not None
+            and esc_recall > ivf_recall):
+        pairs = (confirmed_banded_pairs(spark, sf_dir, EMB_BANDS_ESC)
+                 .filter(F.col("cosine") >= threshold)
+                 .select("vec_a", "vec_b", "cosine"))
+        return (pairs, "banded_esc", floor, banded_recall, esc_recall,
+                ivf_recall)
     return (ivf_cell_pairs(spark, sf_dir, threshold), "ivf_cells",
-            floor, banded_recall, esc_recall)
+            floor, banded_recall, esc_recall, ivf_recall)
 
 
 def _router_ctes(threshold: float) -> str:
@@ -1226,6 +1261,19 @@ def _router_ctes(threshold: float) -> str:
   FROM corpus a JOIN corpus b
     ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
   WHERE {COSINE_ORACLE_EXPR} >= {t}
+), corpusc AS (
+  SELECT vec_id, qv, norm2, centroid_id FROM corpus
+  WHERE vec_id < {COSINE_BASELINE_CAP}
+), ivf_cq AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM corpusc a JOIN corpusc b
+    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+  WHERE {COSINE_ORACLE_EXPR} >= {t}
+), rec_ivf AS (
+  SELECT CAST((SELECT count(*) FROM base JOIN ivf_cq
+               ON base.vec_a = ivf_cq.vec_a
+              AND base.vec_b = ivf_cq.vec_b) AS DOUBLE)
+         / NULLIF((SELECT count(*) FROM base), 0) AS ivf_recall
 )"""
 
 
@@ -1242,12 +1290,20 @@ SELECT CAST({t} AS DOUBLE) AS threshold,
        (SELECT banded_recall FROM rec) AS banded_recall,
        CASE WHEN (SELECT banded_recall FROM rec) >= {f} THEN NULL
             ELSE (SELECT esc_recall FROM rec) END AS esc_recall,
+       CASE WHEN (SELECT banded_recall FROM rec) >= {f}
+              OR (SELECT esc_recall FROM rec) >= {f} THEN NULL
+            ELSE (SELECT ivf_recall FROM rec_ivf) END AS ivf_recall,
        CASE WHEN (SELECT banded_recall FROM rec) >= {f} THEN 'banded'
             WHEN (SELECT esc_recall FROM rec) >= {f} THEN 'banded_esc'
+            WHEN (SELECT esc_recall FROM rec)
+                 > (SELECT ivf_recall FROM rec_ivf) THEN 'banded_esc'
             ELSE 'ivf_cells' END AS route,
        CAST(CASE WHEN (SELECT banded_recall FROM rec) >= {f}
                  THEN (SELECT c FROM banded_full)
                  WHEN (SELECT esc_recall FROM rec) >= {f}
+                 THEN (SELECT c FROM esc_full)
+                 WHEN (SELECT esc_recall FROM rec)
+                      > (SELECT ivf_recall FROM rec_ivf)
                  THEN (SELECT c FROM esc_full)
                  ELSE (SELECT c FROM ivf_full) END AS BIGINT)
          AS routed_pairs"""
@@ -1255,7 +1311,7 @@ SELECT CAST({t} AS DOUBLE) AS threshold,
 
 def _floor_route_frame(spark: SparkSession, sf_dir: str,
                        threshold: float) -> DataFrame:
-    pairs, route, floor, banded_recall, esc_recall = \
+    pairs, route, floor, banded_recall, esc_recall, ivf_recall = \
         neardup_candidate_pairs(spark, sf_dir, threshold)
     return (
         pairs.agg(F.count(F.lit(1)).cast("long").alias("routed_pairs"))
@@ -1263,6 +1319,7 @@ def _floor_route_frame(spark: SparkSession, sf_dir: str,
                 F.lit(floor).cast("double").alias("recall_floor"),
                 F.lit(banded_recall).cast("double").alias("banded_recall"),
                 F.lit(esc_recall).cast("double").alias("esc_recall"),
+                F.lit(ivf_recall).cast("double").alias("ivf_recall"),
                 F.lit(route).alias("route"),
                 "routed_pairs")
     )
@@ -1272,14 +1329,17 @@ def _floor_route_frame(spark: SparkSession, sf_dir: str,
     "dedup_neardup_floor_route",
     oracle=_floor_route_oracle(COSINE_DUP_THRESHOLD),
     doc="Recall-floor-ENFORCED near-dup candidate generation with "
-        "bands escalation: measure banded-LSH pair recall on the "
-        "labeled domain at the production plane parameterization; "
-        "at/above the threshold-derived floor serve the 12-band "
-        "generator; below it escalate to 18 bands (linear extra cost, "
-        "the rho-analysis lever) and re-measure; only when escalation "
-        "can't hold the floor serve IVF-cell candidates (corpus-"
-        "derived K). Emits threshold, floor, both measured recalls, "
-        "the route taken and the routed generator's confirmed "
+        "bands escalation and a best-of last resort: measure "
+        "banded-LSH pair recall on the labeled domain at the "
+        "production plane parameterization; at/above the threshold-"
+        "derived floor serve the 12-band generator; below it escalate "
+        "to 18 bands (linear extra cost, the rho-analysis lever) and "
+        "re-measure; when even escalation misses the floor, measure "
+        "the IVF-cell arm too and serve whichever generator measured "
+        "HIGHER (ties to IVF, the cheaper build) — the ledger showed "
+        "the old unconditional IVF fallback serving the worse "
+        "generator at 20x. Emits threshold, floor, every measured "
+        "recall, the route taken and the routed generator's confirmed "
         "full-corpus pair count — all deterministic, so the driver "
         "hash-checks the routing itself.",
 )
@@ -1309,31 +1369,20 @@ def q_dedup_neardup_floor_route_t48(spark: SparkSession,
 
 
 def _ivf_ledger_oracle() -> str:
-    t = repr(float(COSINE_DUP_THRESHOLD))
     f = repr(neardup_recall_floor(COSINE_DUP_THRESHOLD))
     return f"""
-WITH {_router_ctes(COSINE_DUP_THRESHOLD)},
-corpusc AS (
-  SELECT vec_id, qv, norm2, centroid_id FROM corpus
-  WHERE vec_id < {COSINE_BASELINE_CAP}
-), ivf_c AS (
-  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
-  FROM corpusc a JOIN corpusc b
-    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
-  WHERE {COSINE_ORACLE_EXPR} >= {t}
-)
+WITH {_router_ctes(COSINE_DUP_THRESHOLD)}
 SELECT CASE WHEN (SELECT banded_recall FROM rec) >= {f} THEN 'banded'
             WHEN (SELECT esc_recall FROM rec) >= {f} THEN 'banded_esc'
+            WHEN (SELECT esc_recall FROM rec)
+                 > (SELECT ivf_recall FROM rec_ivf) THEN 'banded_esc'
             ELSE 'ivf_cells' END AS route,
        (SELECT banded_recall FROM rec) AS banded_recall,
        CAST((SELECT count(*) FROM base) AS BIGINT) AS n_true,
-       CAST((SELECT count(*) FROM base JOIN ivf_c
-             ON base.vec_a = ivf_c.vec_a AND base.vec_b = ivf_c.vec_b)
+       CAST((SELECT count(*) FROM base JOIN ivf_cq
+             ON base.vec_a = ivf_cq.vec_a AND base.vec_b = ivf_cq.vec_b)
             AS BIGINT) AS ivf_found,
-       CAST((SELECT count(*) FROM base JOIN ivf_c
-             ON base.vec_a = ivf_c.vec_a AND base.vec_b = ivf_c.vec_b)
-            AS DOUBLE)
-         / NULLIF((SELECT count(*) FROM base), 0) AS ivf_recall"""
+       (SELECT ivf_recall FROM rec_ivf) AS ivf_recall"""
 
 
 @register(
@@ -1352,7 +1401,7 @@ SELECT CASE WHEN (SELECT banded_recall FROM rec) >= {f} THEN 'banded'
 )
 def q_dedup_ivf_route_recall(spark: SparkSession,
                              sf_dir: str) -> DataFrame:
-    _, route, _, banded_recall, _ = \
+    _, route, _, banded_recall, _, _ = \
         neardup_candidate_pairs(spark, sf_dir)
     base = capped_exact_pairs(spark, sf_dir).select("vec_a", "vec_b")
     ivf = (ivf_cell_pairs(spark, sf_dir)

@@ -132,11 +132,11 @@ def test_recall_floor_router_routes_banded_above_floor(spark, sf_oracle_dir):
     from clickhouse_aggregation_spark.operators.dedup import (
         confirmed_banded_pairs, neardup_candidate_pairs)
 
-    pairs, route, floor, recall, esc = \
+    pairs, route, floor, recall, esc, ivf = \
         neardup_candidate_pairs(spark, sf_oracle_dir)
     assert route == "banded"
     assert recall >= floor == 0.576311
-    assert esc is None
+    assert esc is None and ivf is None
     got = {(r.vec_a, r.vec_b) for r in pairs.collect()}
     exp = {(r.vec_a, r.vec_b)
            for r in confirmed_banded_pairs(spark, sf_oracle_dir).collect()}
@@ -157,10 +157,10 @@ def test_recall_floor_router_escalates_bands_before_ivf(
         dedup, "measured_banded_recall",
         lambda spark, sf_dir, bands=dedup.EMB_BANDS, threshold=0.45:
         fake[bands])
-    pairs, route, floor, recall, esc = \
+    pairs, route, floor, recall, esc, ivf = \
         dedup.neardup_candidate_pairs(spark, sf_oracle_dir)
     assert route == "banded_esc"
-    assert (recall, esc) == (0.40, 0.70)
+    assert (recall, esc, ivf) == (0.40, 0.70, None)
     got = {(r.vec_a, r.vec_b) for r in pairs.collect()}
     exp = {(r.vec_a, r.vec_b)
            for r in dedup.confirmed_banded_pairs(
@@ -173,20 +173,47 @@ def test_recall_floor_router_escalates_bands_before_ivf(
     assert base <= got
 
 
-def test_recall_floor_router_falls_back_to_ivf(
+def test_recall_floor_router_serves_best_when_floor_unreachable(
         spark, sf_oracle_dir, monkeypatch):
-    """When even escalation misses the floor (forced via a > 1 floor
-    fraction here; organically at the sf2.0 fixture) the router must
-    return the IVF-cell generator's pairs — and it must have MEASURED
-    the escalated arm before giving up (esc_recall not None)."""
+    """When no generator holds the floor, the router serves the BEST
+    measured one, not an unconditional fallback (the sf2.0 ledger
+    showed escalated-banded 0.346 > IVF 0.269 — the old always-IVF
+    last resort served the worse generator). Floor forced > 1 via the
+    fraction; both banded arms measure 0.786 at the gated scale, IVF
+    0.286, so best-of serves the escalated banded generator — and it
+    must have MEASURED all three arms (esc/ivf not None)."""
     from clickhouse_aggregation_spark.operators import dedup
 
     monkeypatch.setattr(dedup, "NEARDUP_FLOOR_FRACTION", 1.5)
-    pairs, route, floor, recall, esc = \
+    pairs, route, floor, recall, esc, ivf = \
+        dedup.neardup_candidate_pairs(spark, sf_oracle_dir)
+    assert route == "banded_esc"
+    assert floor > 1 >= recall
+    assert esc is not None and ivf is not None and esc > ivf
+    got = {(r.vec_a, r.vec_b) for r in pairs.collect()}
+    exp = {(r.vec_a, r.vec_b)
+           for r in dedup.confirmed_banded_pairs(
+               spark, sf_oracle_dir, dedup.EMB_BANDS_ESC).collect()}
+    assert got == exp and len(got) > 0
+
+
+def test_recall_floor_router_falls_back_to_ivf_when_ivf_wins(
+        spark, sf_oracle_dir, monkeypatch):
+    """The IVF route is taken exactly when the measured IVF arm beats
+    (or ties) the escalated banded arm below the floor. Banded-arm
+    recalls stubbed under the real IVF recall (0.286 at the gated
+    scale) to pin the comparison."""
+    from clickhouse_aggregation_spark.operators import dedup
+
+    fake = {dedup.EMB_BANDS: 0.10, dedup.EMB_BANDS_ESC: 0.20}
+    monkeypatch.setattr(
+        dedup, "measured_banded_recall",
+        lambda spark, sf_dir, bands=dedup.EMB_BANDS, threshold=0.45:
+        fake[bands])
+    pairs, route, floor, recall, esc, ivf = \
         dedup.neardup_candidate_pairs(spark, sf_oracle_dir)
     assert route == "ivf_cells"
-    assert floor > 1 >= recall
-    assert esc is not None
+    assert (recall, esc) == (0.10, 0.20) and ivf is not None and ivf > esc
     got = {(r.vec_a, r.vec_b) for r in pairs.collect()}
     exp = {(r.vec_a, r.vec_b)
            for r in dedup.ivf_cell_pairs(spark, sf_oracle_dir).collect()}

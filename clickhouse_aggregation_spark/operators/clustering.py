@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..sources.tables import load_table
 from .dedup import (DOC_SETS_SQL, JACCARD_THRESHOLD, _minhash_sql,
                     q_dedup_minhash_lsh)
+from ..caches import PlanCache
 from .registry import register
 
 MAX_ITERATIONS = 15
@@ -160,8 +161,8 @@ PR_ITERS = 3
 # iteration. Edges are pre-hash-partitioned on the join key (s) at the
 # session's shuffle width, so each iteration shuffles only the
 # node-sized rank frame. Evicted by caches.clear_plan_caches.
-_PR_EDGES_CACHE: dict[tuple[str, str], DataFrame] = {}
-_PR_NODES_CACHE: dict[tuple[str, str], DataFrame] = {}
+_PR_EDGES_CACHE: dict[tuple[str, str], DataFrame] = PlanCache()
+_PR_NODES_CACHE: dict[tuple[str, str], DataFrame] = PlanCache()
 
 
 def _pr_graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:

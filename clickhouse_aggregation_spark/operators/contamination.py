@@ -30,6 +30,7 @@ from .dedup import DOC_SETS_SQL as _DEDUP_DOC_SETS_SQL
 from .dedup import JACCARD_THRESHOLD as _DEDUP_JACCARD_THRESHOLD
 from .dedup import _minhash_sql as _dedup_minhash_sql
 from .dedup import shingles_col
+from ..caches import PlanCache
 from .registry import register
 
 CONTAM_K = 8             # shingle width (words)
@@ -80,7 +81,7 @@ def doc_shingle_hashes_df(docs: DataFrame) -> DataFrame:
 # pins a NEW duplicate copy in the block manager (repeated bench runs
 # accumulated copies until eviction pressure showed up as multi-x
 # first-run noise).
-_HASH_CACHE: dict[tuple[str, str], DataFrame] = {}
+_HASH_CACHE: dict[tuple[str, str], DataFrame] = PlanCache()
 
 
 def _doc_shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:

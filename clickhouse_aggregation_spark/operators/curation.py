@@ -59,6 +59,7 @@ from .dedup import (COSINE_DUP_THRESHOLD, DOC_SETS_SQL, JACCARD_THRESHOLD,
                     confirmed_minhash_pairs)
 from .pipeline import (BLOCK_PATTERN, EPOCH_SEED, EPOCH_SHARDS, QUALITY_MIN,
                        TEMP_BUCKETS, TEMP_SALT)
+from ..caches import PlanCache
 from .registry import register
 from .similarity import COSINE_ORACLE_EXPR, int_norm2, quantize
 
@@ -228,7 +229,7 @@ FROM stages"""
 # The frame is one narrow row per document (ids + 4 small numerics),
 # exactly the per-doc curation ledger a production pipeline writes
 # between the corpus-level passes and the row-local tail.
-_ANN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+_ANN_CACHE: dict[tuple[str, str, str], DataFrame] = PlanCache()
 
 
 def _annotated(spark: SparkSession, sf_dir: str,

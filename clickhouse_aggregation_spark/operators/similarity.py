@@ -29,6 +29,7 @@ from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
 from ..sources.tables import load_table
+from ..caches import PlanCache
 from .registry import REGISTRY, register
 
 QUANT = 1_000_000
@@ -346,7 +347,7 @@ def build_ivf_corpus(spark: SparkSession, sf_dir: str,
 # linear pass in the family. At 100 TB this is the materialized index
 # table every vector store persists; the one-time build cost stays
 # visible under the bench's first_runs.
-_IVF_CORPUS_CACHE: dict[tuple[str, str], DataFrame] = {}
+_IVF_CORPUS_CACHE: dict[tuple[str, str], DataFrame] = PlanCache()
 
 
 def _ivf_parts(spark: SparkSession, sf_dir: str):
@@ -412,8 +413,9 @@ def sem_centroids_sql() -> str:
 # _SEM_K_CACHE memoizes the corpus-size-derived K alongside it, so a
 # warm call never re-runs the count() job just to rediscover K
 # (ADVICE r5: only the assignment was memoized, not K).
-_SEM_CORPUS_CACHE: dict[tuple[str, str], DataFrame] = {}
-_SEM_K_CACHE: dict[tuple[str, str], int] = {}
+_SEM_CORPUS_CACHE: dict[tuple[str, str], DataFrame] = PlanCache()
+_SEM_K_CACHE: dict[tuple[str, str], int] = \
+    PlanCache(on_evict=lambda v: None)   # scalar memo, nothing pinned
 
 
 def sem_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -571,7 +573,7 @@ _PROBE_SQL = REGISTRY["similarity_lsh_multiprobe"].raw_oracle
 # and joins many times (|Q|·k rows each, trivially cacheable). The
 # STANDALONE search queries stay uncached so their plan gates keep
 # seeing the real join strategy; only the monitors read these copies.
-_EVAL_TOPK_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+_EVAL_TOPK_CACHE: dict[tuple[str, str, str], DataFrame] = PlanCache()
 
 
 def _eval_topk(kind: str, fn, spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -22,10 +22,12 @@ arriving-shards directory.
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..caches import PlanCache
 from ..sources.tables import load_table
 from ..streaming.contamination import read_flags, run_contamination_stream
 from ..streaming.neardup import read_dup_pairs, run_neardup_stream
@@ -37,8 +39,13 @@ _STREAM_TIMEOUT_S = 600
 
 # one maintained store per (maintainer, session, sf_dir): the stream
 # runs once; repeated invocations (driver row-count + value passes,
-# bench repeats) read the persisted store.
-_STORE_CACHE: dict[tuple[str, str, str], str] = {}
+# bench repeats) read the persisted store. Values are store PATHS
+# under a private temp root that also holds the chunked source —
+# eviction drops the whole root (same teardown clear_plan_caches
+# does), and a re-run re-drives the stream deterministically.
+_STORE_CACHE: dict[tuple[str, str, str], str] = PlanCache(
+    on_evict=lambda store: shutil.rmtree(os.path.dirname(store),
+                                         ignore_errors=True))
 
 
 def _chunked_table_dir(spark: SparkSession, sf_dir: str, prefix: str,

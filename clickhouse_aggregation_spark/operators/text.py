@@ -15,6 +15,7 @@ from pyspark.sql import (Column, DataFrame, SparkSession, Window,
                          functions as F)
 
 from ..sources.tables import load_table
+from ..caches import PlanCache
 from .registry import register
 
 # Small public stopword lists per candidate language. On the driver's
@@ -993,7 +994,7 @@ def _framed_vocab(docs: DataFrame) -> DataFrame:
 # block manager on every warm bench call / multi-scale sweep; the memo
 # makes it the same build-once-read-many cache as the shingle index,
 # evicted by caches.clear_plan_caches.
-_VOCAB_CACHE: dict[tuple[str, str], DataFrame] = {}
+_VOCAB_CACHE: dict[tuple[str, str], DataFrame] = PlanCache()
 
 
 def _persisted_framed_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:

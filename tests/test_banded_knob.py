@@ -126,98 +126,154 @@ def test_recall_floor_is_threshold_derived():
 
 def test_recall_floor_router_routes_banded_above_floor(spark, sf_oracle_dir):
     """At the gated scale banded recall is 11/14 = 0.786 >= the
-    derived 0.576 floor: the router must choose the banded generator,
+    derived 0.576 floor: the router must choose the base 12-band rung,
     return exactly the session-cached confirmed banded pairs, and
-    leave esc_recall unmeasured (None — the oracle's NULL)."""
+    leave every higher rung unmeasured (None — the oracle's NULL)."""
     from clickhouse_aggregation_spark.operators.dedup import (
         confirmed_banded_pairs, neardup_candidate_pairs)
 
-    pairs, route, floor, recall, esc, ivf = \
-        neardup_candidate_pairs(spark, sf_oracle_dir)
-    assert route == "banded"
-    assert recall >= floor == 0.576311
-    assert esc is None and ivf is None
-    got = {(r.vec_a, r.vec_b) for r in pairs.collect()}
-    exp = {(r.vec_a, r.vec_b)
-           for r in confirmed_banded_pairs(spark, sf_oracle_dir).collect()}
+    r = neardup_candidate_pairs(spark, sf_oracle_dir)
+    assert (r.route, r.served_bands) == ("banded", 12)
+    assert r.rung_recalls[0] >= r.floor == 0.576311
+    assert r.rung_recalls[1:] == (None, None, None)
+    assert r.ivf_recall is None
+    got = {(p.vec_a, p.vec_b) for p in r.pairs.collect()}
+    exp = {(p.vec_a, p.vec_b)
+           for p in confirmed_banded_pairs(spark, sf_oracle_dir).collect()}
     assert got == exp
 
 
-def test_recall_floor_router_escalates_bands_before_ivf(
-        spark, sf_oracle_dir, monkeypatch):
-    """Below-floor banded recall must FIRST try the 18-band escalation
-    and serve it when escalation holds the floor. The measured recalls
-    are stubbed to pin the routing logic (at the gated scale both arms
-    measure 0.786 so the branch can't be hit organically; the sf1.0
-    sweep exercises it with real numbers)."""
-    from clickhouse_aggregation_spark.operators import dedup
-
-    fake = {dedup.EMB_BANDS: 0.40, dedup.EMB_BANDS_ESC: 0.70}
+def _stub_recalls(monkeypatch, dedup, fake: dict[int, float]) -> None:
     monkeypatch.setattr(
         dedup, "measured_banded_recall",
         lambda spark, sf_dir, bands=dedup.EMB_BANDS, threshold=0.45:
         fake[bands])
-    pairs, route, floor, recall, esc, ivf = \
-        dedup.neardup_candidate_pairs(spark, sf_oracle_dir)
-    assert route == "banded_esc"
-    assert (recall, esc, ivf) == (0.40, 0.70, None)
-    got = {(r.vec_a, r.vec_b) for r in pairs.collect()}
-    exp = {(r.vec_a, r.vec_b)
-           for r in dedup.confirmed_banded_pairs(
-               spark, sf_oracle_dir, dedup.EMB_BANDS_ESC).collect()}
-    assert got == exp and len(got) > 0
-    # escalation only ADDS pairs over the 12-band generator
-    base = {(r.vec_a, r.vec_b)
-            for r in dedup.confirmed_banded_pairs(
-                spark, sf_oracle_dir).collect()}
-    assert base <= got
+
+
+def test_recall_floor_router_climbs_ladder_to_first_adequate_rung(
+        spark, sf_oracle_dir, monkeypatch):
+    """Below-floor recall must climb the band ladder rung by rung and
+    serve the FIRST rung that holds the floor — without measuring past
+    it. Measured recalls are stubbed to pin the routing logic at each
+    serve point (at the gated scale every rung measures 0.786 so the
+    climb can't be hit organically; the scale sweeps exercise it with
+    real numbers)."""
+    from clickhouse_aggregation_spark.operators import dedup
+
+    for serve_at, expect_route in [(18, "banded_esc"),
+                                   (27, "banded_esc27"),
+                                   (36, "banded_esc36")]:
+        fake = {b: (0.70 if b >= serve_at else 0.20)
+                for b in dedup.BAND_LADDER}
+        _stub_recalls(monkeypatch, dedup, fake)
+        r = dedup.neardup_candidate_pairs(spark, sf_oracle_dir)
+        assert (r.route, r.served_bands) == (expect_route, serve_at)
+        # measured exactly through the serving rung, None after
+        idx = dedup.BAND_LADDER.index(serve_at)
+        assert all(v is not None for v in r.rung_recalls[:idx + 1])
+        assert all(v is None for v in r.rung_recalls[idx + 1:])
+        assert r.ivf_recall is None
+        got = {(p.vec_a, p.vec_b) for p in r.pairs.collect()}
+        exp = {(p.vec_a, p.vec_b)
+               for p in dedup.confirmed_banded_pairs(
+                   spark, sf_oracle_dir, serve_at).collect()}
+        assert got == exp and len(got) > 0
+
+
+def test_ladder_rungs_only_add_pairs(spark, sf_oracle_dir):
+    """Each rung's confirmed pair set must contain every lower rung's
+    (rungs only append seeded bands) — the monotonicity the climb's
+    early-exit correctness rests on."""
+    from clickhouse_aggregation_spark.operators import dedup
+
+    prev: set = set()
+    for bands in dedup.BAND_LADDER:
+        cur = {(p.vec_a, p.vec_b)
+               for p in dedup.capped_banded_pairs(
+                   spark, sf_oracle_dir, bands).collect()}
+        assert prev <= cur
+        prev = cur
+
+
+def test_ladder_filter_matches_standalone_rung_build(spark, sf_oracle_dir):
+    """The session ladder frame's min_band filter must reproduce a
+    standalone rung build bit-identically (same pairs, same cosines) —
+    the invariant that lets one capped build serve every rung."""
+    from pyspark.sql import functions as F
+    from clickhouse_aggregation_spark.operators import dedup
+    from clickhouse_aggregation_spark.sources.tables import load_table
+
+    emb_full = load_table(spark, sf_oracle_dir, "embeddings")
+    n_full = emb_full.count()
+    emb = emb_full.filter(F.col("vec_id") < dedup.COSINE_BASELINE_CAP)
+    for bands in (12, 18):
+        standalone = {(p.vec_a, p.vec_b, p.cosine)
+                      for p in dedup.embedding_lsh_banded_pairs(
+                          emb, n_corpus=n_full, bands=bands).collect()}
+        ladder = {(p.vec_a, p.vec_b, p.cosine)
+                  for p in dedup.capped_banded_pairs(
+                      spark, sf_oracle_dir, bands).collect()}
+        assert ladder == standalone
 
 
 def test_recall_floor_router_serves_best_when_floor_unreachable(
         spark, sf_oracle_dir, monkeypatch):
-    """When no generator holds the floor, the router serves the BEST
-    measured one, not an unconditional fallback (the sf2.0 ledger
-    showed escalated-banded 0.346 > IVF 0.269 — the old always-IVF
+    """When no rung holds the floor, the router serves the BEST
+    measured generator, not an unconditional fallback (the r7 sf2.0
+    ledger showed escalated-banded 0.346 > IVF 0.269 — an always-IVF
     last resort served the worse generator). Floor forced > 1 via the
-    fraction; both banded arms measure 0.786 at the gated scale, IVF
-    0.286, so best-of serves the escalated banded generator — and it
-    must have MEASURED all three arms (esc/ivf not None)."""
+    fraction; every rung measures 0.786 at the gated scale, IVF 0.286,
+    so best-of serves the TOP rung — and it must have MEASURED every
+    arm (all rung recalls and ivf_recall not None)."""
     from clickhouse_aggregation_spark.operators import dedup
 
     monkeypatch.setattr(dedup, "NEARDUP_FLOOR_FRACTION", 1.5)
-    pairs, route, floor, recall, esc, ivf = \
-        dedup.neardup_candidate_pairs(spark, sf_oracle_dir)
-    assert route == "banded_esc"
-    assert floor > 1 >= recall
-    assert esc is not None and ivf is not None and esc > ivf
-    got = {(r.vec_a, r.vec_b) for r in pairs.collect()}
-    exp = {(r.vec_a, r.vec_b)
-           for r in dedup.confirmed_banded_pairs(
-               spark, sf_oracle_dir, dedup.EMB_BANDS_ESC).collect()}
+    r = dedup.neardup_candidate_pairs(spark, sf_oracle_dir)
+    assert (r.route, r.served_bands) == ("banded_esc36", 36)
+    assert r.floor > 1 >= r.rung_recalls[0]
+    assert all(v is not None for v in r.rung_recalls)
+    assert r.ivf_recall is not None
+    assert r.rung_recalls[-1] > r.ivf_recall
+    got = {(p.vec_a, p.vec_b) for p in r.pairs.collect()}
+    exp = {(p.vec_a, p.vec_b)
+           for p in dedup.confirmed_banded_pairs(
+               spark, sf_oracle_dir, dedup.EMB_BANDS_MAX).collect()}
     assert got == exp and len(got) > 0
 
 
 def test_recall_floor_router_falls_back_to_ivf_when_ivf_wins(
         spark, sf_oracle_dir, monkeypatch):
     """The IVF route is taken exactly when the measured IVF arm beats
-    (or ties) the escalated banded arm below the floor. Banded-arm
-    recalls stubbed under the real IVF recall (0.286 at the gated
-    scale) to pin the comparison."""
+    (or ties) the TOP rung below the floor. Rung recalls stubbed under
+    the real IVF recall (0.286 at the gated scale) to pin the
+    comparison."""
     from clickhouse_aggregation_spark.operators import dedup
 
-    fake = {dedup.EMB_BANDS: 0.10, dedup.EMB_BANDS_ESC: 0.20}
-    monkeypatch.setattr(
-        dedup, "measured_banded_recall",
-        lambda spark, sf_dir, bands=dedup.EMB_BANDS, threshold=0.45:
-        fake[bands])
-    pairs, route, floor, recall, esc, ivf = \
-        dedup.neardup_candidate_pairs(spark, sf_oracle_dir)
-    assert route == "ivf_cells"
-    assert (recall, esc) == (0.10, 0.20) and ivf is not None and ivf > esc
-    got = {(r.vec_a, r.vec_b) for r in pairs.collect()}
-    exp = {(r.vec_a, r.vec_b)
-           for r in dedup.ivf_cell_pairs(spark, sf_oracle_dir).collect()}
+    fake = {12: 0.10, 18: 0.15, 27: 0.18, 36: 0.20}
+    _stub_recalls(monkeypatch, dedup, fake)
+    r = dedup.neardup_candidate_pairs(spark, sf_oracle_dir)
+    assert (r.route, r.served_bands) == ("ivf_cells", None)
+    assert r.rung_recalls == (0.10, 0.15, 0.18, 0.20)
+    assert r.ivf_recall is not None and r.ivf_recall > 0.20
+    got = {(p.vec_a, p.vec_b) for p in r.pairs.collect()}
+    exp = {(p.vec_a, p.vec_b)
+           for p in dedup.ivf_cell_pairs(spark, sf_oracle_dir).collect()}
     assert got == exp and len(got) > 0
+
+
+def test_router_rejects_thresholds_below_cached_cut():
+    """Thresholds under COSINE_DUP_THRESHOLD must raise loudly: the
+    cached truth/pair tables are generated at that cut, so pairs in
+    [t, 0.45) would be silently invisible to both the truth set and
+    every generator (ADVICE r7)."""
+    import pytest
+    from clickhouse_aggregation_spark.operators import dedup
+
+    for fn in (dedup.neardup_candidate_pairs,
+               dedup.measured_banded_recall,
+               dedup.measured_ivf_recall):
+        with pytest.raises(ValueError, match="threshold"):
+            fn(None, "unused", threshold=0.30)
 
 
 def test_banded_arm_monitor_equals_declared_monitor(spark, sf_oracle_dir):

@@ -1,0 +1,89 @@
+"""The bounded session plan-cache (VERDICT r7 next-#4): every
+build-once-read-many family cache is a PlanCache — an access-ordered
+dict that unpersists the least-recently-used entry on insert past
+capacity, so a long-lived session cycling many datasets holds a
+bounded number of persisted builds per family."""
+
+from __future__ import annotations
+
+from clickhouse_aggregation_spark.caches import (PLAN_CACHE_CAPACITY,
+                                                 PlanCache,
+                                                 clear_plan_caches)
+
+
+def test_plan_cache_evicts_lru_through_handler():
+    evicted: list[str] = []
+    c = PlanCache(capacity=3, on_evict=evicted.append)
+    for k in "abc":
+        c[k] = f"v{k}"
+    _ = c["a"]                       # refresh 'a': 'b' is now oldest
+    c["d"] = "vd"
+    assert evicted == ["vb"]
+    assert set(c) == {"a", "c", "d"}
+    _ = c["c"]
+    c["e"] = "ve"                    # 'a' refreshed before 'c' -> evict 'a'
+    assert evicted == ["vb", "va"]
+    # overwrite refreshes without evicting
+    c["c"] = "vc2"
+    assert len(c) == 3 and evicted == ["vb", "va"]
+    # dict-protocol compatibility used by clear_plan_caches
+    assert c.pop("c") == "vc2" and "c" not in c
+
+
+def test_plan_cache_soak_bounds_persisted_frames(spark):
+    """Cycle 3x capacity dataset keys through one cache in one
+    session: at most `capacity` frames may stay persisted; every
+    evicted frame must actually be unpersisted (storage level reset),
+    not just dropped from the dict."""
+    c = PlanCache()   # default capacity, default unpersist handler
+    frames = {}
+    for i in range(PLAN_CACHE_CAPACITY * 3):
+        key = ("app", f"/data/sf{i}")
+        df = spark.range(10 + i).persist()
+        df.count()
+        frames[key] = df
+        c[key] = df
+    assert len(c) == PLAN_CACHE_CAPACITY
+    pinned = [df for df in frames.values() if df.storageLevel.useMemory
+              or df.storageLevel.useDisk]
+    assert len(pinned) == PLAN_CACHE_CAPACITY
+    # the survivors are exactly the most recently inserted keys
+    keep = set(list(frames)[-PLAN_CACHE_CAPACITY:])
+    assert set(c) == keep
+    for df in c.values():
+        df.unpersist()
+
+
+def test_family_caches_are_bounded_plan_caches():
+    """Every cache clear_plan_caches administers must BE a PlanCache
+    (the eviction guarantee holds for all families, including the
+    streaming stores and scalar memos)."""
+    from clickhouse_aggregation_spark.operators import (
+        clustering, contamination, curation, dedup, similarity,
+        streaming_bridge, text)
+
+    caches = [
+        dedup._SETS_CACHE, dedup._PAIRS_CACHE, dedup._BANDED_CACHE,
+        dedup._COSINE_BASE_CACHE, dedup._LADDER_CAPPED_CACHE,
+        similarity._IVF_CORPUS_CACHE, similarity._SEM_CORPUS_CACHE,
+        similarity._SEM_K_CACHE, similarity._EVAL_TOPK_CACHE,
+        contamination._HASH_CACHE, curation._ANN_CACHE,
+        clustering._PR_EDGES_CACHE, clustering._PR_NODES_CACHE,
+        text._VOCAB_CACHE, streaming_bridge._STORE_CACHE,
+    ]
+    for c in caches:
+        assert isinstance(c, PlanCache)
+        assert c.capacity == PLAN_CACHE_CAPACITY
+
+
+def test_clear_plan_caches_still_drains_plan_caches(spark):
+    from clickhouse_aggregation_spark.operators import dedup
+
+    key = ("test-app", "/tmp/fake_sf_dir_for_cache_test")
+    df = spark.range(5).persist()
+    df.count()
+    dedup._SETS_CACHE[key] = df
+    evicted = clear_plan_caches("/tmp/fake_sf_dir_for_cache_test")
+    assert evicted["dedup_sets"] == 1
+    assert key not in dedup._SETS_CACHE
+    assert not (df.storageLevel.useMemory or df.storageLevel.useDisk)

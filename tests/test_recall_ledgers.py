@@ -66,3 +66,78 @@ def test_ivf_nprobe_sweep_monotone_and_consistent(spark, sf_oracle_dir):
     # the production budget's row == the declared monitor aggregated
     mon = q_similarity_ivf_recall(spark, sf_oracle_dir).collect()
     assert rows[N_PROBE]["n_hits"] == sum(r["n_hits"] for r in mon)
+
+
+# --- margin-aware route pinning (VERDICT r7 next-#2) -----------------
+# The router's decisions at the swept scales rest on measured-recall vs
+# floor comparisons; at crossover scales the winning margin can be a
+# single labeled pair (sf1.0: 0.576923 vs floor 0.576311). These tests
+# turn silent fixture drift into a NAMED failure: if a regenerated
+# fixture moves a measured recall across the floor, the route (and
+# every downstream hash) flips — the assertion message says which
+# scale's margin moved instead of leaving a bare hash mismatch.
+
+import os
+
+import pytest
+
+# expected route decisions per fixture dir; margins in labeled PAIRS
+# (recall*n_true), the unit fixture drift moves in. Scale fixtures are
+# throwaway (tools/gen_scale_fixture.py, deterministic) — entries skip
+# when the dir is absent so the suite stays green on a bare checkout.
+_SCALE_ROUTE_PINS = [
+    # (sf_dir, expected_route, expected_served_bands) — measured r8:
+    # sf0.01 banded 0.786, sf0.5 banded 0.692, sf1.0 banded_esc
+    # 0.500->0.577 (the knife-edge crossover), sf2.0 banded_esc27
+    # 0.269->0.346->0.692 (the r8 headroom rung holding the floor
+    # where round 7's 18-band ladder topped out at 0.346)
+    ("/root/testdata/sf0.01", "banded", 12),
+    ("/tmp/testdata_sf0.5", "banded", 12),
+    ("/tmp/testdata_sf1.0", "banded_esc", 18),
+    ("/tmp/testdata_sf2.0", "banded_esc27", 27),
+]
+
+
+@pytest.mark.parametrize("sf,route,bands", _SCALE_ROUTE_PINS,
+                         ids=[p[0].rsplit("/", 1)[-1]
+                              for p in _SCALE_ROUTE_PINS])
+def test_floor_route_margin_at_scale(spark, sf, route, bands):
+    from clickhouse_aggregation_spark.operators import dedup
+
+    if not os.path.isdir(sf):
+        pytest.skip(f"scale fixture {sf} not generated in this run")
+    r = dedup.neardup_candidate_pairs(spark, sf)
+    n_true = dedup.capped_exact_pairs(spark, sf).count()
+    assert (r.route, r.served_bands) == (route, bands), (
+        f"{sf}: route flipped to ({r.route}, {r.served_bands}) — "
+        f"expected ({route}, {bands}); rung recalls {r.rung_recalls} "
+        f"vs floor {r.floor} over {n_true} labeled pairs. A fixture "
+        f"regeneration moved a measured recall across the floor; "
+        f"re-pin the routes and re-run the scale sweeps.")
+    served = r.rung_recalls[dedup.BAND_LADDER.index(bands)]
+    margin_pairs = (served - r.floor) * n_true
+    assert margin_pairs >= 0, (
+        f"{sf}: serving rung {bands} measured {served} BELOW floor "
+        f"{r.floor} — router contract violated")
+    # knife-edge watch: sf1.0's win is < 1 labeled pair by design
+    # (that is what a real floor looks like at the crossover scale);
+    # anything NEGATIVE or a flipped route fails above with a named
+    # message. Record the margin for the log.
+    print(f"{sf}: rung {bands} margin = {margin_pairs:.3f} labeled "
+          f"pairs over floor {r.floor} (n_true={n_true})")
+
+
+def test_gated_scale_banded_margin_is_wide(spark, sf_oracle_dir):
+    """At the driver's gated scale the base rung must clear the floor
+    by a WIDE margin (>= 2 labeled pairs): if a fixture or plane-table
+    change ever erodes it to knife-edge, this fails by name before any
+    driver hash does."""
+    from clickhouse_aggregation_spark.operators import dedup
+
+    r = dedup.neardup_candidate_pairs(spark, sf_oracle_dir)
+    n_true = dedup.capped_exact_pairs(spark, sf_oracle_dir).count()
+    margin_pairs = (r.rung_recalls[0] - r.floor) * n_true
+    assert margin_pairs >= 2, (
+        f"gated-scale banded margin eroded to {margin_pairs:.2f} "
+        f"labeled pairs (recall {r.rung_recalls[0]} vs floor "
+        f"{r.floor}, n_true={n_true})")

@@ -58,7 +58,12 @@ COUNTERS = {
 # minhash-pairs build re-rendered several times, not live shuffles
 # (the tree walk reports 3). The walk stops naturally at
 # InMemoryTableScanExec (the cached plan is not among its children)
-# and descends into AdaptiveSparkPlanExec via initialPlan.
+# and descends into AdaptiveSparkPlanExec via initialPlan — i.e. the
+# counts are EXPLAIN-BEFORE-RUN by design (the audit inspects plans
+# without executing them), so they reflect the pre-AQE plan: an upper
+# bound on exchanges AQE may later coalesce or convert to broadcast.
+# ReusedExchangeExec is likewise not counted (it re-reads a shuffle,
+# it does not execute one) — both deliberate, per ADVICE r7.
 _LIVE_CLASSES = {
     "ShuffleExchangeExec": "exchanges",
     "CartesianProductExec": "cartesian",

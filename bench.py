@@ -198,6 +198,9 @@ HEADLINE = [
     "dedup_ivf_route_recall",
     "dedup_minhash_recall",
     "similarity_ivf_nprobe_sweep",
+    # round 8 addition: the per-rung quality curve of the extended
+    # (12/18/27/36) band-escalation ladder
+    "dedup_neardup_ladder_profile",
 ]
 
 # documented-quadratic / superseded exactness baselines (scale paths

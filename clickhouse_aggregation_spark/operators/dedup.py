@@ -816,18 +816,20 @@ def _band_key_sql(planes: list[list[int]]) -> str:
     return " || ".join(parts)
 
 
-def _banded_posts_sql(bands: int = EMB_BANDS) -> str:
+def _banded_posts_sql(bands: int = EMB_BANDS, src: str = "n") -> str:
     """Per-band posting lists with the corpus-size plane knob applied
     IN SQL: each band's key is the full 10-plane bit string, truncated
     to the P(n) prefix — prefix-of-key ≡ using only the first P planes,
     so one static oracle is parameter-correct at every scale factor.
-    ``bands`` > EMB_BANDS appends the escalation bands (the floor
-    router's bands+Δ arm)."""
+    ``bands`` > EMB_BANDS appends the escalation-ladder bands (the
+    floor router's rungs); ``src`` names the normalized-vector CTE to
+    post (capped-only ledgers post ``nc`` so the oracle never keys the
+    full corpus)."""
     p = _banded_planes_sql()
     selects = [
         f"SELECT vec_id, qv, norm2, {b} AS band, "
         f"substr({_band_key_sql(BAND_PLANES_ALL[b])}, 1, {p}) "
-        f"AS bkey FROM n"
+        f"AS bkey FROM {src}"
         for b in range(bands)
     ]
     return "\nUNION ALL\n".join(selects)
@@ -1583,6 +1585,83 @@ def q_dedup_ivf_route_recall(spark: SparkSession,
                        F.col("ivf_found") / F.col("n_true"))
                 .cast("double").alias("ivf_recall"))
     )
+
+
+def _ladder_profile_oracle() -> str:
+    t = repr(float(COSINE_DUP_THRESHOLD))
+    rungs = ", ".join(str(b) for b in BAND_LADDER)
+    return f"""
+WITH q AS (
+  SELECT vec_id, {quantize.SQL} AS qv FROM embeddings
+), n AS (
+  SELECT vec_id, qv, {int_norm2.SQL} AS norm2 FROM q
+), nc AS MATERIALIZED (
+  SELECT * FROM n WHERE vec_id < {COSINE_BASELINE_CAP}
+), postsc AS MATERIALIZED (
+{_banded_posts_sql(EMB_BANDS_MAX, src="nc")}
+), base AS MATERIALIZED (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM nc a, nc b
+  WHERE a.vec_id < b.vec_id
+    AND {COSINE_ORACLE_EXPR} >= {t}
+), cand AS MATERIALIZED (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, min(a.band) AS mband
+  FROM postsc a JOIN postsc b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id
+  WHERE {COSINE_ORACLE_EXPR} >= {t}
+  GROUP BY 1, 2
+), hits AS (
+  SELECT c.mband FROM cand c
+  JOIN base b ON c.vec_a = b.vec_a AND c.vec_b = b.vec_b
+), rungs AS (SELECT unnest([{rungs}]) AS bands)
+SELECT CAST(r.bands AS BIGINT) AS bands,
+       CAST((SELECT count(*) FROM cand
+             WHERE mband < r.bands) AS BIGINT) AS capped_pairs,
+       CAST((SELECT count(*) FROM base) AS BIGINT) AS n_true,
+       CAST((SELECT count(*) FROM hits
+             WHERE mband < r.bands) AS BIGINT) AS found,
+       CAST((SELECT count(*) FROM hits WHERE mband < r.bands) AS DOUBLE)
+         / NULLIF((SELECT count(*) FROM base), 0) AS recall
+FROM rungs r"""
+
+
+@register(
+    "dedup_neardup_ladder_profile",
+    oracle=_ladder_profile_oracle(),
+    doc="The escalation ladder's full quality curve as a hash-checked "
+        "table — one row per rung (12/18/27/36 bands): confirmed "
+        "candidate pair count and pair recall against the exact truth "
+        "on the labeled capped domain at the production plane "
+        "parameterization. The tuning evidence behind every floor-"
+        "route decision (the router serves the first rung whose "
+        "recall row here clears the floor), the same role "
+        "similarity_ivf_nprobe_sweep plays for the search index — "
+        "recall/candidates vs rung, externally pinned, so scaling a "
+        "corpus 10x shows exactly which rung the dedup pass will pay "
+        "for BEFORE the full index is built. Reads two session-"
+        "persisted sample-sized frames (the exact baseline and the "
+        "top-rung ladder frame); no full-corpus work.",
+)
+def q_dedup_neardup_ladder_profile(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    spark_ = spark
+    base = capped_exact_pairs(spark_, sf_dir).select("vec_a", "vec_b")
+    lad = ladder_capped_pairs(spark_, sf_dir)
+    hits = lad.join(base, ["vec_a", "vec_b"]).select("min_band")
+    rungs = spark_.createDataFrame([(b,) for b in BAND_LADDER],
+                                   "bands long")
+    n_true = base.agg(F.count(F.lit(1)).cast("long").alias("n_true"))
+    capped = (rungs.join(lad, F.col("min_band") < F.col("bands"), "left")
+              .groupBy("bands")
+              .agg(F.count("min_band").alias("capped_pairs")))
+    found = (rungs.join(hits, F.col("min_band") < F.col("bands"), "left")
+             .groupBy("bands")
+             .agg(F.count("min_band").alias("found")))
+    return (capped.join(found, "bands").crossJoin(n_true)
+            .select("bands", "capped_pairs", "n_true", "found",
+                    F.when(F.col("n_true") > 0,
+                           F.col("found") / F.col("n_true"))
+                    .cast("double").alias("recall")))
 
 
 @register(

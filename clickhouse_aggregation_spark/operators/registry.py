@@ -264,6 +264,15 @@ EXTRAS: tuple[str, ...] = (
     # LSH-family search ledger stays sweep-gated with its r6 driver
     # row green on record.
     "similarity_lsh_recall",
+    # Demoted round 8 for dedup_neardup_ladder_profile (the per-rung
+    # quality curve of the 12/18/27/36 band-escalation ladder): the
+    # three-arm monitor's banded column is strictly subsumed by the
+    # profile's bands=12 row (same truth set, same capped ladder
+    # frame), and its single-bucket foil — a ~zero-recall
+    # demonstration, not a shipped path — stays sweep- and
+    # pytest-gated (tests/test_banded_knob.py pins the
+    # monitor-equals-router-read identity). r1-r7 driver rows green.
+    "dedup_embedding_lsh_recall",
 )
 
 

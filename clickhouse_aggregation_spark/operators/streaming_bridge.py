@@ -24,6 +24,7 @@ from __future__ import annotations
 import os
 import shutil
 import tempfile
+import time
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -36,6 +37,17 @@ from .text import BPE_PAIRS_SQL
 
 N_EPOCHS = 3
 _STREAM_TIMEOUT_S = 600
+
+# Shuffle/state-partition width while DRIVING a maintainer stream.
+# The façade drives tiny per-epoch batches (one fixture chunk each),
+# where the session's cluster-sized width is pure overhead: each
+# micro-batch schedules width× state-store instances / shuffle tasks
+# for kilobytes of data — measured at sf0.1, the stateful sketch drive
+# is 3.3x faster at 8 than at 32 and the embedding-neardup drive 1.4x
+# (NOTES_r8). On a real deployment this is the knob you size to key
+# cardinality x throughput, NOT a constant; every maintained result is
+# partition-width-invariant (the oracle hash checks stay the proof).
+STREAM_SHUFFLE_PARTITIONS = 8
 
 # one maintained store per (maintainer, session, sf_dir): the stream
 # runs once; repeated invocations (driver row-count + value passes,
@@ -55,14 +67,32 @@ def _chunked_table_dir(spark: SparkSession, sf_dir: str, prefix: str,
     """A driver table (or a synthesized frame via ``df_fn``) split into
     N_EPOCHS parquet files (one per micro-batch; deterministic id % N
     membership — the result is arrival-order invariant anyway, by the
-    maintainers' exactly-once / order-independent-merge guarantees)."""
+    maintainers' exactly-once / order-independent-merge guarantees).
+
+    Written in ONE pass: a partitionBy on the derived epoch column
+    replaces the old N_EPOCHS filtered scans (measured 2.1x at sf0.1 —
+    the chunk write was half the sketch façade's cold cost), then the
+    per-epoch files are renamed into the flat chunk dir with mtimes
+    staggered per epoch so the file stream source's arrival order
+    (mtime, then path) stays exactly the old sequential-write order."""
     root = tempfile.mkdtemp(prefix=prefix)
     ddir = os.path.join(root, "chunks")
     df = df_fn(spark, sf_dir) if df_fn is not None \
         else load_table(spark, sf_dir, table)
+    staged = ddir + "_by_epoch"
+    (df.withColumn("_epoch", F.col(id_col) % N_EPOCHS)
+       .repartition(N_EPOCHS, "_epoch")
+       .write.partitionBy("_epoch").mode("overwrite").parquet(staged))
+    os.makedirs(ddir)
+    now = time.time()
     for i in range(N_EPOCHS):
-        (df.filter(F.col(id_col) % N_EPOCHS == i)
-             .coalesce(1).write.mode("append").parquet(ddir))
+        sub = os.path.join(staged, f"_epoch={i}")
+        parts = sorted(f for f in os.listdir(sub) if f.endswith(".parquet"))
+        for j, fn in enumerate(parts):
+            dst = os.path.join(ddir, f"epoch{i}_{j}.parquet")
+            os.rename(os.path.join(sub, fn), dst)
+            os.utime(dst, (now + i, now + i))
+    shutil.rmtree(staged, ignore_errors=True)
     return root, ddir
 
 
@@ -76,13 +106,22 @@ def _maintained_store(spark: SparkSession, sf_dir: str, kind: str,
         root, ddir = _chunked_table_dir(spark, sf_dir, f"stream_{kind}_",
                                         table, id_col, df_fn)
         store = os.path.join(root, "store")
-        q = runner(spark, ddir, store)
-        finished = q.awaitTermination(_STREAM_TIMEOUT_S)
-        if not finished:
-            q.stop()
-            raise RuntimeError(
-                f"{kind} maintainer did not drain {N_EPOCHS} epochs "
-                f"within {_STREAM_TIMEOUT_S}s")
+        # drive at a width matched to the per-epoch batch size (see
+        # STREAM_SHUFFLE_PARTITIONS), restoring the session width after
+        # — the maintained results are width-invariant (hash-checked)
+        prev_width = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions",
+                       str(STREAM_SHUFFLE_PARTITIONS))
+        try:
+            q = runner(spark, ddir, store)
+            finished = q.awaitTermination(_STREAM_TIMEOUT_S)
+            if not finished:
+                q.stop()
+                raise RuntimeError(
+                    f"{kind} maintainer did not drain {N_EPOCHS} epochs "
+                    f"within {_STREAM_TIMEOUT_S}s")
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_width)
         _STORE_CACHE[key] = store
     return _STORE_CACHE[key]
 

@@ -28,8 +28,6 @@ for dataset lifecycle events (bench.py calls it between scales).
 
 from __future__ import annotations
 
-import os
-import shutil
 from typing import Any, Callable
 
 # Per-family entry bound. Keys are (session, sf_dir)-shaped (some with
@@ -107,34 +105,24 @@ def clear_plan_caches(sf_dir: str | None = None) -> dict[str, int]:
         ("ladder_capped", dedup._LADDER_CAPPED_CACHE),
         ("ivf_corpus", similarity._IVF_CORPUS_CACHE),
         ("sem_corpus", similarity._SEM_CORPUS_CACHE),
+        ("sem_k", similarity._SEM_K_CACHE),
         ("eval_topk", similarity._EVAL_TOPK_CACHE),
         ("contamination_hashes", contamination._HASH_CACHE),
         ("curation_annotated", curation._ANN_CACHE),
         ("pagerank_edges", clustering._PR_EDGES_CACHE),
         ("pagerank_nodes", clustering._PR_NODES_CACHE),
         ("bpe_vocab", text._VOCAB_CACHE),
+        ("maintained_stores", streaming_bridge._STORE_CACHE),
     ):
+        # every family cache is a PlanCache: retire entries through the
+        # SAME handler LRU eviction uses (frame unpersist / store-root
+        # rmtree / scalar no-op), so explicit retire and capacity
+        # eviction can never diverge
         hit = [k for k in cache if _match(k)]
         for k in hit:
-            df = cache.pop(k)
             try:
-                df.unpersist()
+                cache.on_evict(cache.pop(k))
             except Exception:  # session already stopped — nothing pinned
                 pass
         evicted[name] = len(hit)
-
-    # scalar memos that ride along with the frame caches (no unpersist)
-    for name, memo in (("sem_k", similarity._SEM_K_CACHE),):
-        hit = [k for k in memo if _match(k)]
-        for k in hit:
-            memo.pop(k)
-        evicted[name] = len(hit)
-
-    hit = [k for k in streaming_bridge._STORE_CACHE if _match(k)]
-    for k in hit:
-        store = streaming_bridge._STORE_CACHE.pop(k)
-        # the store lives under a private temp root that also holds the
-        # chunked source; drop the whole root
-        shutil.rmtree(os.path.dirname(store), ignore_errors=True)
-    evicted["maintained_stores"] = len(hit)
     return evicted

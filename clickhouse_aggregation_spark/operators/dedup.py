@@ -1163,20 +1163,36 @@ def ivf_cell_pairs(spark: SparkSession, sf_dir: str,
 # which full index to build. Cosine rides along for the threshold-
 # parameterized router variants (same one-cache-many-thresholds trick
 # as the exact baseline).
-_LADDER_CAPPED_CACHE: dict[tuple[str, str], DataFrame] = PlanCache()
+_LADDER_CAPPED_CACHE: dict[tuple[str, str], tuple[int, DataFrame]] = \
+    PlanCache(on_evict=lambda v: v[1].unpersist())
 
 
-def ladder_capped_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ladder_capped_pairs(spark: SparkSession, sf_dir: str,
+                        bands: int = EMB_BANDS) -> DataFrame:
+    """The session ladder frame, grown LAZILY: built at the requested
+    rung and re-built wider only when a climb (or the ladder profile,
+    which asks for the top) needs more bands — a frame with more bands
+    serves any lower rung via its min_band filter, so the cache keeps
+    the widest build so far. Lazy-grow because the cold build cost
+    scales with the built width (measured ~3 s at 12 bands vs ~9 s at
+    36 in a fresh session) while the overwhelmingly common route is the
+    base rung — an always-at-the-top build would tax every
+    above-floor corpus for headroom it never uses."""
     key = (_session_key(spark), sf_dir)
-    if key not in _LADDER_CAPPED_CACHE:
+    cached = _LADDER_CAPPED_CACHE[key] if key in _LADDER_CAPPED_CACHE \
+        else None
+    if cached is None or cached[0] < bands:
         emb_full = load_table(spark, sf_dir, "embeddings")
         n_full = emb_full.count()
         emb = emb_full.filter(F.col("vec_id") < COSINE_BASELINE_CAP)
-        _LADDER_CAPPED_CACHE[key] = (
-            embedding_lsh_banded_candidates(emb, n_corpus=n_full,
-                                            bands=EMB_BANDS_MAX)
-            .persist(StorageLevel.MEMORY_AND_DISK))
-    return _LADDER_CAPPED_CACHE[key]
+        frame = (embedding_lsh_banded_candidates(emb, n_corpus=n_full,
+                                                 bands=bands)
+                 .persist(StorageLevel.MEMORY_AND_DISK))
+        if cached is not None:
+            cached[1].unpersist()
+        _LADDER_CAPPED_CACHE[key] = (bands, frame)
+        return frame
+    return cached[1]
 
 
 def capped_banded_pairs(spark: SparkSession, sf_dir: str,
@@ -1185,7 +1201,7 @@ def capped_banded_pairs(spark: SparkSession, sf_dir: str,
     filter of the session ladder frame (bit-identical to a standalone
     bands-rung build: lower bands' keys never change when rungs are
     appended; asserted in tests)."""
-    return (ladder_capped_pairs(spark, sf_dir)
+    return (ladder_capped_pairs(spark, sf_dir, bands)
             .filter(F.col("min_band") < bands)
             .select("vec_a", "vec_b", "cosine"))
 
@@ -1221,7 +1237,7 @@ def measured_banded_recall(spark: SparkSession, sf_dir: str,
     _require_cached_threshold(threshold)
     base = capped_exact_pairs(spark, sf_dir) \
         .filter(F.col("cosine") >= threshold).select("vec_a", "vec_b")
-    banded = (ladder_capped_pairs(spark, sf_dir)
+    banded = (ladder_capped_pairs(spark, sf_dir, bands)
               .filter((F.col("min_band") < bands)
                       & (F.col("cosine") >= threshold))
               .select("vec_a", "vec_b").withColumn("_hit", F.lit(1)))
@@ -1646,7 +1662,7 @@ def q_dedup_neardup_ladder_profile(spark: SparkSession,
                                    sf_dir: str) -> DataFrame:
     spark_ = spark
     base = capped_exact_pairs(spark_, sf_dir).select("vec_a", "vec_b")
-    lad = ladder_capped_pairs(spark_, sf_dir)
+    lad = ladder_capped_pairs(spark_, sf_dir, EMB_BANDS_MAX)
     hits = lad.join(base, ["vec_a", "vec_b"]).select("min_band")
     rungs = spark_.createDataFrame([(b,) for b in BAND_LADDER],
                                    "bands long")

@@ -102,6 +102,7 @@ def clear_plan_caches(sf_dir: str | None = None) -> dict[str, int]:
         ("minhash_pairs", dedup._PAIRS_CACHE),
         ("banded_pairs", dedup._BANDED_CACHE),
         ("cosine_base", dedup._COSINE_BASE_CACHE),
+        ("minhash_truth", dedup._MINHASH_TRUTH_CACHE),
         ("ladder_capped", dedup._LADDER_CAPPED_CACHE),
         ("ivf_corpus", similarity._IVF_CORPUS_CACHE),
         ("sem_corpus", similarity._SEM_CORPUS_CACHE),

@@ -419,6 +419,24 @@ def _build_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 MINHASH_RECALL_CAP = 20_000
 
+# one persisted capped exact-Jaccard truth set per (session, sf_dir) —
+# the text-side twin of capped_exact_pairs: the shingle-bucket verify
+# is the dominant cost of every MinHash recall read, and its output is
+# a few-dozen-row pair list. Evicted by caches.clear_plan_caches / LRU.
+_MINHASH_TRUTH_CACHE: dict[tuple[str, str], DataFrame] = PlanCache()
+
+
+def capped_jaccard_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (_session_key(spark), sf_dir)
+    if key not in _MINHASH_TRUTH_CACHE:
+        docs = load_table(spark, sf_dir, "documents") \
+            .filter(F.col("doc_id") < MINHASH_RECALL_CAP)
+        _MINHASH_TRUTH_CACHE[key] = (
+            _jaccard_pairs(doc_shingles(docs)).select("doc_a", "doc_b")
+            .persist(StorageLevel.MEMORY_AND_DISK))
+    return _MINHASH_TRUTH_CACHE[key]
+
+
 _DOC_SETS_CAPPED_SQL = DOC_SETS_SQL.replace(
     "FROM documents",
     f"FROM (SELECT * FROM documents WHERE doc_id < {MINHASH_RECALL_CAP})")
@@ -463,9 +481,7 @@ SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_true,
         "engine. Deterministic on both engines.",
 )
 def q_dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents") \
-        .filter(F.col("doc_id") < MINHASH_RECALL_CAP)
-    truth = _jaccard_pairs(doc_shingles(docs)).select("doc_a", "doc_b")
+    truth = capped_jaccard_truth(spark, sf_dir)
     found = (confirmed_minhash_pairs(spark, sf_dir)
              .filter((F.col("doc_a") < MINHASH_RECALL_CAP)
                      & (F.col("doc_b") < MINHASH_RECALL_CAP))

@@ -87,6 +87,11 @@ def _chunked_table_dir(spark: SparkSession, sf_dir: str, prefix: str,
     now = time.time()
     for i in range(N_EPOCHS):
         sub = os.path.join(staged, f"_epoch={i}")
+        if not os.path.isdir(sub):
+            # an id residue with zero rows writes no partition dir; the
+            # maintainers' union-of-epochs result is chunking-invariant,
+            # so simply fewer micro-batches arrive
+            continue
         parts = sorted(f for f in os.listdir(sub) if f.endswith(".parquet"))
         for j, fn in enumerate(parts):
             dst = os.path.join(ddir, f"epoch{i}_{j}.parquet")

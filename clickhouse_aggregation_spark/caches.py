@@ -68,6 +68,15 @@ class PlanCache(dict):
         super().__setitem__(key, value)
         return value
 
+    def get(self, key, default=None):
+        # dict.get does NOT call __getitem__ — route through it so a
+        # .get() hit refreshes recency like [] does (ADVICE r8: a hot
+        # entry read only via .get() must not look LRU-cold)
+        try:
+            return self[key]
+        except KeyError:
+            return default
+
     def __setitem__(self, key, value):
         if key in self:
             super().__delitem__(key)

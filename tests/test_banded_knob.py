@@ -216,6 +216,40 @@ def test_ladder_filter_matches_standalone_rung_build(spark, sf_oracle_dir):
         assert ladder == standalone
 
 
+def test_ladder_incremental_grow_equals_scratch_build(spark, sf_oracle_dir):
+    """Growing the session ladder frame rung by rung (12→18→27→36,
+    each step materializing only the NEW bands and merging) must be
+    bit-identical — pairs, cosines AND min_band — to one from-scratch
+    build at the top rung (ADVICE r8 / VERDICT r8 next-#6: the old
+    grow rebuilt from scratch; the incremental path is only sound if
+    each band's keys are independent of which other bands are built)."""
+    from pyspark.sql import functions as F
+    from clickhouse_aggregation_spark.operators import dedup
+    from clickhouse_aggregation_spark.sources.tables import load_table
+
+    key = (dedup._session_key(spark), sf_oracle_dir)
+    old = dedup._LADDER_CAPPED_CACHE.pop(key, None)
+    if old is not None:
+        old[1].unpersist()
+    try:
+        for bands in dedup.BAND_LADDER:
+            grown = dedup.ladder_capped_pairs(spark, sf_oracle_dir, bands)
+        grown_set = {(p.vec_a, p.vec_b, p.cosine, p.min_band)
+                     for p in grown.collect()}
+    finally:
+        cached = dedup._LADDER_CAPPED_CACHE.pop(key, None)
+        if cached is not None:
+            cached[1].unpersist()
+    emb_full = load_table(spark, sf_oracle_dir, "embeddings")
+    n_full = emb_full.count()
+    emb = emb_full.filter(F.col("vec_id") < dedup.COSINE_BASELINE_CAP)
+    scratch = {(p.vec_a, p.vec_b, p.cosine, p.min_band)
+               for p in dedup.embedding_lsh_banded_candidates(
+                   emb, n_corpus=n_full,
+                   bands=dedup.EMB_BANDS_MAX).collect()}
+    assert grown_set == scratch and len(scratch) > 0
+
+
 def test_recall_floor_router_serves_best_when_floor_unreachable(
         spark, sf_oracle_dir, monkeypatch):
     """When no rung holds the floor, the router serves the BEST

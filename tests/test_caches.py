@@ -69,11 +69,76 @@ def test_family_caches_are_bounded_plan_caches():
         similarity._SEM_K_CACHE, similarity._EVAL_TOPK_CACHE,
         contamination._HASH_CACHE, curation._ANN_CACHE,
         clustering._PR_EDGES_CACHE, clustering._PR_NODES_CACHE,
-        text._VOCAB_CACHE, streaming_bridge._STORE_CACHE,
+        text._VOCAB_CACHE,
     ]
     for c in caches:
         assert isinstance(c, PlanCache)
         assert c.capacity == PLAN_CACHE_CAPACITY
+    # the maintained-store cache holds DIRECTORIES whose eviction
+    # deletes files under outstanding lazy readers, so it gets a
+    # dedicated capacity covering all 8 maintainer kinds x several
+    # concurrent datasets (ADVICE r8: the default 8 had zero headroom)
+    assert isinstance(streaming_bridge._STORE_CACHE, PlanCache)
+    n_kinds = 8
+    assert streaming_bridge._STORE_CACHE.capacity >= n_kinds * 4
+
+
+def test_plan_cache_get_refreshes_recency():
+    """dict.get bypasses __getitem__ unless overridden — a hot entry
+    read only via .get() must not look LRU-cold (ADVICE r8)."""
+    evicted: list[str] = []
+    c = PlanCache(capacity=2, on_evict=evicted.append)
+    c["a"] = "va"
+    c["b"] = "vb"
+    assert c.get("a") == "va"        # refresh 'a': 'b' is now oldest
+    c["c"] = "vc"
+    assert evicted == ["vb"]
+    assert set(c) == {"a", "c"}
+    assert c.get("missing") is None
+    assert c.get("missing", "dflt") == "dflt"
+
+
+def test_store_cache_revalidates_missing_dir(spark, tmp_path, monkeypatch):
+    """A maintained-store cache hit whose directory was removed
+    out-of-band (LRU eviction from another insert, external cleanup)
+    must re-drive the maintainer, not hand readers a dead path."""
+    import os
+    from clickhouse_aggregation_spark.operators import streaming_bridge as sb
+
+    calls: list[str] = []
+
+    def fake_chunked(spark_, sf_dir_, prefix, table="documents",
+                     id_col="doc_id", df_fn=None):
+        root = tmp_path / f"root{len(calls)}"
+        (root / "chunks").mkdir(parents=True)
+        calls.append(prefix)
+        return str(root), str(root / "chunks")
+
+    class _Q:
+        def awaitTermination(self, *_): return True
+        def stop(self): pass
+
+    def fake_runner(spark_, ddir, store):
+        os.makedirs(store, exist_ok=True)
+        return _Q()
+
+    monkeypatch.setattr(sb, "_chunked_table_dir", fake_chunked)
+    key_sf = str(tmp_path / "sfX")
+    store1 = sb._maintained_store(spark, key_sf, "revalidate_test",
+                                  fake_runner)
+    assert os.path.isdir(store1) and len(calls) == 1
+    # warm hit: no re-drive
+    assert sb._maintained_store(spark, key_sf, "revalidate_test",
+                                fake_runner) == store1
+    assert len(calls) == 1
+    # out-of-band removal -> the hit must re-drive
+    import shutil
+    shutil.rmtree(os.path.dirname(store1))
+    store2 = sb._maintained_store(spark, key_sf, "revalidate_test",
+                                  fake_runner)
+    assert os.path.isdir(store2) and len(calls) == 2
+    sb._STORE_CACHE.pop(
+        ("revalidate_test", spark.sparkContext.applicationId, key_sf), None)
 
 
 def test_clear_plan_caches_still_drains_plan_caches(spark):

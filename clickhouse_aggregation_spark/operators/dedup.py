@@ -766,7 +766,7 @@ BAND_PLANES_ESC: list[list[list[int]]] = [
 # 0.576 floor, so below-floor corpora inherited the best of two
 # inadequate arms. The rho-analysis prescribes bands ∝ (1/p^P) per
 # recovered plane (p ≈ 0.65 at the 0.45 threshold → ×1.5 bands per
-# plane), giving the natural ladder 12 → 18 → 27 → 36. Each rung's
+# plane), giving the natural ladder 12 → 18 → 27 → 36 → 54. Each rung's
 # extra bands come from their OWN seeded rng stream, so every lower
 # rung's keys (and therefore every pinned recall number and driver
 # hash that predates the rung) are bit-identical by construction —
@@ -779,27 +779,47 @@ BAND_PLANES_ESC2: list[list[list[int]]] = [
      for _ in range(EMB_BAND_PLANES + BANDED_MAX_EXTRA)]
     for _ in range(EMB_BANDS_ESC2 - EMB_BANDS_ESC)
 ]
-EMB_BANDS_ESC3 = 36          # top rung — the ladder's headroom limit
+EMB_BANDS_ESC3 = 36          # third escalation rung (r8's headroom limit)
 _band_rng_esc3 = random.Random(20250818)
 BAND_PLANES_ESC3: list[list[list[int]]] = [
     [[_band_rng_esc3.randint(-1000, 1000) for _ in range(DIM)]
      for _ in range(EMB_BAND_PLANES + BANDED_MAX_EXTRA)]
     for _ in range(EMB_BANDS_ESC3 - EMB_BANDS_ESC2)
 ]
+
+# Rung 54 (VERDICT r8 next-#4, the post-36 policy DECIDED): the sf4.0
+# fixture (R=40, tools/gen_scale_fixture.py) organically exhausted the
+# 36-band ladder — rung recalls 0.192/0.231/0.462/0.538 all below the
+# 0.576 floor, IVF 0.385, so the best-of last resort fired for the
+# first time and served rung 36 at 14/26 labeled pairs (one pair short
+# of the floor). The rho-analysis' next prescription is x1.5 bands;
+# the collision model predicts ~0.69 recall at 54 bands on that
+# corpus. Same seeded-stream construction: every lower rung (and every
+# pinned recall/hash that predates this rung) is bit-identical, the
+# new rung only APPENDS pairs.
+EMB_BANDS_ESC4 = 54          # top rung — the ladder's headroom limit
+_band_rng_esc4 = random.Random(20250819)
+BAND_PLANES_ESC4: list[list[list[int]]] = [
+    [[_band_rng_esc4.randint(-1000, 1000) for _ in range(DIM)]
+     for _ in range(EMB_BAND_PLANES + BANDED_MAX_EXTRA)]
+    for _ in range(EMB_BANDS_ESC4 - EMB_BANDS_ESC3)
+]
 BAND_PLANES_ALL: list[list[list[int]]] = (
     BAND_PLANES_FULL + BAND_PLANES_ESC + BAND_PLANES_ESC2
-    + BAND_PLANES_ESC3)
+    + BAND_PLANES_ESC3 + BAND_PLANES_ESC4)
 
 # the router's escalation ladder, lowest rung first; route names are
 # part of the hash-checked output contract
 BAND_LADDER: tuple[int, ...] = (EMB_BANDS, EMB_BANDS_ESC,
-                                EMB_BANDS_ESC2, EMB_BANDS_ESC3)
+                                EMB_BANDS_ESC2, EMB_BANDS_ESC3,
+                                EMB_BANDS_ESC4)
 EMB_BANDS_MAX = BAND_LADDER[-1]
 ROUTE_BY_BANDS: dict[int, str] = {
     EMB_BANDS: "banded",
     EMB_BANDS_ESC: "banded_esc",
     EMB_BANDS_ESC2: "banded_esc27",
     EMB_BANDS_ESC3: "banded_esc36",
+    EMB_BANDS_ESC4: "banded_esc54",
 }
 
 
@@ -1114,8 +1134,8 @@ def q_dedup_embedding_lsh_recall(spark: SparkSession,
 #  1. measure banded recall on the labeled capped domain at the
 #     production parameterization (the same hash-checked monitor the
 #     driver sees); at/above floor -> serve the banded generator;
-#  2. below floor, CLIMB THE BAND LADDER (12 -> 18 -> 27 -> 36; recall
-#     1-(1-p^P)^b rises with b at cost linear in b — the cheap lever
+#  2. below floor, CLIMB THE BAND LADDER (12 -> 18 -> 27 -> 36 -> 54;
+#     recall 1-(1-p^P)^b rises with b at cost linear in b — the lever
 #     the rho-analysis above prescribes, rung spacing ~(1/p^P) per
 #     recovered plane): serve the first rung whose re-measured recall
 #     holds the floor;
@@ -1344,7 +1364,7 @@ def neardup_candidate_pairs(spark: SparkSession, sf_dir: str,
                             ) -> NeardupRoute:
     """The production near-dup candidate entry point.
 
-    Climbs the band-escalation LADDER (12 → 18 → 27 → 36 bands,
+    Climbs the band-escalation LADDER (12 → 18 → 27 → 36 → 54 bands,
     VERDICT r7 next-#1): at each rung, measure pair recall on the
     labeled capped domain (one filter of the session ladder frame —
     the whole climb shares two persisted sample-sized tables) and
@@ -1390,7 +1410,8 @@ def neardup_candidate_pairs(spark: SparkSession, sf_dir: str,
 
 # recall column name per ladder rung (also the route frame's schema)
 RECALL_COLS: tuple[str, ...] = ("banded_recall", "esc_recall",
-                                "esc27_recall", "esc36_recall")
+                                "esc27_recall", "esc36_recall",
+                                "esc54_recall")
 
 
 def _router_ctes(threshold: float) -> str:
@@ -1555,7 +1576,7 @@ def _floor_route_frame(spark: SparkSession, sf_dir: str,
     "dedup_neardup_floor_route",
     oracle=_floor_route_oracle(COSINE_DUP_THRESHOLD),
     doc="Recall-floor-ENFORCED near-dup candidate generation over a "
-        "band-escalation LADDER (12/18/27/36 bands, rungs sized "
+        "band-escalation LADDER (12/18/27/36/54 bands, rungs sized "
         "~(1/p^P) apart per the LSH rho-analysis) with a best-of last "
         "resort: climb rungs measuring banded-LSH pair recall on the "
         "labeled domain at the production plane parameterization and "
@@ -1695,7 +1716,7 @@ FROM rungs r"""
     "dedup_neardup_ladder_profile",
     oracle=_ladder_profile_oracle(),
     doc="The escalation ladder's full quality curve as a hash-checked "
-        "table — one row per rung (12/18/27/36 bands): confirmed "
+        "table — one row per rung (12/18/27/36/54 bands): confirmed "
         "candidate pair count and pair recall against the exact truth "
         "on the labeled capped domain at the production plane "
         "parameterization. The tuning evidence behind every floor-"

@@ -265,7 +265,8 @@ EXTRAS: tuple[str, ...] = (
     # row green on record.
     "similarity_lsh_recall",
     # Demoted round 8 for dedup_neardup_ladder_profile (the per-rung
-    # quality curve of the 12/18/27/36 band-escalation ladder): the
+    # quality curve of the band-escalation ladder, 12/18/27/36 then,
+    # 12/18/27/36/54 since round 9): the
     # three-arm monitor's banded column is strictly subsumed by the
     # profile's bands=12 row (same truth set, same capped ladder
     # frame), and its single-bucket foil — a ~zero-recall

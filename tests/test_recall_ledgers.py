@@ -90,11 +90,17 @@ _SCALE_ROUTE_PINS = [
     # sf0.01 banded 0.786, sf0.5 banded 0.692, sf1.0 banded_esc
     # 0.500->0.577 (the knife-edge crossover), sf2.0 banded_esc27
     # 0.269->0.346->0.692 (the r8 headroom rung holding the floor
-    # where round 7's 18-band ladder topped out at 0.346)
+    # where round 7's 18-band ladder topped out at 0.346); r9:
+    # sf4.0 (R=40) climbs the WHOLE ladder —
+    # 0.192/0.231/0.462/0.538/0.654 — and the new 54-band top rung
+    # holds the floor (17/26 labeled pairs vs 14 at rung 36, one
+    # short) exactly where r8's 36-band ladder was exhausted and the
+    # best-of arm had to serve 0.538 below-floor.
     ("/root/testdata/sf0.01", "banded", 12),
     ("/tmp/testdata_sf0.5", "banded", 12),
     ("/tmp/testdata_sf1.0", "banded_esc", 18),
     ("/tmp/testdata_sf2.0", "banded_esc27", 27),
+    ("/tmp/testdata_sf4.0", "banded_esc54", 54),
 ]
 
 

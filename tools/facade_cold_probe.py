@@ -1,0 +1,68 @@
+"""Decompose a streaming facade's FIRST-TOUCH cost in a fresh session
+(VERDICT r8 wrong-#1: the driver pays the facade's cold path —
+chunk-write + stream drive + store read — once per round, and
+warm-local timings hide it entirely; bench REPEATS>=2 reports the warm
+min while the driver runs REPEATS=1).
+
+Usage: python tools/facade_cold_probe.py [SF_DIR] [KIND]
+KIND in {emb_neardup, corpus_rollups, qsketch, neardup, ...}; default
+emb_neardup. Prints one JSON line {chunk_s, drive_s, read_s, total_s}.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+KIND = sys.argv[2] if len(sys.argv) > 2 else "emb_neardup"
+
+from clickhouse_aggregation_spark.session import get_spark  # noqa: E402
+from clickhouse_aggregation_spark.operators import streaming_bridge as sb  # noqa: E402
+
+spark = get_spark("facade-cold-probe")
+spark.range(1000).selectExpr("sum(id)").collect()   # session warm-up
+
+if KIND == "emb_neardup":
+    from clickhouse_aggregation_spark.streaming.embedding_neardup import (
+        read_dup_pairs, run_embedding_neardup_stream)
+    runner, table, id_col = run_embedding_neardup_stream, "embeddings", "vec_id"
+    read = lambda store: read_dup_pairs(spark, store)  # noqa: E731
+elif KIND == "corpus_rollups":
+    from clickhouse_aggregation_spark.streaming.corpus_rollups import (
+        CORPUS_ROLLUPS, run_corpus_rollup_stream)
+    runner, table, id_col = run_corpus_rollup_stream, "documents", "doc_id"
+    roll = next(r for r in CORPUS_ROLLUPS if r.name == "source_tokens")
+    read = lambda store: roll.read(spark, store)  # noqa: E731
+else:
+    raise SystemExit(f"unknown kind {KIND}")
+
+t0 = time.time()
+root, ddir = sb._chunked_table_dir(spark, SF, f"probe_{KIND}_",
+                                   table, id_col)
+chunk_s = time.time() - t0
+
+store = os.path.join(root, "store")
+prev = spark.conf.get("spark.sql.shuffle.partitions")
+spark.conf.set("spark.sql.shuffle.partitions",
+               str(sb.STREAM_SHUFFLE_PARTITIONS))
+t0 = time.time()
+q = runner(spark, ddir, store)
+q.awaitTermination(600)
+drive_s = time.time() - t0
+spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+t0 = time.time()
+n = read(store).count()
+read_s = time.time() - t0
+
+print(json.dumps({"sf_dir": SF, "kind": KIND,
+                  "chunk_s": round(chunk_s, 3),
+                  "drive_s": round(drive_s, 3),
+                  "read_s": round(read_s, 3),
+                  "total_s": round(chunk_s + drive_s + read_s, 3),
+                  "rows": n}))

@@ -976,16 +976,33 @@ def _banded_verified_rows(emb: DataFrame, n_corpus: int | None,
     n_df = q.select("vec_id", "qv", int_norm2(F.col("qv")).alias("norm2"))
     # band-major flattened plane matrix: bits[(b-band_lo)*p + i] = sign
     # bit of plane i of band b — F.slice(bits, (b-band_lo)*p+1, p) is
-    # exactly the old concat of per-plane whens for band b
+    # exactly the old concat of per-plane whens for band b. The matrix
+    # literal is rendered as ONE SQL array(array(..)) expression parsed
+    # JVM-side: F.lit() on a nested Python list builds one Literal
+    # column per element over py4j — measured 6.6 s of the ~11 s
+    # 42-band capped build was just constructing that literal (16k
+    # ints), vs milliseconds to parse the equivalent expr string.
     flat = [BAND_PLANES_ALL[b][i]
             for b in range(band_lo, bands) for i in range(p)]
+    flat_sql = "array(" + ",".join(
+        "array(" + ",".join(str(x) for x in plane) + ")"
+        for plane in flat) + ")"
     bits = F.transform(
-        F.lit(flat),
+        F.expr(flat_sql),
         lambda pl: F.when(int_dot(F.col("qv"), pl) >= 0,
                           F.lit("1")).otherwise(F.lit("0")))
     keyed = n_df.withColumn("_bits", bits)
-    keys = F.array(*[F.array_join(F.slice("_bits", b * p + 1, p), "")
-                     for b in range(bands - band_lo)])
+    # runtime-indexed band slicing instead of one array_join(slice(..))
+    # expression PER band: the old F.array(*[.. for b in range(bands)])
+    # made the plan tree (and its Janino compile, re-keyed by the
+    # band-range literals) linear in bands — measured ~5 s of the
+    # ~8 s 42-band capped build was planning/codegen, not execution.
+    # transform(sequence(..)) is constant-sized at any width; key
+    # VALUES are bit-identical (same bits, same slicing, same order).
+    nb = bands - band_lo
+    keys = F.transform(
+        F.sequence(F.lit(0), F.lit(nb - 1)),
+        lambda b: F.array_join(F.slice(F.col("_bits"), b * p + 1, p), ""))
     posts = keyed.select(
         "vec_id", "qv", "norm2",
         F.posexplode(keys).alias("band", "bkey"))

@@ -154,13 +154,20 @@ def _bucket_sql() -> str:
     return " || ".join(parts)
 
 
+_PLANES_SQL_LIT = "array(" + ",".join(
+    "array(" + ",".join(str(x) for x in p) + ")" for p in PLANES) + ")"
+
+
 def _bucket_col(qv: Column) -> Column:
-    parts = []
-    for p in PLANES:
-        plane = F.array(*[F.lit(x) for x in p])
-        dot = int_dot(qv, plane)
-        parts.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
-    return F.concat(*parts)
+    # plane matrix as ONE JVM-parsed array literal: the old per-element
+    # F.lit built 8x64 Literal columns over py4j (~0.2 s per call —
+    # and the streaming near-dup maintainer calls this once per
+    # micro-batch). Bit values and order identical to the old concat.
+    bits = F.transform(
+        F.expr(_PLANES_SQL_LIT),
+        lambda pl: F.when(int_dot(qv, pl) >= 0,
+                          F.lit("1")).otherwise(F.lit("0")))
+    return F.array_join(bits, "")
 
 
 @register(

@@ -1049,6 +1049,16 @@ def embedding_lsh_banded_candidates(emb: DataFrame,
     the incremental-grow slice: only bands [band_lo, bands) are
     materialized; the caller merges with the existing narrower build
     (min over min_band — a pair's cosine is band-independent)."""
+    if band_lo >= bands:
+        # an empty slice would otherwise build PHANTOM bands:
+        # F.sequence(0, nb-1) with nb == 0 auto-steps DOWN to [0, -1]
+        # and the sliced '' keys make every row collide with every
+        # other (ADVICE r9). Unreachable from the ladder grow path
+        # (it only grows when cached width < bands), but this is a
+        # public entry point that accepts arbitrary band_lo.
+        raise ValueError(
+            f"band_lo ({band_lo}) must be < bands ({bands}): the "
+            f"incremental slice [band_lo, bands) is empty")
     return (
         _banded_verified_rows(emb, n_corpus, bands, threshold, band_lo)
         .groupBy("vec_a", "vec_b")
@@ -1270,7 +1280,16 @@ def ladder_capped_pairs(spark: SparkSession, sf_dir: str,
                      .groupBy("vec_a", "vec_b")
                      .agg(F.min("cosine").alias("cosine"),
                           F.min("min_band").alias("min_band")))
-        frame = grown.persist(StorageLevel.MEMORY_AND_DISK)
+            # localCheckpoint, not plain persist (ADVICE r9): the
+            # merged plan READS THROUGH the previous (about-to-be-
+            # unpersisted) build, so after a deep 12→…→54 climb a
+            # lost persisted partition would replay up to 4 stacked
+            # union/groupBy merges; checkpointing truncates the
+            # lineage at the merge for the same materialization cost
+            # (it is eager — the count below is then metadata-cheap)
+            frame = grown.localCheckpoint(eager=True)
+        else:
+            frame = grown.persist(StorageLevel.MEMORY_AND_DISK)
         # materialize BEFORE unpersisting the narrower build the new
         # plan reads through (a lazy reader of the old frame would
         # otherwise recompute it)
@@ -1431,19 +1450,28 @@ RECALL_COLS: tuple[str, ...] = ("banded_recall", "esc_recall",
                                 "esc54_recall")
 
 
-def _router_ctes(threshold: float) -> str:
+def _router_ctes(threshold: float, capped_only: bool = False) -> str:
     """The router's shared DuckDB CTE chain at one threshold: the
-    top-rung (36-band) posting lists (every lower rung is the
-    ``band < rung`` prefix — rungs only ADD bands), the capped-domain
-    truth set, the capped candidate pairs annotated with their lowest
-    generating band (one table serves every rung's recall, mirroring
-    the Spark ladder frame), per-rung recalls (NULLIF-guarded: an
-    empty truth set yields NULL, which falls through every CASE arm to
-    the IVF route exactly like the Python router's None), the
-    full-corpus confirmed pairs with the same min-band annotation
-    (every rung's routed pair count is a filter of it), and the IVF
-    arm. Shared by the floor-route oracles and the IVF fallback recall
-    ledger."""
+    top-rung posting lists (every lower rung is the ``band < rung``
+    prefix — rungs only ADD bands), the capped-domain truth set, the
+    capped candidate pairs annotated with their lowest generating band
+    (one table serves every rung's recall, mirroring the Spark ladder
+    frame), per-rung recalls (NULLIF-guarded: an empty truth set
+    yields NULL, which falls through every CASE arm to the IVF route
+    exactly like the Python router's None), the full-corpus confirmed
+    pairs with the same min-band annotation (every rung's routed pair
+    count is a filter of it), and the IVF arm. Shared by the
+    floor-route oracles and the IVF fallback recall ledger.
+
+    ``capped_only=True`` drops every full-corpus table (``posts``,
+    ``full_c``, the n×K assignment, ``ivf_full``) and builds the
+    capped postings/assignment DIRECTLY from the capped vectors —
+    per-vector band keys and nearest-centroid cells are independent of
+    the rest of the corpus, so the capped CTEs are value-identical to
+    the full version's filters of the full tables (VERDICT r9 next-#2:
+    the full 54-band posting self-join is DuckDB-infeasible at the
+    sf4.0+ scales, which is exactly where an oracle for the ROUTE
+    decision is most needed)."""
     t = repr(float(threshold))
     rung_recalls = ",\n         ".join(
         f"""CAST((SELECT count(*) FROM base JOIN cand_c
@@ -1452,39 +1480,39 @@ def _router_ctes(threshold: float) -> str:
                WHERE cand_c.mband < {bands}) AS DOUBLE)
          / NULLIF((SELECT count(*) FROM base), 0) AS r{bands}"""
         for bands in BAND_LADDER)
-    return f"""q AS (
-  SELECT vec_id, {quantize.SQL} AS qv FROM embeddings
-), n AS MATERIALIZED (
-  SELECT vec_id, qv, {int_norm2.SQL} AS norm2 FROM q
-), posts AS MATERIALIZED (
+    if capped_only:
+        posts_block = f"""nc AS MATERIALIZED (
+  SELECT * FROM n WHERE vec_id < {COSINE_BASELINE_CAP}
+), postsc AS MATERIALIZED (
+{_banded_posts_sql(EMB_BANDS_MAX, src="nc")}
+)"""
+        full_c_block = ""
+        corpus_block = f"""distsc AS (
+  SELECT nc.vec_id, nc.qv, nc.norm2, c.centroid_id,
+         row_number() OVER (PARTITION BY nc.vec_id
+                            ORDER BY nc.norm2 + c.c_norm2
+           - 2 * CAST(list_sum(list_transform(range(1, len(nc.qv) + 1),
+                 i -> nc.qv[i] * c.c_qv[i])) AS BIGINT), c.centroid_id) AS _rk
+  FROM nc, cents c
+), corpusc AS (
+  SELECT vec_id, qv, norm2, centroid_id FROM distsc WHERE _rk = 1
+)"""
+    else:
+        posts_block = f"""posts AS MATERIALIZED (
 {_banded_posts_sql(EMB_BANDS_MAX)}
 ), nc AS (
   SELECT * FROM n WHERE vec_id < {COSINE_BASELINE_CAP}
 ), postsc AS (
   SELECT * FROM posts WHERE vec_id < {COSINE_BASELINE_CAP}
-), base AS (
-  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
-  FROM nc a, nc b
-  WHERE a.vec_id < b.vec_id
-    AND {COSINE_ORACLE_EXPR} >= {t}
-), cand_c AS (
-  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, min(a.band) AS mband
-  FROM postsc a JOIN postsc b
-    ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id
-  WHERE {COSINE_ORACLE_EXPR} >= {t}
-  GROUP BY 1, 2
-), rec AS (
-  SELECT {rung_recalls}
-), full_c AS (
+)"""
+        full_c_block = f""", full_c AS (
   SELECT a.vec_id AS va, b.vec_id AS vb, min(a.band) AS mband
   FROM posts a JOIN posts b
     ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id
   WHERE {COSINE_ORACLE_EXPR} >= {t}
   GROUP BY 1, 2
-), cents AS (
-  SELECT vec_id AS centroid_id, qv AS c_qv, norm2 AS c_norm2
-  FROM n WHERE vec_id < {sem_centroids_sql()}
-), dists AS (
+)"""
+        corpus_block = f"""dists AS (
   SELECT n.vec_id, n.qv, n.norm2, c.centroid_id,
          row_number() OVER (PARTITION BY n.vec_id
                             ORDER BY n.norm2 + c.c_norm2
@@ -1501,7 +1529,28 @@ def _router_ctes(threshold: float) -> str:
 ), corpusc AS (
   SELECT vec_id, qv, norm2, centroid_id FROM corpus
   WHERE vec_id < {COSINE_BASELINE_CAP}
-), ivf_cq AS (
+)"""
+    return f"""q AS (
+  SELECT vec_id, {quantize.SQL} AS qv FROM embeddings
+), n AS MATERIALIZED (
+  SELECT vec_id, qv, {int_norm2.SQL} AS norm2 FROM q
+), {posts_block}, base AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM nc a, nc b
+  WHERE a.vec_id < b.vec_id
+    AND {COSINE_ORACLE_EXPR} >= {t}
+), cand_c AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, min(a.band) AS mband
+  FROM postsc a JOIN postsc b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id
+  WHERE {COSINE_ORACLE_EXPR} >= {t}
+  GROUP BY 1, 2
+), rec AS (
+  SELECT {rung_recalls}
+){full_c_block}, cents AS (
+  SELECT vec_id AS centroid_id, qv AS c_qv, norm2 AS c_norm2
+  FROM n WHERE vec_id < {sem_centroids_sql()}
+), {corpus_block}, ivf_cq AS (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
   FROM corpusc a JOIN corpusc b
     ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
@@ -1631,6 +1680,103 @@ NEARDUP_THRESHOLD_ALT = 0.48
 def q_dedup_neardup_floor_route_t48(spark: SparkSession,
                                     sf_dir: str) -> DataFrame:
     return _floor_route_frame(spark, sf_dir, NEARDUP_THRESHOLD_ALT)
+
+
+DOMAIN_REF_ROWS = 2000
+
+
+def route_check_domain_mod(n: int) -> int:
+    """Sampling modulus for the route domain check: vec_id % M == 0
+    keeps ~n/M vectors (~1/M² of the routed pairs), growing the
+    modulus as sqrt(n/ref) so the checked pair count stays roughly
+    scale-constant. Python twin of the SQL scalar in the oracle —
+    IEEE-double sqrt/floor on both engines."""
+    return max(2, int(math.floor(math.sqrt(n / float(DOMAIN_REF_ROWS)))))
+
+
+def _route_domain_check_oracle(threshold: float) -> str:
+    """DuckDB twin of the domain check below: the ROUTE decision from
+    the capped-only CTE chain (feasible at any scale — no full-corpus
+    posting join or assignment), then the served generator's pairs
+    recomputed EXACTLY on the deterministic id-sampled domain. Band
+    keys and nearest-centroid cells are per-vector functions, so the
+    domain-restricted posting join / cell join equals the full-corpus
+    pair set filtered to domain endpoints — an exact, independent
+    engine check of the routed pairs themselves at scales where the
+    full oracle is infeasible (VERDICT r9 next-#2)."""
+    t = repr(float(threshold))
+    f = repr(neardup_recall_floor(threshold))
+    route = _rung_case(
+        f, [f"'{ROUTE_BY_BANDS[b]}'" for b in BAND_LADDER],
+        f"'{ROUTE_BY_BANDS[EMB_BANDS_MAX]}'", "'ivf_cells'")
+    served = _rung_case(f, [str(b) for b in BAND_LADDER],
+                        str(EMB_BANDS_MAX), "NULL")
+    return f"""
+WITH {_router_ctes(threshold, capped_only=True)}, m AS (
+  SELECT GREATEST(2, CAST(floor(sqrt(count(*) / {DOMAIN_REF_ROWS}.0))
+                     AS INT)) AS mm FROM embeddings
+), nd AS MATERIALIZED (
+  SELECT * FROM n WHERE vec_id % (SELECT mm FROM m) = 0
+), postsd AS MATERIALIZED (
+{_banded_posts_sql(EMB_BANDS_MAX, src="nd")}
+), cand_d AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         {COSINE_ORACLE_EXPR} AS cosine, min(a.band) AS mband
+  FROM postsd a JOIN postsd b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id
+  WHERE {COSINE_ORACLE_EXPR} >= {t}
+  GROUP BY 1, 2, 3
+), distsd AS (
+  SELECT nd.vec_id, nd.qv, nd.norm2, c.centroid_id,
+         row_number() OVER (PARTITION BY nd.vec_id
+                            ORDER BY nd.norm2 + c.c_norm2
+           - 2 * CAST(list_sum(list_transform(range(1, len(nd.qv) + 1),
+                 i -> nd.qv[i] * c.c_qv[i])) AS BIGINT), c.centroid_id) AS _rk
+  FROM nd, cents c
+), corpusd AS (
+  SELECT vec_id, qv, norm2, centroid_id FROM distsd WHERE _rk = 1
+), ivf_d AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         {COSINE_ORACLE_EXPR} AS cosine
+  FROM corpusd a JOIN corpusd b
+    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+  WHERE {COSINE_ORACLE_EXPR} >= {t}
+)
+SELECT {route} AS route, d.vec_a, d.vec_b, d.cosine
+FROM (
+  SELECT vec_a, vec_b, cosine FROM cand_d WHERE mband < ({served})
+  UNION ALL
+  SELECT vec_a, vec_b, cosine FROM ivf_d WHERE ({route}) = 'ivf_cells'
+) d"""
+
+
+@register(
+    "dedup_floor_route_domain_check",
+    oracle=_route_domain_check_oracle(COSINE_DUP_THRESHOLD),
+    doc="Sampled-domain EXACT check of the floor router's routed "
+        "pairs (VERDICT r9 next-#2): the route decision (capped-"
+        "domain ladder climb, identical to dedup_neardup_floor_route) "
+        "plus every routed pair whose BOTH endpoints fall in the "
+        "deterministic id-sampled domain vec_id % M == 0, M = "
+        "max(2, floor(sqrt(n/2000))). Band keys and IVF cells are "
+        "per-vector functions, so the oracle recomputes the domain "
+        "pairs from scratch on the sampled vectors only — n/M "
+        "postings instead of n — and matches the full build's "
+        "domain-filtered output value-for-value. This keeps an "
+        "independent engine hash on the ROUTED PAIRS THEMSELVES at "
+        "corpus sizes where the full-corpus posting self-join is "
+        "infeasible in the oracle engine (the sf4.0+ "
+        "oracle_infeasible_at_scale waiver this query retires).",
+)
+def q_dedup_floor_route_domain_check(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    r = neardup_candidate_pairs(spark, sf_dir, COSINE_DUP_THRESHOLD)
+    n = load_table(spark, sf_dir, "embeddings").count()
+    m = route_check_domain_mod(n)
+    return (r.pairs
+            .filter((F.col("vec_a") % m == 0) & (F.col("vec_b") % m == 0))
+            .select(F.lit(r.route).alias("route"),
+                    "vec_a", "vec_b", "cosine"))
 
 
 def _ivf_ledger_oracle() -> str:

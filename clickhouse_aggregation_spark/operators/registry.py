@@ -274,6 +274,16 @@ EXTRAS: tuple[str, ...] = (
     # pytest-gated (tests/test_banded_knob.py pins the
     # monitor-equals-router-read identity). r1-r7 driver rows green.
     "dedup_embedding_lsh_recall",
+    # Demoted round 10 for dedup_floor_route_domain_check (the
+    # sampled-domain EXACT check of the routed pairs — VERDICT r9
+    # next-#2, retiring the sf4.0 oracle_infeasible_at_scale waiver):
+    # the t48 router exercises the same ladder/floor machinery as the
+    # declared dedup_neardup_floor_route at a second threshold; its
+    # threshold-derived-floor semantics stay pytest-pinned
+    # (test_recall_floor_is_threshold_derived) and sweep-green, and it
+    # holds r7-r9 driver rows. The domain check adds NEW external
+    # coverage (the routed pairs themselves) no declared row had.
+    "dedup_neardup_floor_route_t48",
 )
 
 

@@ -322,3 +322,22 @@ def test_banded_arm_monitor_equals_declared_monitor(spark, sf_oracle_dir):
     full = q_dedup_embedding_lsh_recall(spark, sf_oracle_dir).first()
     assert measured_banded_recall(spark, sf_oracle_dir) \
         == full["banded_recall"]
+
+
+def test_banded_candidates_reject_degenerate_band_slice(spark):
+    """band_lo >= bands must raise, not build phantom bands: the
+    empty slice's F.sequence(0, -1) auto-steps DOWN, yielding two
+    zero-plane bands whose '' keys collide every row with every other
+    (ADVICE r9). The ladder grow path never hits this (it only grows
+    when cached width < bands) but the function is public."""
+    import pytest
+    from clickhouse_aggregation_spark.operators.dedup import (
+        embedding_lsh_banded_candidates)
+
+    emb = spark.createDataFrame(
+        [(0, [1.0] * 64), (1, [1.0] * 64)],
+        "vec_id bigint, embedding array<float>")
+    for band_lo, bands in ((12, 12), (13, 12)):
+        with pytest.raises(ValueError, match="band_lo"):
+            embedding_lsh_banded_candidates(emb, bands=bands,
+                                            band_lo=band_lo)

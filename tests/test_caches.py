@@ -112,7 +112,7 @@ def test_store_cache_revalidates_missing_dir(spark, tmp_path, monkeypatch):
         root = tmp_path / f"root{len(calls)}"
         (root / "chunks").mkdir(parents=True)
         calls.append(prefix)
-        return str(root), str(root / "chunks")
+        return str(root), str(root / "chunks"), 0
 
     class _Q:
         def awaitTermination(self, *_): return True

@@ -5,13 +5,16 @@ warm-local timings hide it entirely; bench REPEATS>=2 reports the warm
 min while the driver runs REPEATS=1).
 
 Usage: python tools/facade_cold_probe.py [SF_DIR] [KIND]
-KIND in {emb_neardup, corpus_rollups, qsketch, neardup, ...}; default
+KIND in {emb_neardup, corpus_rollups, qsketch, ann_index}; default
 emb_neardup. Prints one JSON line {chunk_s, drive_s, read_s, total_s}.
+The probe's temp root is removed on exit and the session shuffle width
+is restored even when the drive fails (ADVICE r9).
 """
 from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
 import time
 from pathlib import Path
@@ -38,29 +41,44 @@ elif KIND == "corpus_rollups":
     runner, table, id_col = run_corpus_rollup_stream, "documents", "doc_id"
     roll = next(r for r in CORPUS_ROLLUPS if r.name == "source_tokens")
     read = lambda store: roll.read(spark, store)  # noqa: E731
+elif KIND == "qsketch":
+    runner, table, id_col = sb._run_qsketch, "events", "event_id"
+    read = lambda store: spark.read.parquet(  # noqa: E731
+        os.path.join(store, "out"))
+elif KIND == "ann_index":
+    from clickhouse_aggregation_spark.streaming.ann_index import (
+        read_cells, run_ann_index_stream)
+    runner, table, id_col = run_ann_index_stream, "embeddings", "vec_id"
+    read = lambda store: read_cells(spark, store)  # noqa: E731
 else:
     raise SystemExit(f"unknown kind {KIND}")
 
 t0 = time.time()
-root, ddir = sb._chunked_table_dir(spark, SF, f"probe_{KIND}_",
-                                   table, id_col)
+root, ddir, n_rows = sb._chunked_table_dir(spark, SF, f"probe_{KIND}_",
+                                           table, id_col)
 chunk_s = time.time() - t0
 
 store = os.path.join(root, "store")
 prev = spark.conf.get("spark.sql.shuffle.partitions")
 spark.conf.set("spark.sql.shuffle.partitions",
-               str(sb.STREAM_SHUFFLE_PARTITIONS))
+               str(sb.stream_shuffle_width(spark, n_rows)))
 t0 = time.time()
-q = runner(spark, ddir, store)
-q.awaitTermination(600)
-drive_s = time.time() - t0
-spark.conf.set("spark.sql.shuffle.partitions", prev)
+try:
+    q = runner(spark, ddir, store)
+    q.awaitTermination(600)
+    drive_s = time.time() - t0
+finally:
+    spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 t0 = time.time()
-n = read(store).count()
-read_s = time.time() - t0
+try:
+    n = read(store).count()
+    read_s = time.time() - t0
+finally:
+    shutil.rmtree(root, ignore_errors=True)
 
 print(json.dumps({"sf_dir": SF, "kind": KIND,
+                  "width": sb.stream_shuffle_width(spark, n_rows),
                   "chunk_s": round(chunk_s, 3),
                   "drive_s": round(drive_s, 3),
                   "read_s": round(read_s, 3),

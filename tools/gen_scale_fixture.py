@@ -19,7 +19,14 @@ Amplification rules (factor R replicas, replica 0 = the original):
 * embeddings: replica vectors are component-ROTATED (np.roll) with a
   sign flip on odd replicas — same norm, same marginal distribution,
   low cross-replica cosine, so LSH-bucket and IVF-cell densities scale
-  like a bigger corpus, not like R copies of the same corpus;
+  like a bigger corpus, not like R copies of the same corpus. At
+  DIM=64 the (roll, parity) pair cycles with period 128 and COLLIDES
+  at r ≥ 64 (replica 64 ≡ replica 0 bit-exactly — 7·64 ≡ 0 mod 64,
+  same parity), which would seed one exact-dup pair per base vector;
+  replicas ≥ 64 therefore ALSO get a seeded per-replica component
+  sign pattern (norm- and marginal-preserving, cross-replica cosine
+  low in expectation). r < 64 is untouched, so every fixture
+  generated before R=80 existed stays bit-identical;
 * nation/region stay fixed (true dimensions); every other table
   replicates (customer/supplier/part scale with SF in TPC-H too);
 * events replicate with offset event_id/user_id and unchanged
@@ -98,6 +105,13 @@ def _replica(table: str, t: pa.Table, r: int,
         mat = np.roll(mat, 7 * r, axis=1)
         if r % 2 == 1:
             mat = -mat
+        if r >= 64:
+            # break the period-128 (roll, parity) cycle (see module
+            # docstring) without touching any r < 64 replica
+            signs = np.random.RandomState(909000 + r).choice(
+                np.array([-1.0, 1.0], dtype=np.float32),
+                size=mat.shape[1])
+            mat = mat * signs
         emb = pa.array(list(mat), pa.list_(pa.float32()))
         out = out.set_column(out.column_names.index("embedding"),
                              "embedding", emb)

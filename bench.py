@@ -201,6 +201,10 @@ HEADLINE = [
     # round 8 addition: the per-rung quality curve of the extended
     # (12/18/27/36) band-escalation ladder
     "dedup_neardup_ladder_profile",
+    # round 10 addition: the sampled-domain exact check of the floor
+    # router's routed pairs (the oracle-feasible-at-any-scale route
+    # record)
+    "dedup_floor_route_domain_check",
 ]
 
 # documented-quadratic / superseded exactness baselines (scale paths

@@ -797,22 +797,55 @@ BAND_PLANES_ESC3: list[list[list[int]]] = [
 # corpus. Same seeded-stream construction: every lower rung (and every
 # pinned recall/hash that predates this rung) is bit-identical, the
 # new rung only APPENDS pairs.
-EMB_BANDS_ESC4 = 54          # top rung — the ladder's headroom limit
+EMB_BANDS_ESC4 = 54          # fourth escalation rung (r9's headroom limit)
 _band_rng_esc4 = random.Random(20250819)
 BAND_PLANES_ESC4: list[list[list[int]]] = [
     [[_band_rng_esc4.randint(-1000, 1000) for _ in range(DIM)]
      for _ in range(EMB_BAND_PLANES + BANDED_MAX_EXTRA)]
     for _ in range(EMB_BANDS_ESC4 - EMB_BANDS_ESC3)
 ]
+
+# Rung 81 — the TERMINAL rung (VERDICT r9 next-#1, the post-54 policy
+# DECIDED and shipped). The sf8 fixture (R=80, 160k vectors) is the
+# first scale where the plane knob CLAMPS: P = 5 + min(5,
+# floor(log2(n/4096))) = 10 for every n >= 131072, so measured rung
+# recall stops degrading with corpus growth — and at that terminal
+# parameterization rung 54 is exhausted for real (measured
+# 0.154/0.192/0.385/0.462/0.538 vs floor 0.576311; the best-of arm
+# fired ORGANICALLY for the first time and served the IVF arm at
+# 0.5769, the round-10 pre-81 record in CORRECTNESS_local_sf8.0 /
+# NOTES_r10). Rung 81 is ×1.5 per the same rho-analysis as every
+# rung, and it is terminal BY CONSTRUCTION, not by hope: an
+# at-threshold pair's per-band collision probability is p(t)^P with
+# p(t) = 1 - acos(t)/pi, so its expected rung-81 recall is
+# 1 - (1 - p(t)^P)^81 — at the clamped P = 10 and the hardest valid
+# threshold t = 0.45 that is 0.658 >= floor 0.576, the margin GROWS
+# with t (0.722 vs 0.599 at t = 0.48), and every P < 10 (smaller
+# corpus) or higher-cosine pair only raises it. No rung beyond 81 can
+# ever be needed on expectation; what remains possible is a
+# small-sample dip of the MEASURED recall on a ~26-pair labeled
+# domain (binomial sd ≈ 0.09), and that is exactly the case the
+# best-of last resort already handles by serving the better measured
+# generator. Same seeded-stream construction as every rung: all
+# lower-rung keys/recalls/hashes are bit-identical, rungs only APPEND
+# candidate pairs.
+EMB_BANDS_ESC5 = 81          # terminal rung (expected recall >= floor
+                             # at the clamped P=10 for every valid t)
+_band_rng_esc5 = random.Random(20250820)
+BAND_PLANES_ESC5: list[list[list[int]]] = [
+    [[_band_rng_esc5.randint(-1000, 1000) for _ in range(DIM)]
+     for _ in range(EMB_BAND_PLANES + BANDED_MAX_EXTRA)]
+    for _ in range(EMB_BANDS_ESC5 - EMB_BANDS_ESC4)
+]
 BAND_PLANES_ALL: list[list[list[int]]] = (
     BAND_PLANES_FULL + BAND_PLANES_ESC + BAND_PLANES_ESC2
-    + BAND_PLANES_ESC3 + BAND_PLANES_ESC4)
+    + BAND_PLANES_ESC3 + BAND_PLANES_ESC4 + BAND_PLANES_ESC5)
 
 # the router's escalation ladder, lowest rung first; route names are
 # part of the hash-checked output contract
 BAND_LADDER: tuple[int, ...] = (EMB_BANDS, EMB_BANDS_ESC,
                                 EMB_BANDS_ESC2, EMB_BANDS_ESC3,
-                                EMB_BANDS_ESC4)
+                                EMB_BANDS_ESC4, EMB_BANDS_ESC5)
 EMB_BANDS_MAX = BAND_LADDER[-1]
 ROUTE_BY_BANDS: dict[int, str] = {
     EMB_BANDS: "banded",
@@ -820,6 +853,7 @@ ROUTE_BY_BANDS: dict[int, str] = {
     EMB_BANDS_ESC2: "banded_esc27",
     EMB_BANDS_ESC3: "banded_esc36",
     EMB_BANDS_ESC4: "banded_esc54",
+    EMB_BANDS_ESC5: "banded_esc81",
 }
 
 
@@ -972,6 +1006,15 @@ def _banded_verified_rows(emb: DataFrame, n_corpus: int | None,
     materialized)."""
     n = n_corpus if n_corpus is not None else emb.count()
     p = banded_planes_for(n)
+    # the per-row band-key computation below (bands·P int_dots of 64
+    # elements each) is CPU-bound and runs BEFORE the explicit
+    # (band, bkey) exchange — i.e. on the input's raw splits. A
+    # single-file corpus scans as a handful of splits regardless of
+    # row count, serializing the most expensive map stage of the
+    # build (the sf2.0 full build ran 6-wide on a 32-core session).
+    # Round-robin widen first; all downstream values are
+    # partition-invariant.
+    emb = ensure_parallelism(emb)
     q = emb.select("vec_id", quantize(F.col("embedding")).alias("qv"))
     n_df = q.select("vec_id", "qv", int_norm2(F.col("qv")).alias("norm2"))
     # band-major flattened plane matrix: bits[(b-band_lo)*p + i] = sign
@@ -1400,22 +1443,34 @@ def neardup_candidate_pairs(spark: SparkSession, sf_dir: str,
                             ) -> NeardupRoute:
     """The production near-dup candidate entry point.
 
-    Climbs the band-escalation LADDER (12 → 18 → 27 → 36 → 54 bands,
-    VERDICT r7 next-#1): at each rung, measure pair recall on the
-    labeled capped domain (one filter of the session ladder frame —
-    the whole climb shares two persisted sample-sized tables) and
+    Climbs the band-escalation LADDER (12 → 18 → 27 → 36 → 54 → 81
+    bands, VERDICT r7 next-#1): at each rung, measure pair recall on
+    the labeled capped domain (one filter of the session ladder frame
+    — the whole climb shares two persisted sample-sized tables) and
     serve the first rung that holds the threshold-derived floor.
     Recall is monotone in the rung (higher rungs only add seeded
     bands), so the climb terminates at the cheapest adequate
-    generator. When even the top rung misses the floor, NO generator
-    meets spec — the router then measures the IVF-cell arm too and
-    serves the BEST measured generator (ties to IVF cells, the cheaper
-    build), rather than assuming the fallback: the r7 sf2.0 ledger
-    showed escalated-banded 0.346 vs IVF 0.269, i.e. an unconditional
-    IVF fallback served the WORSE generator exactly where it mattered.
-    Because the top rung dominates every lower rung, the best-of
-    comparison is top-rung vs IVF. Recall reads are 1-row collects of
-    the capped monitors (bounded driver-side scalars)."""
+    generator. Rung 81 is TERMINAL by construction (see the
+    EMB_BANDS_ESC5 comment): its expected recall clears the floor at
+    the clamped plane count P=10 for every valid threshold, so the
+    ladder cannot be exhausted on expectation at any corpus size.
+    When the MEASURED top rung nonetheless misses the floor (a
+    small-sample dip on the labeled domain — binomial sd ≈ 0.09 at
+    ~26 labeled pairs), NO generator meets spec — the router then
+    measures the IVF-cell arm too and serves the BEST measured
+    generator (ties to IVF cells, the cheaper build), rather than
+    assuming the fallback: the r7 sf2.0 ledger showed
+    escalated-banded 0.346 vs IVF 0.269, i.e. an unconditional IVF
+    fallback served the WORSE generator exactly where it mattered.
+    The IVF-WINS outcome fired ORGANICALLY at the sf8.0 fixture
+    before rung 81 existed (round 10: rungs
+    0.154/0.192/0.385/0.462/0.538 vs floor 0.576, IVF 0.5769 — route
+    ivf_cells, hash-checked end-to-end in
+    CORRECTNESS_local_sf8.0_pre81_ivfwins.json), so the arm is pinned
+    by real data, not only by stubs. Because the top rung dominates
+    every lower rung, the best-of comparison is top-rung vs IVF.
+    Recall reads are 1-row collects of the capped monitors (bounded
+    driver-side scalars)."""
     _require_cached_threshold(threshold)
     floor = neardup_recall_floor(threshold)
     recalls: list[float | None] = []
@@ -1447,7 +1502,7 @@ def neardup_candidate_pairs(spark: SparkSession, sf_dir: str,
 # recall column name per ladder rung (also the route frame's schema)
 RECALL_COLS: tuple[str, ...] = ("banded_recall", "esc_recall",
                                 "esc27_recall", "esc36_recall",
-                                "esc54_recall")
+                                "esc54_recall", "esc81_recall")
 
 
 def _router_ctes(threshold: float, capped_only: bool = False) -> str:
@@ -1642,7 +1697,7 @@ def _floor_route_frame(spark: SparkSession, sf_dir: str,
     "dedup_neardup_floor_route",
     oracle=_floor_route_oracle(COSINE_DUP_THRESHOLD),
     doc="Recall-floor-ENFORCED near-dup candidate generation over a "
-        "band-escalation LADDER (12/18/27/36/54 bands, rungs sized "
+        "band-escalation LADDER (12/18/27/36/54/81 bands, rungs sized "
         "~(1/p^P) apart per the LSH rho-analysis) with a best-of last "
         "resort: climb rungs measuring banded-LSH pair recall on the "
         "labeled domain at the production plane parameterization and "
@@ -1879,7 +1934,7 @@ FROM rungs r"""
     "dedup_neardup_ladder_profile",
     oracle=_ladder_profile_oracle(),
     doc="The escalation ladder's full quality curve as a hash-checked "
-        "table — one row per rung (12/18/27/36/54 bands): confirmed "
+        "table — one row per rung (12/18/27/36/54/81 bands): confirmed "
         "candidate pair count and pair recall against the exact truth "
         "on the labeled capped domain at the production plane "
         "parameterization. The tuning evidence behind every floor-"

@@ -28,7 +28,7 @@ import random
 from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
-from ..sources.tables import load_table
+from ..sources.tables import ensure_parallelism, load_table
 from ..caches import PlanCache
 from .registry import REGISTRY, register
 
@@ -317,6 +317,14 @@ def _ivf_expanded(spark: SparkSession, sf_dir: str,
         F.col("vec_id").alias("centroid_id"),
         F.col("qv").alias("c_qv"),
         F.col("norm2").alias("c_norm2"))
+    # the n×K expansion is CPU-bound (one 64-element int_dot per
+    # vector-centroid pair), so its wall-clock is set by input SPLIT
+    # count, not data size: a single ~40 MB embeddings file scans as
+    # ~6 splits and a 160k-vector assignment ran as one straggler task
+    # per split (measured live at the sf8 fixture, round 10).
+    # Round-robin widen BEFORE the broadcast join; min_by output is
+    # partition-invariant so no value changes anywhere downstream.
+    n = ensure_parallelism(n)
     dist = (F.col("norm2") + F.col("c_norm2")
             - 2 * int_dot(F.col("qv"), F.col("c_qv")))
     return (

@@ -53,11 +53,15 @@ _STREAM_TIMEOUT_S = 600
 # [STREAM_MIN_PARTITIONS, defaultParallelism]: tiny fixture batches
 # get the few-task drive the r8 measurement asked for, and a 100 TB
 # deployment's batches grow the width toward the session's real
-# parallelism instead of serializing on a test-scale constant. Every
-# maintained result is partition-width-invariant (the driver's oracle
-# hash checks, run at several widths across rounds, stay the proof).
+# parallelism instead of serializing on a test-scale constant. The
+# target is calibrated to that r8 measurement: the sf0.1 events drive
+# (~33k rows/epoch) was fastest at 8 tasks ≈ 4k rows each, so 4000
+# reproduces the measured optimum at that scale while scaling the
+# width with the batch, not with a fixture constant. Every maintained
+# result is partition-width-invariant (the driver's oracle hash
+# checks, run at several widths across rounds, stay the proof).
 STREAM_MIN_PARTITIONS = 2
-STREAM_TARGET_ROWS_PER_TASK = 1000
+STREAM_TARGET_ROWS_PER_TASK = 4000
 
 
 def stream_shuffle_width(spark: SparkSession, n_rows: int) -> int:

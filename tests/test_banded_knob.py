@@ -165,7 +165,8 @@ def test_recall_floor_router_climbs_ladder_to_first_adequate_rung(
     for serve_at, expect_route in [(18, "banded_esc"),
                                    (27, "banded_esc27"),
                                    (36, "banded_esc36"),
-                                   (54, "banded_esc54")]:
+                                   (54, "banded_esc54"),
+                                   (81, "banded_esc81")]:
         fake = {b: (0.70 if b >= serve_at else 0.20)
                 for b in dedup.BAND_LADDER}
         _stub_recalls(monkeypatch, dedup, fake)
@@ -266,7 +267,7 @@ def test_recall_floor_router_serves_best_when_floor_unreachable(
 
     monkeypatch.setattr(dedup, "NEARDUP_FLOOR_FRACTION", 1.5)
     r = dedup.neardup_candidate_pairs(spark, sf_oracle_dir)
-    assert (r.route, r.served_bands) == ("banded_esc54", 54)
+    assert (r.route, r.served_bands) == ("banded_esc81", 81)
     assert r.floor > 1 >= r.rung_recalls[0]
     assert all(v is not None for v in r.rung_recalls)
     assert r.ivf_recall is not None
@@ -286,12 +287,13 @@ def test_recall_floor_router_falls_back_to_ivf_when_ivf_wins(
     comparison."""
     from clickhouse_aggregation_spark.operators import dedup
 
-    fake = {12: 0.10, 18: 0.15, 27: 0.18, 36: 0.20, 54: 0.22}
+    fake = {12: 0.10, 18: 0.15, 27: 0.18, 36: 0.20, 54: 0.22,
+            81: 0.24}
     _stub_recalls(monkeypatch, dedup, fake)
     r = dedup.neardup_candidate_pairs(spark, sf_oracle_dir)
     assert (r.route, r.served_bands) == ("ivf_cells", None)
-    assert r.rung_recalls == (0.10, 0.15, 0.18, 0.20, 0.22)
-    assert r.ivf_recall is not None and r.ivf_recall > 0.22
+    assert r.rung_recalls == (0.10, 0.15, 0.18, 0.20, 0.22, 0.24)
+    assert r.ivf_recall is not None and r.ivf_recall > 0.24
     got = {(p.vec_a, p.vec_b) for p in r.pairs.collect()}
     exp = {(p.vec_a, p.vec_b)
            for p in dedup.ivf_cell_pairs(spark, sf_oracle_dir).collect()}

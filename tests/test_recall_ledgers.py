@@ -101,6 +101,16 @@ _SCALE_ROUTE_PINS = [
     ("/tmp/testdata_sf1.0", "banded_esc", 18),
     ("/tmp/testdata_sf2.0", "banded_esc27", 27),
     ("/tmp/testdata_sf4.0", "banded_esc54", 54),
+    # r10: sf8.0 (R=80, 160k vectors) is the first scale where the
+    # plane knob CLAMPS at P=10 — measured rungs
+    # 0.154/0.192/0.385/0.462/0.538/0.615; rung 54 is exhausted
+    # (pre-81 code the best-of arm fired ORGANICALLY and served the
+    # IVF arm at 0.5769 — CORRECTNESS_local_sf8.0_pre81_ivfwins.json)
+    # and the new TERMINAL rung 81 holds the floor at 16/26 labeled
+    # pairs. Beyond P=10 the parameterization stops changing, so no
+    # larger corpus can degrade the expected rung recall further (see
+    # the EMB_BANDS_ESC5 comment in operators/dedup.py).
+    ("/tmp/testdata_sf8.0", "banded_esc81", 81),
 ]
 
 

@@ -123,6 +123,7 @@ def clear_plan_caches(sf_dir: str | None = None) -> dict[str, int]:
         ("pagerank_nodes", clustering._PR_NODES_CACHE),
         ("bpe_vocab", text._VOCAB_CACHE),
         ("maintained_stores", streaming_bridge._STORE_CACHE),
+        ("stream_chunks", streaming_bridge._CHUNK_CACHE),
     ):
         # every family cache is a PlanCache: retire entries through the
         # SAME handler LRU eviction uses (frame unpersist / store-root

@@ -993,7 +993,8 @@ def embedding_lsh_banded_pairs(emb: DataFrame,
 
 def _banded_verified_rows(emb: DataFrame, n_corpus: int | None,
                           bands: int, threshold: float,
-                          band_lo: int = 0) -> DataFrame:
+                          band_lo: int = 0,
+                          n_frame: int | None = None) -> DataFrame:
     """Verified candidate ROWS (vec_a, vec_b, cosine, band) — one row
     per colliding (pair, band), before the cross-band collapse. Shared
     by the distinct-pair generator above and the ladder frame below
@@ -1059,8 +1060,17 @@ def _banded_verified_rows(emb: DataFrame, n_corpus: int | None,
     # exempt from AQE coalescing. (b) both self-join sides inherit the
     # same hash partitioning on (band, bkey), so the join itself adds
     # no further shuffle. At cluster scale the width comes from the
-    # same knob as everything else (defaultParallelism).
-    width = max(emb.sparkSession.sparkContext.defaultParallelism, 4)
+    # same knob as everything else (defaultParallelism); SAMPLE-sized
+    # frames (the capped ladder builds, <= COSINE_BASELINE_CAP rows —
+    # the only callers that pass n_frame) instead get a small fixed
+    # width: their join output is capped-truth scale, and 32 tasks x
+    # ~4 stages of scheduling overhead was a measurable slice of the
+    # ladder profile's first-run (VERDICT r9 next-#4). Values are
+    # partition-width-invariant either way.
+    if n_frame is not None and n_frame <= COSINE_BASELINE_CAP:
+        width = 8
+    else:
+        width = max(emb.sparkSession.sparkContext.defaultParallelism, 4)
     posts = posts.repartition(width, F.col("band"), F.col("bkey"))
     a = posts.alias("a")
     b = posts.alias("b")
@@ -1082,7 +1092,8 @@ def embedding_lsh_banded_candidates(emb: DataFrame,
                                     n_corpus: int | None = None,
                                     bands: int = EMB_BANDS_MAX,
                                     threshold: float = COSINE_DUP_THRESHOLD,
-                                    band_lo: int = 0) -> DataFrame:
+                                    band_lo: int = 0,
+                                    n_frame: int | None = None) -> DataFrame:
     """Confirmed pairs ANNOTATED with the lowest band that generated
     each (vec_a, vec_b, cosine, min_band). Because every escalation
     rung only APPENDS seeded bands, ``filter(min_band < rung)``
@@ -1103,7 +1114,8 @@ def embedding_lsh_banded_candidates(emb: DataFrame,
             f"band_lo ({band_lo}) must be < bands ({bands}): the "
             f"incremental slice [band_lo, bands) is empty")
     return (
-        _banded_verified_rows(emb, n_corpus, bands, threshold, band_lo)
+        _banded_verified_rows(emb, n_corpus, bands, threshold, band_lo,
+                              n_frame)
         .groupBy("vec_a", "vec_b")
         .agg(F.min("cosine").alias("cosine"),
              F.min("band").alias("min_band"))
@@ -1315,7 +1327,8 @@ def ladder_capped_pairs(spark: SparkSession, sf_dir: str,
         emb = emb_full.filter(F.col("vec_id") < COSINE_BASELINE_CAP)
         band_lo = cached[0] if cached is not None else 0
         grown = embedding_lsh_banded_candidates(
-            emb, n_corpus=n_full, bands=bands, band_lo=band_lo)
+            emb, n_corpus=n_full, bands=bands, band_lo=band_lo,
+            n_frame=min(n_full, COSINE_BASELINE_CAP))
         if cached is not None:
             # merge the new bands' pairs into the existing build: a
             # pair seen in both keeps its (lower) cached min_band

@@ -152,3 +152,29 @@ def test_clear_plan_caches_still_drains_plan_caches(spark):
     assert evicted["dedup_sets"] == 1
     assert key not in dedup._SETS_CACHE
     assert not (df.storageLevel.useMemory or df.storageLevel.useDisk)
+
+
+def test_chunk_dir_shared_across_maintainer_kinds(spark):
+    """The chunked source copy is written ONCE per (session, table,
+    sf_dir) and shared by every maintainer kind over that table
+    (round 10: three embeddings facades each re-chunked the identical
+    table). A later kind must get the same chunk dir; eviction of one
+    kind's STORE must never remove the shared chunks."""
+    import os
+    from clickhouse_aggregation_spark.operators import streaming_bridge as sb
+
+    sf = "/root/testdata/sf0.01"
+    r1 = sb._chunked_table_dir(spark, sf, "stream_kind_a_",
+                               "embeddings", "vec_id")
+    r2 = sb._chunked_table_dir(spark, sf, "stream_kind_b_",
+                               "embeddings", "vec_id")
+    assert r1 == r2 and os.path.isdir(r1[1]) and r1[2] > 0
+    # out-of-band removal -> revalidated, rewritten at a fresh root
+    import shutil
+    shutil.rmtree(r1[0])
+    r3 = sb._chunked_table_dir(spark, sf, "stream_kind_a_",
+                               "embeddings", "vec_id")
+    assert r3[1] != r1[1] and os.path.isdir(r3[1]) and r3[2] == r1[2]
+    sb._CHUNK_CACHE.pop(
+        (spark.sparkContext.applicationId, "embeddings", sf), None)
+    shutil.rmtree(r3[0], ignore_errors=True)

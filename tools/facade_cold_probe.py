@@ -58,7 +58,9 @@ root, ddir, n_rows = sb._chunked_table_dir(spark, SF, f"probe_{KIND}_",
                                            table, id_col)
 chunk_s = time.time() - t0
 
-store = os.path.join(root, "store")
+import tempfile  # noqa: E402
+store_root = tempfile.mkdtemp(prefix=f"probe_{KIND}_store_")
+store = os.path.join(store_root, "store")
 prev = spark.conf.get("spark.sql.shuffle.partitions")
 spark.conf.set("spark.sql.shuffle.partitions",
                str(sb.stream_shuffle_width(spark, n_rows)))
@@ -75,6 +77,11 @@ try:
     n = read(store).count()
     read_s = time.time() - t0
 finally:
+    shutil.rmtree(store_root, ignore_errors=True)
+    # drop the chunk dir too: it went into the session-shared cache,
+    # and this probe process owns the whole session
+    sb._CHUNK_CACHE.pop(
+        (spark.sparkContext.applicationId, table, SF), None)
     shutil.rmtree(root, ignore_errors=True)
 
 print(json.dumps({"sf_dir": SF, "kind": KIND,

@@ -198,7 +198,8 @@ def _write_chunked_table(spark: SparkSession, sf_dir: str, prefix: str,
 
 def _maintained_store(spark: SparkSession, sf_dir: str, kind: str,
                       runner, table: str = "documents",
-                      id_col: str = "doc_id", df_fn=None) -> str:
+                      id_col: str = "doc_id", df_fn=None,
+                      stateful_key_col: str | None = None) -> str:
     # applicationId (not id(spark)): a recycled Python object id can
     # never alias a stale store dir from a garbage-collected session.
     key = (kind, spark.sparkContext.applicationId, sf_dir)
@@ -218,10 +219,24 @@ def _maintained_store(spark: SparkSession, sf_dir: str, kind: str,
             tempfile.mkdtemp(prefix=f"stream_{kind}_store_"), "store")
         # drive at a width derived from the per-epoch batch size (see
         # stream_shuffle_width), restoring the session width after —
-        # the maintained results are width-invariant (hash-checked)
+        # the maintained results are width-invariant (hash-checked).
+        # STATEFUL runners (applyInPandasWithState) additionally cap
+        # the width at the grouping key's cardinality: each micro-
+        # batch loads and commits one state store PER PARTITION
+        # regardless of data, so width beyond n_keys is pure store-
+        # commit overhead — measured at sf0.5 (500k events, 5 keys)
+        # the rows-derived width of 32 drove 1.9x slower than the
+        # key-bound width. One countDistinct job over the chunk dir
+        # (driver-local parquet, milliseconds at any fixture scale)
+        # buys the bound; a real deployment knows its key domain.
+        width = stream_shuffle_width(spark, n_rows)
+        if stateful_key_col is not None:
+            n_keys = (spark.read.parquet(ddir)
+                      .agg(F.countDistinct(stateful_key_col).alias("k"))
+                      .first()["k"])
+            width = max(STREAM_MIN_PARTITIONS, min(width, int(n_keys)))
         prev_width = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions",
-                       str(stream_shuffle_width(spark, n_rows)))
+        spark.conf.set("spark.sql.shuffle.partitions", str(width))
         try:
             q = runner(spark, ddir, store)
             finished = q.awaitTermination(_STREAM_TIMEOUT_S)
@@ -545,7 +560,8 @@ def q_streaming_quantile_sketch_epochs(spark: SparkSession,
                                        sf_dir: str) -> DataFrame:
     from ..streaming.quantile_sketch import PCTS
     store = _maintained_store(spark, sf_dir, "qsketch", _run_qsketch,
-                              table="events", id_col="event_id")
+                              table="events", id_col="event_id",
+                              stateful_key_col="event_type")
     est = spark.read.parquet(os.path.join(store, "out"))
     latest = est.groupBy("event_type").agg(F.max("n").alias("n"))
     return (est.join(latest, ["event_type", "n"])

@@ -27,6 +27,8 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
+from pyspark.sql import functions as F
+
 from clickhouse_aggregation_spark.caches import clear_plan_caches
 from clickhouse_aggregation_spark.operators import REGISTRY
 from clickhouse_aggregation_spark.session import get_spark
@@ -248,11 +250,45 @@ WARMUP_DIR = os.environ.get("SPARK_GRAFT_WARMUP_DIR", "/root/testdata/sf0.001")
 REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
 
 
+# Fixed-cost host-calibration probe (VERDICT r10 next-#1: the r8-r10
+# driver bench totals moved 0.77x-1.31x on UNCHANGED plans, and the
+# host-vs-code attribution had to be argued from idle-box reruns OUTSIDE
+# the billed artifact). The probe is deterministic CPU+shuffle work
+# whose cost depends only on the box: a fixed row count hashed and
+# aggregated at a FIXED partition count (independent of the session's
+# defaultParallelism / shuffle width), run before and after each
+# scale's query loop. Round-over-round, this number moves with host
+# state, not with engine code — so a bench artifact carries its own
+# drift evidence: compare calibration medians across rounds before
+# reading anything into the query-total delta.
+CALIBRATION_ROWS = 8_000_000
+CALIBRATION_PARTS = 32
+CALIBRATION_REPS = 3
+
+
+def calibration_probe(spark) -> float:
+    t0 = time.perf_counter()
+    (spark.range(0, CALIBRATION_ROWS, 1, CALIBRATION_PARTS)
+     .select((F.xxhash64(F.col("id")) % 997).alias("k"),
+             F.col("id").alias("v"))
+     .repartition(CALIBRATION_PARTS, "k")
+     .groupBy("k").agg(F.sum("v").alias("s"),
+                       F.count(F.lit(1)).alias("c"))
+     .write.format("noop").mode("overwrite").save())
+    return round(time.perf_counter() - t0, 4)
+
+
+def run_calibration(spark) -> list[float]:
+    calibration_probe(spark)        # untimed: codegen/plan warm-up
+    return [calibration_probe(spark) for _ in range(CALIBRATION_REPS)]
+
+
 def run_scale(spark, sf_dir: str) -> dict:
     """Time HEADLINE + BASELINES against one scale dir; returns the
     full result record (not yet printed)."""
     timings: dict[str, float] = {}
     first_runs: dict[str, float] = {}
+    cal_pre = run_calibration(spark)
 
     def run(names: list[str], out: dict[str, float]) -> None:
         for name in names:
@@ -280,6 +316,7 @@ def run_scale(spark, sf_dir: str) -> dict:
     run(HEADLINE, timings)
     baseline_timings: dict[str, float] = {}
     run(BASELINES, baseline_timings)
+    cal_post = run_calibration(spark)
 
     return {
         "metric": "headline_queries_total_runtime",
@@ -289,6 +326,9 @@ def run_scale(spark, sf_dir: str) -> dict:
         "baselines": baseline_timings,
         "first_runs": first_runs,
         "repeats": REPEATS,
+        "calibration": {"pre": cal_pre, "post": cal_post,
+                        "rows": CALIBRATION_ROWS,
+                        "parts": CALIBRATION_PARTS},
         "sf": _sf_from_dir(sf_dir),
     }
 

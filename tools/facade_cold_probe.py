@@ -61,9 +61,18 @@ chunk_s = time.time() - t0
 import tempfile  # noqa: E402
 store_root = tempfile.mkdtemp(prefix=f"probe_{KIND}_store_")
 store = os.path.join(store_root, "store")
+# the SHIPPED drive width, including the stateful key-cardinality cap
+# (ADVICE r10: the probe drove qsketch at the rows-derived width while
+# production additionally bounds applyInPandasWithState drives by the
+# grouping-key cardinality — probe and production must measure the
+# same configuration). Both widths are reported.
+rows_width = sb.stream_shuffle_width(spark, n_rows)
+width = rows_width
+if KIND == "qsketch":
+    n_keys = sb.distinct_key_count(ddir, "event_type")
+    width = max(sb.STREAM_MIN_PARTITIONS, min(width, n_keys))
 prev = spark.conf.get("spark.sql.shuffle.partitions")
-spark.conf.set("spark.sql.shuffle.partitions",
-               str(sb.stream_shuffle_width(spark, n_rows)))
+spark.conf.set("spark.sql.shuffle.partitions", str(width))
 t0 = time.time()
 try:
     q = runner(spark, ddir, store)
@@ -81,11 +90,11 @@ finally:
     # drop the chunk dir too: it went into the session-shared cache,
     # and this probe process owns the whole session
     sb._CHUNK_CACHE.pop(
-        (spark.sparkContext.applicationId, table, SF), None)
+        sb.chunk_cache_key(spark, table, id_col, SF), None)
     shutil.rmtree(root, ignore_errors=True)
 
 print(json.dumps({"sf_dir": SF, "kind": KIND,
-                  "width": sb.stream_shuffle_width(spark, n_rows),
+                  "width": width, "rows_width": rows_width,
                   "chunk_s": round(chunk_s, 3),
                   "drive_s": round(drive_s, 3),
                   "read_s": round(read_s, 3),

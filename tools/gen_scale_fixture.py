@@ -20,9 +20,11 @@ Amplification rules (factor R replicas, replica 0 = the original):
   sign flip on odd replicas — same norm, same marginal distribution,
   low cross-replica cosine, so LSH-bucket and IVF-cell densities scale
   like a bigger corpus, not like R copies of the same corpus. At
-  DIM=64 the (roll, parity) pair cycles with period 128 and COLLIDES
-  at r ≥ 64 (replica 64 ≡ replica 0 bit-exactly — 7·64 ≡ 0 mod 64,
-  same parity), which would seed one exact-dup pair per base vector;
+  DIM=64 the (roll, parity) pair cycles with period 64 — the first
+  collision is replica 64 ≡ replica 0 bit-exactly (7·64 ≡ 0 mod 64
+  and 64 is even, so both roll and parity repeat; ADVICE r10
+  corrected the previously stated period of 128) — which would seed
+  one exact-dup pair per base vector;
   replicas ≥ 64 therefore ALSO get a seeded per-replica component
   sign pattern (norm- and marginal-preserving, cross-replica cosine
   low in expectation). r < 64 is untouched, so every fixture
@@ -106,7 +108,7 @@ def _replica(table: str, t: pa.Table, r: int,
         if r % 2 == 1:
             mat = -mat
         if r >= 64:
-            # break the period-128 (roll, parity) cycle (see module
+            # break the period-64 (roll, parity) cycle (see module
             # docstring) without touching any r < 64 replica
             signs = np.random.RandomState(909000 + r).choice(
                 np.array([-1.0, 1.0], dtype=np.float32),
@@ -136,13 +138,27 @@ def main() -> None:
         tables["events"].column("user_id")).as_py()) + 1
 
     for name, t in tables.items():
+        path = os.path.join(out_dir, f"{name}.parquet")
         if name in DIMS:
-            out = t
-        else:
-            out = pa.concat_tables(
-                [_replica(name, t, r, domains) for r in range(factor)])
-        pq.write_table(out, os.path.join(out_dir, f"{name}.parquet"))
-        print(f"{name}: {t.num_rows} -> {out.num_rows}")
+            pq.write_table(t, path)
+            print(f"{name}: {t.num_rows} -> {t.num_rows}")
+            continue
+        # stream one replica at a time through a ParquetWriter instead
+        # of concat_tables: peak memory stays ONE replica regardless of
+        # R (the old concat held all R in RAM — at R=160 lineitem alone
+        # is ~100M rows). Same replicas in the same order, so every
+        # VALUE is identical to the concat output; only row-group
+        # boundaries differ, which nothing reads.
+        total = 0
+        writer = pq.ParquetWriter(path, t.schema)
+        try:
+            for r in range(factor):
+                rep = _replica(name, t, r, domains)
+                writer.write_table(rep)
+                total += rep.num_rows
+        finally:
+            writer.close()
+        print(f"{name}: {t.num_rows} -> {total}")
     print(f"wrote {out_dir}")
 
 

@@ -25,6 +25,13 @@ def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     # host disk fills (observed: >200 GiB of duckdb_temp_storage from
     # one uncapped Σdf² pair join before ENOSPC took the box down)
     con.execute("SET max_temp_directory_size='40GiB'")
+    # cap DuckDB's buffer memory too (default is 80% of RAM): an
+    # over-budget oracle must SPILL (into the capped temp dir above,
+    # then fail cleanly) rather than balloon the process toward the
+    # OOM killer while Spark's JVM holds its own multi-GiB heap in
+    # the same box (observed round 11: an uncapped monolithic router
+    # oracle at 80 GiB RSS alongside a 17 GiB JVM)
+    con.execute("SET memory_limit='32GB'")
     for name in DRIVER_TABLES:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):

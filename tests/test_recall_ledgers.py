@@ -111,6 +111,16 @@ _SCALE_ROUTE_PINS = [
     # larger corpus can degrade the expected rung recall further (see
     # the EMB_BANDS_ESC5 comment in operators/dedup.py).
     ("/tmp/testdata_sf8.0", "banded_esc81", 81),
+    # r11: sf16.0 (R=160, 320k vectors) — the post-clamp FLATNESS
+    # check (VERDICT r10 next-#2). Measured rung recalls are
+    # BIT-IDENTICAL to sf8's (0.154/0.192/0.385/0.462/0.538/0.615):
+    # beyond the clamp the parameterization stops changing AND the
+    # capped labeled domain is the same 2000 base vectors, so the
+    # measured ladder is a constant function of (domain, P=10) — the
+    # mechanism behind "recall stops degrading with corpus size",
+    # demonstrated rather than inferred. Rung 81 holds 16/26 vs the
+    # 0.576311 floor at twice the first clamped scale.
+    ("/tmp/testdata_sf16.0", "banded_esc81", 81),
 ]
 
 

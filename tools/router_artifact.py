@@ -128,11 +128,15 @@ def main() -> None:
     route_record = {k: (None if v != v else v) if isinstance(v, float)
                     else (int(v) if hasattr(v, "item") else v)
                     for k, v in row.items()}
+    # arm the budget interrupt ONLY around the monolithic attempt: a
+    # fired timer interrupts whatever duckdb query runs NEXT, so with
+    # budget<=0 (explicit skip) no timer must exist at all — the
+    # staged-count fallback below runs on the same connection
     timer = threading.Timer(max(FULL_BUDGET_S, 1), con.interrupt)
-    timer.start()
     try:
         if FULL_BUDGET_S <= 0:   # explicit skip: go straight to staged
             raise RuntimeError("monolithic full oracle skipped (budget 0)")
+        timer.start()
         ddf = con.execute(spec.oracle).df()
         results["dedup_neardup_floor_route"] = {
             "rows_match": len(spdf) == len(ddf),
@@ -144,6 +148,11 @@ def main() -> None:
             "elapsed_s": round(time.time() - t0, 1),
         }
     except Exception as e:   # interrupted at budget (or oracle OOM/spill)
+        # disarm the budget timer BEFORE the staged fallback: a still-
+        # pending timer (monolithic died early on its own, e.g. the
+        # temp-dir cap) would otherwise interrupt the staged count on
+        # the same connection mid-run
+        timer.cancel()
         # the monolithic full oracle missed the budget — fall back to the
         # STAGED per-band recomputation of the one number it uniquely
         # covers, the full-corpus routed-pair COUNT (the decision and the
@@ -157,7 +166,12 @@ def main() -> None:
             "route_record": route_record,
         }
         served = route_record.get("served_bands")
-        if served:
+        if os.environ.get("ROUTER_STAGED_COUNT", "1") == "0":
+            rec["err"] = ("oracle_infeasible_at_scale: staged count "
+                          "skipped by ROUTER_STAGED_COUNT=0 for this "
+                          "run; decision and pair values hash-checked "
+                          "via dedup_floor_route_domain_check")
+        elif served:
             try:
                 cnt, cnt_s = staged_routed_count(
                     con, int(served), float(route_record["threshold"]))

@@ -1615,13 +1615,14 @@ def _router_ctes(threshold: float, capped_only: bool = False) -> str:
 )"""
         full_c_block = ""
         corpus_block = f"""distsc AS (
-  SELECT nc.vec_id, nc.qv, nc.norm2, c.centroid_id,
+  SELECT nc.vec_id, c.centroid_id,
          row_number() OVER (PARTITION BY nc.vec_id
                             ORDER BY nc.norm2 + c.c_norm2
            - 2 * {dot_sql('nc.qv', 'c.c_qv')}, c.centroid_id) AS _rk
   FROM nc, cents c
 ), corpusc AS (
-  SELECT vec_id, qv, norm2, centroid_id FROM distsc WHERE _rk = 1
+  SELECT nc.vec_id, nc.qv, nc.norm2, d.centroid_id
+  FROM distsc d JOIN nc ON d.vec_id = nc.vec_id WHERE d._rk = 1
 )"""
     else:
         posts_block = f"""posts AS MATERIALIZED (
@@ -1639,13 +1640,14 @@ def _router_ctes(threshold: float, capped_only: bool = False) -> str:
   GROUP BY 1, 2
 )"""
         corpus_block = f"""dists AS (
-  SELECT n.vec_id, n.qv, n.norm2, c.centroid_id,
+  SELECT n.vec_id, c.centroid_id,
          row_number() OVER (PARTITION BY n.vec_id
                             ORDER BY n.norm2 + c.c_norm2
            - 2 * {dot_sql('n.qv', 'c.c_qv')}, c.centroid_id) AS _rk
   FROM n, cents c
 ), corpus AS (
-  SELECT vec_id, qv, norm2, centroid_id FROM dists WHERE _rk = 1
+  SELECT n.vec_id, n.qv, n.norm2, d.centroid_id
+  FROM dists d JOIN n ON d.vec_id = n.vec_id WHERE d._rk = 1
 ), ivf_full AS (
   SELECT count(*) AS c
   FROM corpus a JOIN corpus b
@@ -1852,13 +1854,14 @@ WITH {_router_ctes(threshold, capped_only=True)}, m AS (
   WHERE {COSINE_ORACLE_EXPR} >= {t}
   GROUP BY 1, 2, 3
 ), distsd AS (
-  SELECT nd.vec_id, nd.qv, nd.norm2, c.centroid_id,
+  SELECT nd.vec_id, c.centroid_id,
          row_number() OVER (PARTITION BY nd.vec_id
                             ORDER BY nd.norm2 + c.c_norm2
            - 2 * {dot_sql('nd.qv', 'c.c_qv')}, c.centroid_id) AS _rk
   FROM nd, cents c
 ), corpusd AS (
-  SELECT vec_id, qv, norm2, centroid_id FROM distsd WHERE _rk = 1
+  SELECT nd.vec_id, nd.qv, nd.norm2, d.centroid_id
+  FROM distsd d JOIN nd ON d.vec_id = nd.vec_id WHERE d._rk = 1
 ), ivf_d AS (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          {COSINE_ORACLE_EXPR} AS cosine
@@ -2116,13 +2119,14 @@ WITH q AS (
   SELECT vec_id AS centroid_id, qv AS c_qv, norm2 AS c_norm2
   FROM n WHERE vec_id < {sem_centroids_sql()}
 ), dists AS (
-  SELECT n.vec_id, n.qv, n.norm2, c.centroid_id,
+  SELECT n.vec_id, c.centroid_id,
          row_number() OVER (PARTITION BY n.vec_id
                             ORDER BY n.norm2 + c.c_norm2
            - 2 * {dot_sql('n.qv', 'c.c_qv')}, c.centroid_id) AS _rk
   FROM n, cents c
 ), corpus AS (
-  SELECT vec_id, qv, norm2, centroid_id FROM dists WHERE _rk = 1
+  SELECT n.vec_id, n.qv, n.norm2, d.centroid_id
+  FROM dists d JOIN n ON d.vec_id = n.vec_id WHERE d._rk = 1
 ), pairs AS (
   SELECT a.centroid_id, b.vec_id AS dropped_vec
   FROM corpus a JOIN corpus b

@@ -30,8 +30,13 @@ def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     # then fail cleanly) rather than balloon the process toward the
     # OOM killer while Spark's JVM holds its own multi-GiB heap in
     # the same box (observed round 11: an uncapped monolithic router
-    # oracle at 80 GiB RSS alongside a 17 GiB JVM)
-    con.execute("SET memory_limit='32GB'")
+    # oracle at 80 GiB RSS alongside a 17 GiB JVM). Env-overridable
+    # for scale-artifact runs whose n x K window materializations
+    # legitimately need more (e.g. the sf16 domain check's 26.7k x
+    # 625-centroid assignment — a pin-heavy window DuckDB cannot
+    # fully spill).
+    con.execute("SET memory_limit='%s'"
+                % os.environ.get("ORACLE_MEMORY_LIMIT", "32GB"))
     for name in DRIVER_TABLES:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):

@@ -116,8 +116,18 @@ def main() -> None:
                 str(spdf["route"].iloc[0]) if len(spdf) else None
 
 
-    three_way("dedup_neardup_ladder_profile")
-    three_way("dedup_floor_route_domain_check")
+    # a failed step must not lose the completed rows: the artifact is
+    # written at the end, and an sf16-class oracle OOM in step 2 threw
+    # away step 1's hash-green result before this guard existed
+    for name in ("dedup_neardup_ladder_profile",
+                 "dedup_floor_route_domain_check"):
+        try:
+            three_way(name)
+        except Exception as e:
+            results[name] = {
+                "rows_match": None, "schema_match": None,
+                "hash_match": None,
+                "err": f"{type(e).__name__}: {e}"}
 
     FULL_BUDGET_S = int(os.environ.get("ROUTER_FULL_BUDGET_S", "7200"))
 

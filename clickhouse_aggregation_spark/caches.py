@@ -118,6 +118,7 @@ def clear_plan_caches(sf_dir: str | None = None) -> dict[str, int]:
     """
     from .operators import (clustering, contamination, curation, dedup,
                             similarity, streaming_bridge, text)
+    from .sources import tables, transfers
 
     evicted: dict[str, int] = {}
 
@@ -143,6 +144,9 @@ def clear_plan_caches(sf_dir: str | None = None) -> dict[str, int]:
         ("bpe_vocab", text._VOCAB_CACHE),
         ("maintained_stores", streaming_bridge._STORE_CACHE),
         ("stream_chunks", streaming_bridge._CHUNK_CACHE),
+        # lazy PLAN caches (nothing persisted; eviction = drop the ref)
+        ("table_plans", tables._TABLE_CACHE),
+        ("transfers_plan", transfers._TRANSFERS_CACHE),
     ):
         # every family cache is a PlanCache: retire entries through the
         # SAME handler LRU eviction uses (frame unpersist / store-root

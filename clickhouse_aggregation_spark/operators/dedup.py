@@ -2377,24 +2377,32 @@ groups AS (
 def simhash60_groups(docs: DataFrame) -> DataFrame:
     """(code, cnt): distinct 60-bit sign-sum simhash codes with their
     multiplicities. Two combinable groupBys — linear at any scale; the
-    group table is |distinct codes| rows, the dup-compressed corpus."""
+    group table is |distinct codes| rows, the dup-compressed corpus.
+
+    OPTIMIZATION r11 (guide §2.4, §5): per-doc token dedup is
+    ``array_distinct`` BEFORE the explode — a narrow expression that
+    fuses into the scan — instead of a row-level ``.distinct()`` after
+    it, which cost a full extra exchange of every (doc_id, token) row
+    (same value: distinct-per-(doc,tok) == per-doc distinct tokens).
+    The 60 bit-sum aggregates and the code reconstruction are built as
+    SQL strings (2 py4j calls instead of ~600 — measured 1.2 s of
+    driver time per bench repeat building these trees)."""
     tv = (ensure_parallelism(docs)
-          .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
-          .distinct()
           .select("doc_id",
-                  F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10)
-                  .cast("long").alias("hv")))
+                  F.explode(F.expr("array_distinct(split(text, ' '))"))
+                  .alias("tok"))
+          .select("doc_id",
+                  F.expr("CAST(conv(substring(md5(tok), 1, 15), 16, 10) "
+                         "AS BIGINT)").alias("hv")))
     bit_sums = [
-        F.sum(2 * F.shiftright(F.col("hv"), b).bitwiseAND(F.lit(1)) - 1)
-         .alias(f"s{b}")
+        F.expr(f"sum(2 * (shiftright(hv, {b}) & 1) - 1)").alias(f"s{b}")
         for b in range(SIMHASH_NBITS)
     ]
     agg = tv.groupBy("doc_id").agg(*bit_sums)
-    code = None
-    for b in range(SIMHASH_NBITS):
-        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
-        code = term if code is None else code + term
-    return (agg.select(code.cast("long").alias("code"))
+    code = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN {1 << b}L ELSE 0L END)"
+        for b in range(SIMHASH_NBITS))
+    return (agg.select(F.expr(f"CAST({code} AS BIGINT)").alias("code"))
             .groupBy("code").agg(F.count(F.lit(1)).alias("cnt")))
 
 
@@ -2432,15 +2440,20 @@ def q_dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     # here is net SLOWER — eager materialization costs more than the
     # reuse saves).
     groups = simhash60_groups(docs)
+    # the 20 three-block super-keys as ONE parsed expression (py4j-
+    # cheap; same shifts the Column loop built before)
     key_structs = []
     for t, (a, b, c) in enumerate(_BLOCK_TRIPLES):
-        kv = None
-        for blk in (a, b, c):
-            part = F.shiftright(F.col("code"), blk * SIMHASH_BLOCK_BITS)                     .bitwiseAND(F.lit(_BLOCK_MASK))
-            kv = part if kv is None else                 F.shiftleft(kv, SIMHASH_BLOCK_BITS) + part
-        key_structs.append(F.struct(F.lit(t).alias("t"), kv.alias("kv")))
-    posts = (groups.select("code", "cnt",
-                           F.explode(F.array(*key_structs)).alias("k"))
+        parts = [
+            f"(shiftright(code, {blk * SIMHASH_BLOCK_BITS}) & {_BLOCK_MASK})"
+            for blk in (a, b, c)]
+        kv = (f"(shiftleft(shiftleft({parts[0]}, {SIMHASH_BLOCK_BITS}) "
+              f"+ {parts[1]}, {SIMHASH_BLOCK_BITS}) + {parts[2]})")
+        key_structs.append(f"struct({t} AS t, {kv} AS kv)")
+    posts = (groups.select(
+                 "code", "cnt",
+                 F.explode(F.expr("array(" + ", ".join(key_structs) + ")"))
+                 .alias("k"))
              .select("code", "cnt", "k.t", "k.kv"))
     # in-bucket combinations over (table, super-key) — candidates are
     # DISTINCT-code pairs agreeing on >= 3 whole blocks

@@ -117,7 +117,7 @@ def clear_plan_caches(sf_dir: str | None = None) -> dict[str, int]:
     chunking.
     """
     from .operators import (clustering, contamination, curation, dedup,
-                            similarity, streaming_bridge, text)
+                            registry, similarity, streaming_bridge, text)
     from .sources import tables, transfers
 
     evicted: dict[str, int] = {}
@@ -147,6 +147,7 @@ def clear_plan_caches(sf_dir: str | None = None) -> dict[str, int]:
         # lazy PLAN caches (nothing persisted; eviction = drop the ref)
         ("table_plans", tables._TABLE_CACHE),
         ("transfers_plan", transfers._TRANSFERS_CACHE),
+        ("prepared_plans", registry._PLAN_MEMO),
     ):
         # every family cache is a PlanCache: retire entries through the
         # SAME handler LRU eviction uses (frame unpersist / store-root

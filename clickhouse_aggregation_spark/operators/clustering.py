@@ -46,18 +46,25 @@ def connected_components(edges: DataFrame, nodes: DataFrame,
         prop = (sym.join(labels, sym.src == labels.node)
                 .groupBy(F.col("dst").alias("node"))
                 .agg(F.min("component").alias("_neighbor_min")))
+        # carry the convergence bit THROUGH the checkpoint instead of
+        # re-joining new vs old labels afterwards (OPTIMIZATION r11:
+        # the old per-iteration labels⋈new_labels equality join cost a
+        # full extra join + count job per round; a label only ever
+        # decreases, so "changed" == "some neighbor_min undercut the
+        # old component", computable row-locally before the checkpoint)
         new_labels = (
             labels.join(prop, "node", "left")
             .select("node",
                     F.least(F.col("component"),
                             F.coalesce(F.col("_neighbor_min"),
-                                       F.col("component"))).alias("component"))
+                                       F.col("component"))).alias("component"),
+                    (F.col("_neighbor_min") < F.col("component"))
+                    .alias("_changed"))
         ).localCheckpoint()
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "node")
-                   .filter(F.col("n.component") != F.col("o.component"))
-                   .limit(1).count())
-        labels = new_labels
+        # filter-count over the just-materialized checkpoint: no
+        # recompute, no shuffle, early-exit limit
+        changed = new_labels.filter("_changed").limit(1).count()
+        labels = new_labels.drop("_changed")
         if changed == 0:
             return labels
     # a silent unconverged result would be wrong-but-plausible — the
@@ -224,6 +231,7 @@ FROM r{PR_ITERS}""")
 
 @register(
     "transfers_pagerank3",
+    memo_plan=True,   # pure lazy construction (see registry._PLAN_MEMO)
     oracle=_pagerank_oracle(),
     doc="Weighted PageRank (3 unrolled iterations, damping 0.85) over "
         "the live transfer graph in fixed-point int64 — floor-division "

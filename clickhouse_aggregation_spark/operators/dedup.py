@@ -507,6 +507,7 @@ def q_dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_simhash",
+    memo_plan=True,   # pure lazy construction (see registry._PLAN_MEMO)
     oracle=f"""
 WITH toks AS (
   SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
@@ -2110,6 +2111,7 @@ SEM_EPS = 0.40           # SemDeDup epsilon: BELOW the near-dup
 
 @register(
     "dedup_semantic",
+    memo_plan=True,   # pure lazy construction (see registry._PLAN_MEMO)
     oracle=f"""
 WITH q AS (
   SELECT vec_id, {quantize.SQL} AS qv FROM embeddings
@@ -2408,6 +2410,7 @@ def simhash60_groups(docs: DataFrame) -> DataFrame:
 
 @register(
     "dedup_simhash_hamming",
+    memo_plan=True,   # pure lazy construction (see registry._PLAN_MEMO)
     oracle=f"""
 WITH {_simhash60_sql().strip()},
 inter AS (

@@ -31,7 +31,7 @@ WHERE log_id = (SELECT min(log_id) FROM transfers)"""),
         "parquet min/max stats skip row groups within it.",
 )
 def q_entity_by_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = transfers_df(spark, sf_dir)
+    t = transfers_df(spark, sf_dir, wide=True)   # full-width point read
     target = t.agg(F.min("log_id").alias("_target"))
     return t.join(F.broadcast(target), t.log_id == F.col("_target")) \
             .drop("_target")
@@ -87,6 +87,7 @@ def q_events_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_value_quantiles",
+    memo_plan=True,   # pure lazy construction (see registry._PLAN_MEMO)
     oracle="""
 WITH ranked AS (
   SELECT event_type, value,

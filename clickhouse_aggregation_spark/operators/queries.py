@@ -172,7 +172,9 @@ FROM ranked WHERE _rn = 1"""),
         "(A6): row_number() over the sort key, keep max _version",
 )
 def q_dedup_latest_version(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = transfers_df(spark, sf_dir)
+    # wide=True: the LWW window shuffles FULL rows, so the synthesis is
+    # the map stage (transfers_df docstring; 1.11 -> 0.74 s at sf0.1)
+    t = transfers_df(spark, sf_dir, wide=True)
     w = Window.partitionBy("block_timestamp", "transaction_hash", "log_index") \
               .orderBy(F.col("_version").desc())
     return (

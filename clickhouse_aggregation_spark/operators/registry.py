@@ -15,6 +15,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..caches import PlanCache
 from .contract import finalize, wrap_oracle
 from .contracts import CONTRACTS
 
@@ -302,8 +303,27 @@ def extras_order() -> list[str]:
     return [n for n in EXTRAS if n in REGISTRY]
 
 
+# Prepared-plan memo (OPTIMIZATION r11, guide §5 — driver work): for a
+# query whose fn is PURE LAZY CONSTRUCTION (no job, no checkpoint, no
+# count/collect, no store driving — only DataFrame composition over the
+# session-immutable table plans), the returned DataFrame is a pure
+# function of (session, sf_dir), so rebuilding its expression tree
+# through py4j on every call is repeated driver-side work for an
+# identical object. ``memo_plan=True`` opts such a query into a
+# per-(session, sf_dir) plan memo. STRICTLY construction-only reuse:
+# nothing is materialized at build time, and every action on the memoed
+# frame re-executes the full computation from parquet (Catalyst
+# re-optimizes per action; only the Python-side tree build is skipped).
+# Queries that do eager driver work inside fn (iterative loops, route
+# decisions, epoch driving) MUST NOT set it — for them a memo would
+# skip recomputation, which is result caching, not preparation.
+_PLAN_MEMO: dict[tuple[str, str, str], DataFrame] = PlanCache(
+    capacity=64, on_evict=lambda _v: None)
+
+
 def register(name: str, oracle: str | None = None, doc: str = "",
-             tags: tuple[str, ...] = ()) -> Callable[[SparkQuery], SparkQuery]:
+             tags: tuple[str, ...] = (),
+             memo_plan: bool = False) -> Callable[[SparkQuery], SparkQuery]:
     """Decorator: add a declared query to the registry.
 
     The stored ``fn``/``oracle`` are wrapped with the output contract
@@ -316,9 +336,18 @@ def register(name: str, oracle: str | None = None, doc: str = "",
         if name in REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
 
-        def finalized(spark: SparkSession, sf_dir: str,
-                      _fn: SparkQuery = fn) -> DataFrame:
-            return finalize(_fn(spark, sf_dir))
+        if memo_plan:
+            def finalized(spark: SparkSession, sf_dir: str,
+                          _fn: SparkQuery = fn) -> DataFrame:
+                key = (name, spark.sparkContext.applicationId, sf_dir)
+                cached = _PLAN_MEMO.get(key)
+                if cached is None:
+                    cached = _PLAN_MEMO[key] = finalize(_fn(spark, sf_dir))
+                return cached
+        else:
+            def finalized(spark: SparkSession, sf_dir: str,
+                          _fn: SparkQuery = fn) -> DataFrame:
+                return finalize(_fn(spark, sf_dir))
 
         wrapped = wrap_oracle(oracle, CONTRACTS.get(name, {})) \
             if oracle is not None else None

@@ -349,7 +349,10 @@ FROM ranked WHERE _rn = 1"""),
     doc="24h ReplacingMergeTree dedup view (analytics.sql:91-106; A6,O5,P5,F6,F7)",
 )
 def q_mv_recent_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return mv_recent_activity(transfers_df(spark, sf_dir))
+    # wide=True: the ReplacingMergeTree window shuffles full rows, so
+    # the synthesis is the map stage (transfers_df docstring; measured
+    # 1.00 -> 0.65 s at sf0.1)
+    return mv_recent_activity(transfers_df(spark, sf_dir, wide=True))
 
 
 @register(

@@ -251,6 +251,7 @@ def _flip_col(bucket: Column, i: int) -> Column:
 
 @register(
     "similarity_lsh_multiprobe",
+    memo_plan=True,   # pure lazy construction (see registry._PLAN_MEMO)
     oracle=f"""
 WITH {_QUANT_SQL.strip()},
 bucketed AS (
@@ -472,6 +473,7 @@ def sem_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "similarity_ivf_topk",
+    memo_plan=True,   # pure lazy construction (see registry._PLAN_MEMO)
     oracle=f"""
 WITH {_QUANT_SQL.strip()},
 cents AS (
@@ -713,6 +715,7 @@ FROM bf b LEFT JOIN sel{np_} s
 
 @register(
     "similarity_ivf_nprobe_sweep",
+    memo_plan=True,   # pure lazy construction (see registry._PLAN_MEMO)
     oracle=f"""
 WITH {_QUANT_SQL.strip()},
 cents AS (
@@ -844,6 +847,7 @@ cand AS (
 
 @register(
     "similarity_pq_rerank",
+    memo_plan=True,   # pure lazy construction (see registry._PLAN_MEMO)
     oracle=f"""
 WITH {_QUANT_SQL.strip()},
 {_pq_sql().strip()},
@@ -1000,6 +1004,13 @@ def _trunc_div(sum_col: Column, cnt_col: Column) -> Column:
 
 
 def _recompute_cents(assigned: DataFrame) -> DataFrame:
+    # NOTE (OPTIMIZATION r11, measured and kept as-is): a one-groupBy
+    # rewrite with DIM per-dimension sum(qv[i]) aggregates is value-
+    # identical but 1.6x SLOWER here — Spark's GetArrayItem re-checks
+    # the array per term, while posexplode walks it once (the same
+    # measurement killed an explicit-sum int_dot). Two combinable
+    # exchanges of (K x DIM)-sized partials is already tiny at any
+    # scale.
     comp = assigned.select(
         "centroid_id", F.posexplode("qv").alias("pos", "v"))
     dims = (comp.groupBy("centroid_id", "pos")
@@ -1231,6 +1242,7 @@ FROM ranked WHERE rank <= {TOP_K}"""
 
 @register(
     "similarity_ivfpq_residual",
+    memo_plan=True,   # pure lazy construction (see registry._PLAN_MEMO)
     oracle=_ivfpq_oracle(),
     doc="IVF-PQ with residual encoding (the FAISS production-index "
         "composition): coarse assignment to 16 seeded cells, PQ codes "

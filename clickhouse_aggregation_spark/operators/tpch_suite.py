@@ -462,7 +462,14 @@ def q_late_sole_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # keeps both aggs partial-combinable. n_late == 1 ⇒ exactly one
     # late supplier ⇒ max(when(late, suppkey)) IS the culprit: recovery
     # rides the same aggregation, no join-back over a recomputed join.
-    per_supp = (lo.groupBy("l_orderkey", "l_suppkey")
+    # OPTIMIZATION r11 (guide §2.4): hash-partitioning by l_orderkey
+    # alone satisfies BOTH aggregations' clustering requirements (a
+    # subset of (l_orderkey, l_suppkey) co-locates every group), so one
+    # explicit repartition serves the per-supplier AND the per-order
+    # pass — 2 exchanges of the joined rows -> 1. No partition count is
+    # pinned: repartition-by-column stays AQE-coalescable.
+    per_supp = (lo.repartition(F.col("l_orderkey"))
+                .groupBy("l_orderkey", "l_suppkey")
                 .agg(F.max("late").alias("late")))
     culprits = (
         per_supp.groupBy("l_orderkey")
@@ -740,16 +747,26 @@ def q_orders_brand_basket_lift(spark: SparkSession,
                                sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     pt = load_table(spark, sf_dir, "part")
-    ob = (li.select("l_orderkey", "l_partkey")
-          .join(F.broadcast(pt.select("p_partkey", "p_brand")),
-                F.col("l_partkey") == F.col("p_partkey"))
-          .select("l_orderkey", "p_brand").distinct())
-    singles = ob.groupBy("p_brand").agg(
-        F.count(F.lit(1)).alias("brand_orders"))
-    tot = ob.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    # OPTIMIZATION r11 (guide §2.4): ONE orderkey-keyed aggregation
+    # builds the per-order brand set (collect_set dedups in place, so
+    # the old (l_orderkey, p_brand).distinct() exchange is gone), and
+    # all three consumers — per-brand order counts, the distinct-order
+    # total, and the pair generator — derive from it, sharing the
+    # basket build's exchange; the countDistinct Expand disappears
+    # (plans/r11/orders_brand_basket_lift_{before,after}.txt). Values
+    # are identical: explode(set) re-creates exactly the distinct
+    # (order, brand) rows.
+    baskets = (li.select("l_orderkey", "l_partkey")
+               .join(F.broadcast(pt.select("p_partkey", "p_brand")),
+                     F.col("l_partkey") == F.col("p_partkey"))
+               .groupBy("l_orderkey")
+               .agg(F.sort_array(F.collect_set("p_brand")).alias("bs")))
+    singles = (baskets.select(F.explode("bs").alias("p_brand"))
+               .groupBy("p_brand")
+               .agg(F.count(F.lit(1)).alias("brand_orders")))
+    tot = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
     pairs = (
-        ob.groupBy("l_orderkey")
-        .agg(F.sort_array(F.collect_set("p_brand")).alias("bs"))
+        baskets
         .select(F.explode(F.expr(
             "flatten(transform(bs, (x, i) -> "
             "transform(slice(bs, i + 2, size(bs) - i - 1), "

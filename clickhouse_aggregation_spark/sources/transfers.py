@@ -56,18 +56,34 @@ _TRANSFERS_CACHE: dict[tuple[str, str], DataFrame] = PlanCache(
     capacity=16, on_evict=lambda _v: None)
 
 
-def transfers_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+def transfers_df(spark: SparkSession, sf_dir: str,
+                 wide: bool = False) -> DataFrame:
     """Synthesize the canonical transfers table (lazy plan over events).
 
     The whole derivation is narrow (no shuffle): one projection plus a
     3-way union of projections, so at 100 TB it stays embarrassingly
     parallel and fuses into downstream scans via whole-stage codegen.
+
+    ``wide=True`` (OPTIMIZATION r11, guide §2.5 input skew): round-robin
+    repartition the events SCAN below the projection when it yields
+    fewer splits than cores (``ensure_parallelism`` — a no-op at scale,
+    where inputs arrive in thousands of splits). For consumers that
+    materialize the FULL row width (ABI decode round-trip, point lookup,
+    LWW window dedup), the md5/hex synthesis is the map stage and a
+    single small file serializes it; measured: abi_decode 0.90→0.47 s,
+    dedup_latest 1.11→0.74 s. Aggregating consumers measured flat-to-
+    worse under the extra exchange (they prune the wide columns), so
+    the default stays narrow.
     """
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = (spark.sparkContext.applicationId, "wide" if wide else "",
+           sf_dir)
     cached = _TRANSFERS_CACHE.get(key)
     if cached is not None:
         return cached
     ev = load_table(spark, sf_dir, "events")
+    if wide:
+        from .tables import ensure_parallelism
+        ev = ensure_parallelism(ev)
     base = ev.select(
         F.col("event_id"),
         F.col("user_id"),

@@ -80,8 +80,13 @@ ORDER BY s_acctbal DESC, p_partkey, s_suppkey LIMIT 20""",
         "unmodified doubles is arithmetic-free, hence engine-exact.",
 )
 def q_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # OPTIMIZATION r11 (guide §2.4): hash-partitioning by l_partkey
+    # alone satisfies the pair-distinct (subset of its keys), the
+    # per-part min, AND the join-back — one exchange where the planner
+    # inserted three. AQE-coalescable (no pinned count).
     pairs = (load_table(spark, sf_dir, "lineitem")
-             .select("l_partkey", "l_suppkey").distinct())
+             .select("l_partkey", "l_suppkey")
+             .repartition(F.col("l_partkey")).distinct())
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
@@ -93,8 +98,13 @@ def q_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = (pe.groupBy(F.col("l_partkey").alias("mp_partkey"))
          .agg(F.min("s_acctbal").alias("min_bal")))
     return (
-        pe.join(m, (pe.l_partkey == m.mp_partkey)
-                & (pe.s_acctbal == m.min_bal))
+        # join on the partition key only and FILTER the min equality:
+        # a (partkey, acctbal) equi-join would re-exchange both sides
+        # (co-partitioning requires all cluster keys), while this join
+        # rides the one repartition above — value-identical for an
+        # inner join
+        pe.join(m, pe.l_partkey == m.mp_partkey)
+        .filter(pe.s_acctbal == m.min_bal)
         .select("s_acctbal", "s_name", "n_name",
                 F.col("l_partkey").alias("p_partkey"), "s_suppkey")
         .orderBy(F.col("s_acctbal").desc(), "p_partkey", "s_suppkey")

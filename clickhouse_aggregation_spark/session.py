@@ -40,6 +40,15 @@ def get_spark(app_name: str = "clickhouse_aggregation_spark",
         # Broadcast anything dimension-sized; at 100 TB the dims
         # (region/nation/part metadata, rollup lookup tables) still fit.
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        # OPTIMIZATION r11 (guide §2.4 remove shuffles outright): allow
+        # a join to reuse inputs hash-partitioned by a SUBSET of its
+        # keys instead of re-exchanging both sides on all of them. The
+        # engine partitions deliberately (repartition by the highest-
+        # cardinality key serves dedup + agg + join-back in one
+        # exchange, e.g. cheapest_supplier_per_part); at 100 TB the
+        # subset keys are high-cardinality (orderkey/partkey), so the
+        # conservative default buys nothing but an extra full shuffle.
+        .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")

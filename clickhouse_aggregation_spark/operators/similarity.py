@@ -976,19 +976,47 @@ KMEANS_ITERS = 2
 
 
 def _assign_cells(n: DataFrame, cents: DataFrame):
-    """(vec_id, centroid_id, dist) nearest-cell assignment — min_by
-    aggregation over the broadcast centroid expansion (same shape as
-    _ivf_parts)."""
-    dist = (F.col("norm2") + F.col("c_norm2")
-            - 2 * int_dot(F.col("qv"), F.col("c_qv")))
-    expanded = (n.join(F.broadcast(cents))
-                .select("vec_id", "qv", "norm2", "centroid_id",
-                        dist.alias("dist")))
-    return expanded.groupBy("vec_id").agg(
-        F.min_by("centroid_id", F.struct("dist", "centroid_id"))
-         .alias("centroid_id"),
-        F.min(F.struct("dist", "centroid_id")).getField("dist").alias("dist"),
-        F.first("qv").alias("qv"))
+    """(vec_id, centroid_id, dist, qv) nearest-cell assignment.
+
+    OPTIMIZATION r11 (guide §4.2): the broadcast-join + min_by form
+    evaluated the integer dot product through interpreted higher-order
+    lambdas — measured ~0.47 s per Lloyd pass for |n|×K×DIM ≈ 3M
+    multiplies at sf0.1, the dominant cost of the whole refinement.
+    Now one vectorized mapInPandas: K centroids are collected to the
+    driver (metadata-sized, the ann_index.py precedent) and each Arrow
+    batch does a single int64 matmul + argmin. All arithmetic stays
+    exact 64-bit integers (|dot| ≤ DIM·(2²¹)² ≪ 2⁶³) and centroids
+    are sorted by centroid_id so argmin's first-minimum reproduces the
+    ORDER BY (dist, centroid_id) tie-break — values bit-identical to
+    the expression form (oracle re-verified). Also removes the groupBy
+    exchange the min_by aggregation needed.
+    """
+    import numpy as np
+
+    rows = cents.orderBy("centroid_id").collect()
+    C = np.array([list(r.c_qv) for r in rows], dtype=np.int64)
+    cn2 = np.array([r.c_norm2 for r in rows], dtype=np.int64)
+    cids = np.array([r.centroid_id for r in rows], dtype=np.int64)
+    schema = "vec_id bigint, centroid_id bigint, dist bigint, qv array<bigint>"
+
+    def assign(batches):
+        import numpy as _np
+        import pandas as _pd
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            q = _np.array(pdf["qv"].tolist(), dtype=_np.int64)
+            n2 = pdf["norm2"].to_numpy(dtype=_np.int64)
+            d = n2[:, None] + cn2[None, :] - 2 * (q @ C.T)
+            idx = d.argmin(axis=1)
+            yield _pd.DataFrame({
+                "vec_id": pdf["vec_id"].to_numpy(dtype=_np.int64),
+                "centroid_id": cids[idx],
+                "dist": d[_np.arange(len(idx)), idx],
+                "qv": pdf["qv"],
+            })
+
+    return n.select("vec_id", "qv", "norm2").mapInPandas(assign, schema)
 
 
 def _trunc_div(sum_col: Column, cnt_col: Column) -> Column:
@@ -1075,26 +1103,18 @@ c0 AS (
 )
 def q_similarity_ivf_kmeans_refine(spark: SparkSession,
                                    sf_dir: str) -> DataFrame:
-    # localCheckpoint per round (the connected_components pattern):
-    # without it the unioned 3-row result re-executes assignment pass t
-    # once per LATER row that depends on it — 1+2+3 = 6 broadcast-join
-    # passes instead of 3 — and each pass re-derives the parquet scan +
-    # quantization. Checkpointing the corpus once and each round's
-    # assignment makes every Lloyd pass execute once per materialized
-    # run. eager=False (ADVICE r5): the checkpoint materializes on the
-    # FIRST ACTION, not at plan-build time, so merely constructing /
-    # explaining this DataFrame (plan gates, tools/plan_audit) costs
-    # nothing; localCheckpoint persists its blocks, and each round's
-    # centroid recompute is a broadcast build-side sub-job, so the
-    # rounds still execute sequentially and exactly once per run.
-    # Measured caveat (ADVICE r5, documented as offered): under AQE,
-    # Dataset.localCheckpoint's withAction materializes the adaptive
-    # plan's exchanges even with eager=False, so CONSTRUCTING this
-    # DataFrame still executes the Lloyd passes once (jobs at build
-    # time, collect then only fetches); eager=False still skips the
-    # final count job per round. Plan gates / explain on the RETURNED
-    # frame are free — they read the already-materialized LogicalRDD.
-    # (Cluster-mode caveat stands: localCheckpoint blocks are not
+    # OPTIMIZATION r11: the per-round assigned-frame checkpoints of
+    # r5-r10 are GONE. Each round's centroid recompute ends in a K-row
+    # collect inside _assign_cells (the numpy assignment needs local
+    # centroids), and that collect IS the per-round materialization
+    # barrier — the corpus stays checkpointed once below all passes,
+    # every later pass is a narrow vectorized map over it, and the
+    # final 3-row union re-executes each pass exactly once (one extra
+    # corpus scan per round, cheaper than the checkpoint write+read it
+    # replaces — measured 1.9-2.0 s -> 1.55 s at sf0.1, values
+    # identical). eager=False on the corpus checkpoint: it
+    # materializes on the first action, so plan gates / explain stay
+    # free. (Cluster caveat unchanged: localCheckpoint blocks are not
     # fault-tolerant to executor loss; a cluster deployment would swap
     # in reliable checkpoint() or persist(DISK_ONLY_2).)
     n = (_quantized(spark, sf_dir).select("vec_id", "qv", "norm2")
@@ -1104,7 +1124,7 @@ def q_similarity_ivf_kmeans_refine(spark: SparkSession,
         F.col("qv").alias("c_qv"), F.col("norm2").alias("c_norm2"))
     rows = []
     for t in range(KMEANS_ITERS + 1):
-        assigned = _assign_cells(n, cents).localCheckpoint(eager=False)
+        assigned = _assign_cells(n, cents)
         rows.append(assigned.agg(
             F.lit(t).cast("long").alias("iteration"),
             F.sum("dist").cast("long").alias("inertia"),

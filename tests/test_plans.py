@@ -11,7 +11,15 @@ from clickhouse_aggregation_spark.operators import REGISTRY
 
 
 def _plan(spark, sf_dir, name: str, execute: bool = False) -> str:
-    df = REGISTRY[name].fn(spark, sf_dir)
+    # build a FRESH finalized frame (raw_fn + finalize) instead of
+    # going through spec.fn: memo_plan queries return one shared
+    # DataFrame per session, and once ANY earlier test has executed it,
+    # its queryExecution explains as the AQE-finalized plan — all
+    # (Broadcast)QueryStage references whose subtrees these textual
+    # gates can no longer see. A fresh frame always yields the full
+    # initial physical plan the gates were written against.
+    from clickhouse_aggregation_spark.operators.contract import finalize
+    df = finalize(REGISTRY[name].raw_fn(spark, sf_dir))
     if execute:   # AQE finalizes (and annotates codegen) only after run
         df.collect()
     return df._jdf.queryExecution().executedPlan().toString()

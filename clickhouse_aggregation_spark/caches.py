@@ -160,4 +160,19 @@ def clear_plan_caches(sf_dir: str | None = None) -> dict[str, int]:
             except Exception:  # session already stopped — nothing pinned
                 pass
         evicted[name] = len(hit)
+
+    # view-registration memos (ADVICE r11): plain dicts keyed by appId
+    # whose VALUE carries the sf_dir — if anything drops or replaces a
+    # temp view out-of-band, a stale memo would skip re-registration.
+    # Clearing them here means every lifecycle event that retires a
+    # scale's plans also forgets its view registrations; re-registering
+    # is a handful of py4j calls.
+    for name, memo in (("views_memo", tables._VIEWS_MEMO),
+                       ("transfers_view_memo",
+                        transfers._TRANSFERS_VIEW_MEMO)):
+        hit = [k for k, v in memo.items()
+               if sf_dir is None or v[0] == sf_dir]
+        for k in hit:
+            memo.pop(k, None)
+        evicted[name] = len(hit)
     return evicted

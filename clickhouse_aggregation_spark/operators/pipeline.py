@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from ..sources.tables import ensure_parallelism, load_table
+from ..sources.tables import load_table
 from .dedup import (DOC_SETS_SQL, JACCARD_THRESHOLD, _minhash_sql,
                     q_dedup_minhash_lsh)
 from .registry import register

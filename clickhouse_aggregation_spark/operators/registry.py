@@ -31,6 +31,9 @@ class QuerySpec:
     tags: tuple[str, ...] = field(default=())
     raw_fn: SparkQuery = None   # pre-contract callable (for plan inspection)
     raw_oracle: str | None = None
+    memo_plan: bool = False     # prepared-plan memo opt-in (see _PLAN_MEMO);
+                                # recorded so the zero-jobs construction gate
+                                # in tests/test_plans.py can enumerate opt-ins
 
 
 REGISTRY: dict[str, QuerySpec] = {}
@@ -352,6 +355,7 @@ def register(name: str, oracle: str | None = None, doc: str = "",
         wrapped = wrap_oracle(oracle, CONTRACTS.get(name, {})) \
             if oracle is not None else None
         REGISTRY[name] = QuerySpec(name, finalized, wrapped, doc, tags,
-                                   raw_fn=fn, raw_oracle=oracle)
+                                   raw_fn=fn, raw_oracle=oracle,
+                                   memo_plan=memo_plan)
         return fn
     return deco

@@ -29,6 +29,11 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # parquet. on_evict is a no-op because nothing is pinned.
 # key is (appId, table, sf_dir) — sf_dir LAST so caches.clear_plan_caches'
 # suffix match retires a scale's entries like every other family cache.
+# LIFECYCLE CONTRACT (ADVICE r11): the cached plan pins the parquet
+# file listing captured at first read. Rewriting a scale directory
+# in-process requires caches.clear_plan_caches(sf_dir) first, or later
+# actions read deleted/stale files (bench.py's multi-scale loop and
+# the test fixtures already honor this).
 _TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = PlanCache(
     capacity=64, on_evict=lambda _v: None)
 

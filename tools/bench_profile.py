@@ -55,14 +55,21 @@ def main() -> None:
             spec.fn(spark, WARMUP_DIR).write.format("noop") \
                 .mode("overwrite").save()
         recs = []
-        for _ in range(REPS):
-            jobs0 = len(tracker.getJobIdsForGroup(None) or [])
-            # job ids are global; count via the highest job id instead
+        jobs = 0
+        for rep in range(REPS):
+            # per-repeat job group: jobs scheduled by this repeat (fn
+            # plus noop execution) land in it, so the count is exact
+            # even though job ids are session-global (ADVICE r11: the
+            # old jobs0 snapshot was computed and never used)
+            group = f"profile-{name}-{rep}"
+            sc.setJobGroup(group, name)
             t0 = time.perf_counter()
             df = spec.fn(spark, SF_DIR)
             t1 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
             t2 = time.perf_counter()
+            sc.setJobGroup(None, None)
+            jobs = len(tracker.getJobIdsForGroup(group) or [])
             recs.append((t1 - t0, t2 - t1))
         plan = df._jdf.queryExecution().executedPlan().toString()
         rec = {
@@ -71,6 +78,7 @@ def main() -> None:
             "t_exec": round(min(r[1] for r in recs), 4),
             "t_total": round(min(r[0] + r[1] for r in recs), 4),
             "totals": [round(r[0] + r[1], 4) for r in recs],
+            "jobs": jobs,            # job count of the LAST repeat
             "exch": plan.count("Exchange"),
         }
         rows.append(rec)

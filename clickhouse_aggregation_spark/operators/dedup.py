@@ -1392,42 +1392,36 @@ def _capped_banded_kernel(emb: DataFrame, n_full: int, bands: int,
             return
         ids, q, norm2 = rows
         n = len(ids)
+        # threshold FIRST, bucket SECOND (the reverse of the
+        # distributed build's candidates-then-verify order, same
+        # result): at the capped scale with p=5 planes a random pair
+        # collides in >= 1 of 81 bands with prob ~0.92, so the
+        # candidate set is ~the full n²/2 and materializing it
+        # (286k x 64 gathers, measured 4.2 s) costs more than the
+        # full exact Gram matrix (41M int64 MACs, ~0.3 s). A pair is
+        # emitted iff cosine >= threshold AND it collides somewhere;
+        # both orders compute exactly that set, and cosine is
+        # band-independent, so values are identical.
+        rt = np.sqrt(norm2.astype(np.float64))
+        cos_m = (q @ q.T) / np.outer(rt, rt)
+        iu, ju = np.triu_indices(n, 1)
+        c = cos_m[iu, ju]
+        cand = c >= threshold
+        ia, ib, c = iu[cand], ju[cand], c[cand]
+        if len(ia) == 0:
+            yield empty()
+            return
         planes = np.asarray(flat, dtype=np.int64)      # (bands*p, DIM)
         bits = (q @ planes.T) >= 0                     # (n, bands*p)
         weights = 1 << np.arange(p, dtype=np.int64)
-        codes_l, bands_l = [], []
-        for b in range(bands):
-            keys = bits[:, b * p:(b + 1) * p] @ weights
-            srt = np.argsort(keys, kind="stable")
-            ks = keys[srt]
-            starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
-            ends = np.r_[starts[1:], n]
-            for s, e in zip(starts, ends):
-                if e - s < 2:
-                    continue
-                grp = np.sort(srt[s:e])
-                ii, jj = np.triu_indices(e - s, 1)
-                codes_l.append(grp[ii] * n + grp[jj])
-                bands_l.append(np.full(len(ii), b, dtype=np.int64))
-        if not codes_l:
-            yield empty()
-            return
-        codes = np.concatenate(codes_l)
-        bnds = np.concatenate(bands_l)
-        # min band per distinct pair: sort by (pair, band), keep firsts
-        o = np.lexsort((bnds, codes))
-        codes, bnds = codes[o], bnds[o]
-        first = np.r_[True, codes[1:] != codes[:-1]]
-        codes, bnds = codes[first], bnds[first]
-        ia, ib = codes // n, codes % n
-        dots = (q[ia] * q[ib]).sum(axis=1)
-        cos = dots / (np.sqrt(norm2[ia].astype(np.float64))
-                      * np.sqrt(norm2[ib].astype(np.float64)))
-        keep = cos >= threshold
-        yield pd.DataFrame({"vec_a": ids[ia[keep]],
-                            "vec_b": ids[ib[keep]],
-                            "cosine": cos[keep],
-                            "min_band": bnds[keep].astype(np.int32)})
+        keys = bits.reshape(n, bands, p) @ weights     # (n, bands)
+        collide = keys[ia] == keys[ib]                 # (n_cand, bands)
+        has = collide.any(axis=1)
+        min_band = collide.argmax(axis=1)              # first colliding band
+        yield pd.DataFrame({"vec_a": ids[ia[has]],
+                            "vec_b": ids[ib[has]],
+                            "cosine": c[has],
+                            "min_band": min_band[has].astype(np.int32)})
 
     return (emb.select("vec_id", "embedding").coalesce(1)
             .mapInPandas(

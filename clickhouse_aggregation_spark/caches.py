@@ -47,6 +47,29 @@ def _unpersist_quietly(value: Any) -> None:
         pass
 
 
+# Family-eviction listeners (ADVICE r11 / OPTIMIZATION r12): a
+# prepared-plan memo entry (registry._PLAN_MEMO) may reference a
+# PERSISTED family frame (shingle sets, pair tables, IVF corpus, ...).
+# If the family cache evicts that frame, the memoized plan stays
+# CORRECT (every action recomputes from parquet) but silently loses
+# the warm index — and a fresh fn call would rebuild it. So every
+# eviction from a persisted-family PlanCache notifies these hooks with
+# the evicted key; registry subscribes one that retires the memo
+# entries for the same sf_dir (key[-1], the shared key convention).
+# Lazy plan caches (table/transfers plans, scalar memos, streaming
+# store/chunk dirs — nothing a memoized plan pins) opt out via
+# ``notify_family_evict=False``.
+FAMILY_EVICT_HOOKS: list[Callable[[Any], None]] = []
+
+
+def _notify_family_evict(key: Any) -> None:
+    for hook in FAMILY_EVICT_HOOKS:
+        try:
+            hook(key)
+        except Exception:
+            pass
+
+
 class PlanCache(dict):
     """Bounded access-ordered session cache for build-once-read-many
     plans. dict-compatible (the consumers use ``in`` / ``[]`` /
@@ -57,10 +80,12 @@ class PlanCache(dict):
     storage, never correctness — consumers rebuild lazily."""
 
     def __init__(self, capacity: int = PLAN_CACHE_CAPACITY,
-                 on_evict: Callable[..., None] = _unpersist_quietly):
+                 on_evict: Callable[..., None] = _unpersist_quietly,
+                 notify_family_evict: bool = True):
         super().__init__()
         self.capacity = capacity
         self.on_evict = on_evict
+        self.notify_family_evict = notify_family_evict
         # a handler may declare a second ``reason`` parameter to
         # distinguish LRU-capacity eviction from an explicit retire
         # (ADVICE r10: the store-eviction warning hardcoded "LRU
@@ -69,16 +94,18 @@ class PlanCache(dict):
         self._wants_reason = (
             len(inspect.signature(on_evict).parameters) >= 2)
 
-    def _evict(self, value, reason: str) -> None:
+    def _evict(self, key, value, reason: str) -> None:
         if self._wants_reason:
             self.on_evict(value, reason)
         else:
             self.on_evict(value)
+        if self.notify_family_evict:
+            _notify_family_evict(key)
 
     def retire(self, key, reason: str = "explicit retire") -> None:
         """Drop ``key`` through the SAME handler LRU eviction uses,
         labeled with ``reason`` (for reason-aware handlers)."""
-        self._evict(dict.pop(self, key), reason)
+        self._evict(key, dict.pop(self, key), reason)
 
     def __getitem__(self, key):
         value = super().__getitem__(key)
@@ -102,7 +129,7 @@ class PlanCache(dict):
         super().__setitem__(key, value)
         while len(self) > self.capacity:
             oldest = next(iter(self))
-            self._evict(super().pop(oldest), "LRU capacity")
+            self._evict(oldest, super().pop(oldest), "LRU capacity")
 
 
 def clear_plan_caches(sf_dir: str | None = None) -> dict[str, int]:

@@ -15,7 +15,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..caches import PlanCache
+from ..caches import FAMILY_EVICT_HOOKS, PlanCache
 from .contract import finalize, wrap_oracle
 from .contracts import CONTRACTS
 
@@ -321,7 +321,97 @@ def extras_order() -> list[str]:
 # decisions, epoch driving) MUST NOT set it — for them a memo would
 # skip recomputation, which is result caching, not preparation.
 _PLAN_MEMO: dict[tuple[str, str, str], DataFrame] = PlanCache(
-    capacity=64, on_evict=lambda _v: None)
+    capacity=512, on_evict=lambda _v: None, notify_family_evict=False)
+
+
+def _retire_plans_for_family_evict(family_key) -> None:
+    """ADVICE r11: a memoized plan may reference a persisted family
+    frame (shingle sets, pair tables, IVF corpus, ...). When a family
+    cache evicts an entry, retire this sf_dir's memo entries so the
+    next fn call re-prepares against the family's CURRENT frame
+    instead of silently recomputing an unpersisted one. Family keys
+    end in sf_dir by convention (caches.clear_plan_caches matches
+    key[-1]); re-preparing a plan costs ~0.1 s of driver work, and
+    capacity evictions are rare (bounded dataset churn)."""
+    sf_dir = family_key[-1]
+    for k in [k for k in _PLAN_MEMO if k[-1] == sf_dir]:
+        _PLAN_MEMO.pop(k, None)
+
+
+FAMILY_EVICT_HOOKS.append(_retire_plans_for_family_evict)
+
+
+# Prepared-plan opt-in, CENTRAL list (OPTIMIZATION r12). Round 11
+# flagged 13 queries at their registration sites; this round extends
+# the memo to every other audited pure-lazy bench query in one
+# reviewable place. Membership is determined by MEASUREMENT, not by
+# reading tea leaves: tools/memo_audit.py re-constructs every bench
+# query's finalized frame with warm session indexes and keeps exactly
+# those that schedule ZERO Spark jobs (the audit artifact is in
+# OPTIMIZATION_r12.md), and tests/test_plans.py's zero-jobs gate
+# re-enforces the property for every member on every test run.
+#
+# Deliberately NOT members (eager-at-construction by contract, the
+# same exclusions round 11 documented):
+#   - the 12 streaming facades (store driving inside fn),
+#   - similarity_ivf_kmeans_refine, dedup_clusters (iterative loops
+#     that run jobs inside fn),
+#   - the near-dup route/ledger family (dedup_neardup_floor_route,
+#     _t48, dedup_ivf_route_recall, dedup_floor_route_domain_check —
+#     eager route decisions are the product; plus ladder_profile and
+#     dedup_minhash_recall, zero-job warm but kept un-memoized with
+#     their family so every call re-makes the route/ledger decision).
+PREPARED_PLANS = frozenset({
+    "abi_decode_transfers", "address_flow_setops", "approx_uniq_tolerance",
+    "asof_signup_attribution", "brands_never_discounted",
+    "bulk_part_suppliers", "cheapest_supplier_per_part",
+    "contamination_neardup", "contamination_ngram_overlap",
+    "customer_order_distribution", "dedup_block_exact",
+    "dedup_containment", "dedup_embedding_cosine", "dedup_embedding_lsh",
+    "dedup_embedding_lsh_banded", "dedup_embedding_lsh_recall",
+    "dedup_embedding_survivors", "dedup_exact", "dedup_latest_version",
+    "dedup_minhash_lsh", "dedup_minhash_survivors", "dedup_ngram_jaccard",
+    "dedup_source_overlap", "disjunctive_promo_revenue",
+    "embedding_dim_stats", "embedding_gram_matrix",
+    "embedding_label_centroids", "entity_by_id", "events_audience_overlap",
+    "events_funnel_depth", "events_json_daily", "events_k_entropy",
+    "events_props_json_stats", "events_retention_cohorts",
+    "events_running_user_stats", "events_sequence_count",
+    "events_sequence_match", "events_sessionization",
+    "events_top_transitions", "events_type_pivot",
+    "events_value_k_regression", "events_value_outliers",
+    "idle_rich_customers", "late_order_priorities", "late_sole_supplier",
+    "market_share_by_year", "monitoring_global_stats",
+    "multimodal_decode_audit", "multimodal_decode_stats",
+    "multimodal_feature_extract", "multimodal_frame_sample",
+    "multimodal_resize", "mv_daily_with_fill", "mv_recent_activity",
+    "mv_top_addresses", "mv_tx_size_distribution", "mv_usdc_daily_block",
+    "mv_usdc_hourly_block", "mv_usdc_hourly_block_approx",
+    "mv_volume_rollup_subtotals", "nation_trade_flows",
+    "orders_brand_basket_lift", "orders_rfm_segments",
+    "orders_with_returns_by_priority", "part_supplier_variety",
+    "pipeline_blocklist_scrub", "pipeline_bottomk_per_source",
+    "pipeline_bottomk_sample", "pipeline_clean_corpus",
+    "pipeline_curate_topn", "pipeline_domain_mix", "pipeline_dsir_sample",
+    "pipeline_epoch_shuffle", "pipeline_length_buckets",
+    "pipeline_pack_invariants", "pipeline_pack_sequences",
+    "pipeline_split_assign", "pipeline_temperature_mix",
+    "product_profit_by_nation_year", "readme_daily_volume_7d",
+    "readme_top_senders", "retraction_net_daily",
+    "returnflag_priority_mix", "similarity_lsh_bucketed",
+    "similarity_lsh_recall", "similarity_topk_bruteforce",
+    "small_order_part_revenue", "sql_adhoc_whale_report",
+    "supplier_revenue_share", "text_bm25_topk", "text_bpe_pair_counts",
+    "text_heavy_hitters", "text_language_id", "text_novel_trigram_rate",
+    "text_quality_robust_calibration", "text_repetition_stats",
+    "text_tfidf_topk", "text_token_count", "text_unigram_logppl",
+    "text_vocab_coverage", "text_vocab_topk",
+    "text_weighted_length_quantiles", "tiered_union_stats",
+    "top_customers_per_nation", "top_revenue_supplier",
+    "tpch_q18_large_orders", "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority", "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue", "uniq_hll_merge_rollup",
+})
 
 
 def register(name: str, oracle: str | None = None, doc: str = "",
@@ -339,7 +429,8 @@ def register(name: str, oracle: str | None = None, doc: str = "",
         if name in REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
 
-        if memo_plan:
+        memo = memo_plan or name in PREPARED_PLANS
+        if memo:
             def finalized(spark: SparkSession, sf_dir: str,
                           _fn: SparkQuery = fn) -> DataFrame:
                 key = (name, spark.sparkContext.applicationId, sf_dir)
@@ -356,6 +447,6 @@ def register(name: str, oracle: str | None = None, doc: str = "",
             if oracle is not None else None
         REGISTRY[name] = QuerySpec(name, finalized, wrapped, doc, tags,
                                    raw_fn=fn, raw_oracle=oracle,
-                                   memo_plan=memo_plan)
+                                   memo_plan=memo)
         return fn
     return deco

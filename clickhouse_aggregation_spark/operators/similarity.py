@@ -449,7 +449,8 @@ def sem_centroids_sql() -> str:
 # (ADVICE r5: only the assignment was memoized, not K).
 _SEM_CORPUS_CACHE: dict[tuple[str, str], DataFrame] = PlanCache()
 _SEM_K_CACHE: dict[tuple[str, str], int] = \
-    PlanCache(on_evict=lambda v: None)   # scalar memo, nothing pinned
+    PlanCache(on_evict=lambda v: None,   # scalar memo, nothing pinned
+              notify_family_evict=False)
 
 
 def sem_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:

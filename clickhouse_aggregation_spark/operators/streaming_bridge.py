@@ -130,7 +130,7 @@ def _evict_store(store: str, reason: str = "LRU capacity") -> None:
 
 
 _STORE_CACHE: dict[tuple[str, str, str], str] = PlanCache(
-    capacity=32, on_evict=_evict_store)
+    capacity=32, on_evict=_evict_store, notify_family_evict=False)
 
 # one chunked SOURCE dir per (session, table, sf_dir), SHARED across
 # maintainer kinds (round 10, VERDICT r9 next-#4): the three
@@ -144,7 +144,7 @@ _STORE_CACHE: dict[tuple[str, str, str], str] = PlanCache(
 # the same base table must never alias). sf_dir stays LAST in the key
 # (clear_plan_caches matches on key[-1]).
 _CHUNK_CACHE: dict[tuple[str, str, str], tuple[str, str, int]] = PlanCache(
-    capacity=16,
+    capacity=16, notify_family_evict=False,
     on_evict=lambda v: shutil.rmtree(v[0], ignore_errors=True))
 
 

@@ -295,38 +295,38 @@ def q_text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Heavy hitters: Misra-Gries candidate sketch + exact verify.
+# Heavy hitters: local-threshold candidate sketch + exact verify.
 
 HH_FRACTION = 200        # heavy hitter = token with freq > n_tokens / 200
-_MG_COUNTERS = 512       # per-partition counter budget (>= HH_FRACTION)
 
 
-def _mg_candidates_partition(pdfs):
-    """Per-partition Misra-Gries: emits every token that could be a
-    global heavy hitter. MG guarantee: any value with in-partition
-    frequency > partition_n / _MG_COUNTERS survives; since
-    _MG_COUNTERS >= HH_FRACTION, every global heavy hitter survives in
-    at least one partition — so the candidate UNION is a superset and
-    the exact verify pass makes the final answer deterministic
-    (independent of partitioning), hence oracle-checkable."""
+def _hh_candidates_partition(pdfs):
+    """Per-batch exact local heavy hitters: emits every token that
+    could be a global heavy hitter. Pigeonhole guarantee: if a token's
+    global frequency satisfies freq * HH_FRACTION > n_total, it must
+    satisfy the same strict inequality locally in at least one batch
+    (if it failed in every batch, summing the per-batch bounds gives
+    freq * HH_FRACTION <= n_total) — so the candidate UNION is a
+    superset and the exact verify pass makes the final answer
+    deterministic (independent of partitioning and batching), hence
+    oracle-checkable. At most HH_FRACTION candidates per batch.
+
+    OPTIMIZATION r12 (guide §4.2): replaces the per-token pure-Python
+    Misra-Gries dict loop (~1 dict operation per corpus token) with
+    pandas' C-path split/explode/value_counts over the whole batch.
+    The candidate SET differs (both are supersets — MG kept decrement
+    survivors, this keeps local-threshold passers), but the declared
+    output is the exact verified set either way."""
     import pandas as pd
     for pdf in pdfs:
-        counters: dict[str, int] = {}
-        for text in pdf["text"]:
-            for tok in text.split(" "):
-                if not tok:
-                    continue
-                if tok in counters:
-                    counters[tok] += 1
-                elif len(counters) < _MG_COUNTERS:
-                    counters[tok] = 1
-                else:
-                    for k in list(counters):
-                        counters[k] -= 1
-                        if counters[k] == 0:
-                            del counters[k]
-        if counters:
-            yield pd.DataFrame({"token": list(counters)})
+        toks = pdf["text"].str.split(" ").explode()
+        toks = toks[toks != ""]
+        if toks.empty:
+            continue
+        vc = toks.value_counts()
+        cand = vc.index[vc.to_numpy() * HH_FRACTION > len(toks)]
+        if len(cand):
+            yield pd.DataFrame({"token": cand})
 
 
 @register(
@@ -341,20 +341,21 @@ FROM nz, total
 GROUP BY token, total.n
 HAVING count(*) * {HH_FRACTION} > total.n""",
     doc="Frequent-items (ClickHouse topK's exact-answer cousin): "
-        "tokens with corpus frequency > n/200 via a per-partition "
-        "Misra-Gries sketch (mapInPandas, 512 counters) whose "
-        "candidate union provably contains every global heavy hitter, "
-        "then ONE exact counting pass restricted to candidates. The "
-        "sketch bounds the shuffle to counters-per-partition tokens "
-        "instead of the full vocabulary; the verify makes the output "
-        "deterministic and oracle-exact regardless of partitioning.",
+        "tokens with corpus frequency > n/200 via per-batch exact "
+        "local heavy hitters (mapInPandas, vectorized value_counts) "
+        "whose candidate union provably contains every global heavy "
+        "hitter (pigeonhole), then ONE exact counting pass restricted "
+        "to candidates. The sketch bounds the shuffle to <=200 tokens "
+        "per batch instead of the full vocabulary; the verify makes "
+        "the output deterministic and oracle-exact regardless of "
+        "partitioning.",
 )
 def q_text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import types as T
     from ..sources.tables import ensure_parallelism
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     cand = (docs.select("text")
-            .mapInPandas(_mg_candidates_partition,
+            .mapInPandas(_hh_candidates_partition,
                          T.StructType([T.StructField("token", T.StringType())]))
             .distinct())
     toks = (docs.select(F.explode(F.split("text", " ")).alias("token"))

@@ -200,23 +200,37 @@ FROM send_only"""
     oracle=_setops_oracle(),
     doc="Set operations (SURVEY §2.7 'not present, free in Spark'): "
         "addresses that both sent and received (INTERSECT) vs sent "
-        "only (EXCEPT), counted. Both set ops plan as hash aggregates "
-        "+ one semi/anti hash join on the address — no sort, no "
-        "cartesian anything.",
+        "only (EXCEPT), counted. Computed as ONE role-flag "
+        "aggregation over the stacked (address, sent, received) "
+        "rows — single scan, single exchange; set-op equivalent "
+        "because INTERSECT/EXCEPT are distinct-based and null-safe "
+        "exactly like the address groupBy.",
 )
 def q_address_flow_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.transfers import transfers_df
     t = transfers_df(spark, sf_dir).filter(F.col("_sign") == 1)
-    senders = t.select(F.col("from_address").alias("address"))
-    receivers = t.select(F.col("to_address").alias("address"))
-    both = senders.intersect(receivers)
-    # subtract = EXCEPT DISTINCT (exceptAll would keep an address that
-    # sent more often than it received — different semantics)
-    send_only = senders.subtract(receivers)
-    return (
-        both.agg(F.count(F.lit(1)).alias("n_addresses"))
-        .select(F.lit("both").alias("role"), "n_addresses")
-        .unionByName(
-            send_only.agg(F.count(F.lit(1)).alias("n_addresses"))
-            .select(F.lit("send_only").alias("role"), "n_addresses"))
-    )
+    # OPTIMIZATION r12 (guide §2.3/§2.4): INTERSECT and EXCEPT each
+    # planned as distinct-aggregate-both-sides + a hash join — four
+    # scans of transfers and five exchanges for two counts. The same
+    # two counts are one role-flag aggregation: per distinct address,
+    # did it ever send / ever receive (max of two 0/1 flags), then
+    # both = sent∧received, send_only = sent∧¬received. Set-op
+    # equivalence: INTERSECT/EXCEPT are DISTINCT-based and null-safe,
+    # exactly like groupBy on the address key, so row-for-row the
+    # grouped keys ARE the distinct union of both sides. One scan
+    # (stack emits the sender and receiver role rows in place), one
+    # exchange (the address groupBy; map-side partial max applies),
+    # then a 1-row final aggregate reshaped to the two labeled rows.
+    roles = t.selectExpr(
+        "stack(2, from_address, 1, 0, to_address, 0, 1) "
+        "AS (address, s, r)")
+    per_addr = roles.groupBy("address").agg(F.max("s").alias("s"),
+                                            F.max("r").alias("r"))
+    counts = per_addr.agg(
+        F.count(F.when((F.col("s") == 1) & (F.col("r") == 1), 1))
+        .alias("n_both"),
+        F.count(F.when((F.col("s") == 1) & (F.col("r") == 0), 1))
+        .alias("n_send_only"))
+    return counts.selectExpr(
+        "stack(2, 'both', n_both, 'send_only', n_send_only) "
+        "AS (role, n_addresses)")

@@ -35,7 +35,7 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # actions read deleted/stale files (bench.py's multi-scale loop and
 # the test fixtures already honor this).
 _TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = PlanCache(
-    capacity=64, on_evict=lambda _v: None)
+    capacity=64, on_evict=lambda _v: None, notify_family_evict=False)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

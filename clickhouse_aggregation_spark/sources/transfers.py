@@ -53,7 +53,7 @@ RETRACT_EVERY = 50                   # every 50th event is reorged
 # DataFrame is an immutable lazy plan, so all callers share one object.
 # Nothing is persisted — every action recomputes from events.parquet.
 _TRANSFERS_CACHE: dict[tuple[str, str], DataFrame] = PlanCache(
-    capacity=16, on_evict=lambda _v: None)
+    capacity=16, on_evict=lambda _v: None, notify_family_evict=False)
 
 
 def transfers_df(spark: SparkSession, sf_dir: str,

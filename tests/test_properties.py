@@ -254,3 +254,36 @@ def test_simhash_superkey_cover_boundary(flip_bits):
         # blocks don't exist -> no key can match
         assert not any(key(code_a, t) == key(code_b, t)
                        for t in _BLOCK_TRIPLES)
+
+
+@given(st.lists(st.lists(st.sampled_from("abcdefgh"),
+                         min_size=0, max_size=40).map(" ".join),
+                min_size=1, max_size=30),
+       st.integers(min_value=1, max_value=4))
+@settings(max_examples=150, deadline=None)
+def test_hh_candidate_union_is_superset(docs, n_batches):
+    """The pigeonhole claim behind text_heavy_hitters' vectorized
+    candidate kernel (OPTIMIZATION r12), pinned directly: however the
+    corpus is split into batches, the union of per-batch local
+    heavy hitters (count * HH_FRACTION > batch_tokens) contains EVERY
+    global heavy hitter — so the exact verify pass makes the final
+    answer independent of partitioning/batching."""
+    import pandas as pd
+
+    from clickhouse_aggregation_spark.operators.text import (
+        HH_FRACTION, _hh_candidates_partition,
+    )
+
+    batches = [pd.DataFrame({"text": docs[i::n_batches]})
+               for i in range(n_batches)]
+    batches = [b for b in batches if len(b)]
+    cand = set()
+    for out in _hh_candidates_partition(iter(batches)):
+        cand.update(out["token"])
+
+    toks = [t for d in docs for t in d.split(" ") if t]
+    n = len(toks)
+    from collections import Counter
+    global_hh = {t for t, c in Counter(toks).items()
+                 if c * HH_FRACTION > n}
+    assert global_hh <= cand

@@ -2426,16 +2426,30 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     left = sa.join(cand, F.col("doc_a") == F.col("ca.doc_id")) \
              .select("doc_a", "doc_b",
                      F.col("ca.sh").alias("sh_a"), F.col("ca.n").alias("n_a"))
+    # OPTIMIZATION r12 (VERDICT r11 next-#9, the sf0.5 profile): the
+    # verify — NOT the candidate volume — is the cost (sf0.5:
+    # candidates 0.89 s, joins 1.0 s, per-pair intersect ~2.4 s over
+    # 488k pairs). The intersect expression used to appear in THREE
+    # output expressions (n_common, containment, the keep predicate);
+    # materializing it ONCE in an intermediate projection and deriving
+    # the rest measured 3.89 -> 3.40 s same-session at sf0.5. Measured
+    # and REJECTED alternatives (same session, same pairs): a
+    # mapInPandas set-intersection kernel 7.6 s (Arrow transfer of the
+    # fat string arrays dominates — the §4.2 boundary rule cuts the
+    # other way here); filter+array_contains 30.7 s and
+    # aggregate+array_contains 32.7 s (O(n·m) scans vs the hash
+    # intersect); broadcasting the sets frame into both joins 3.57 s
+    # (and not scale-correct — the sets frame is the corpus).
     common = F.size(F.array_intersect(F.col("sh_a"), F.col("cb.sh")))
     min_n = F.least(F.col("n_a"), F.col("cb.n"))
     return (
         sb.join(left, F.col("doc_b") == F.col("cb.doc_id"))
         .select("doc_a", "doc_b",
-                common.cast("long").alias("n_common"),
-                (common / min_n).alias("containment"),
-                (common * CONTAINMENT_DEN >= CONTAINMENT_NUM * min_n)
-                .alias("_keep"))
-        .filter(F.col("_keep")).drop("_keep")
+                common.alias("_c"), min_n.alias("_m"))
+        .filter(F.col("_c") * CONTAINMENT_DEN >= CONTAINMENT_NUM * F.col("_m"))
+        .select("doc_a", "doc_b",
+                F.col("_c").cast("long").alias("n_common"),
+                (F.col("_c") / F.col("_m")).alias("containment"))
     )
 
 

@@ -360,6 +360,12 @@ def q_text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct())
     toks = (docs.select(F.explode(F.split("text", " ")).alias("token"))
             .filter(F.col("token") != ""))
+    # Measured and REJECTED (r12): riding the global total n on the
+    # sketch pass via per-batch marker rows removes this JVM count
+    # pass but makes the Python sketch a two-consumer subtree (no
+    # exchange between), so the corpus crosses the Python boundary
+    # TWICE — faster at sf0.1 (1.64 vs 1.83 s), slower at sf0.5
+    # (2.02 vs 1.73 s), i.e. wrong at scale. The JVM pass stays.
     total = toks.agg(F.count(F.lit(1)).alias("n"))
     # no broadcast hint on the candidate side: it is counters x
     # partitions rows — tiny here, but at 100k-partition scale it can

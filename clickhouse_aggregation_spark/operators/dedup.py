@@ -503,6 +503,44 @@ def q_dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # D4: SimHash fingerprints
 
+def _simhash16_codes_kernel(pdfs):
+    """Per-doc 16-bit sign-sum simhash, one (doc_id, code) per row.
+
+    OPTIMIZATION r12 (guide §4.2, the _simhash60_codes_kernel
+    pattern): the JVM formulation exploded every token, row-level
+    .distinct()'d the (doc, token) stream, and ran sixteen per-bit
+    hex-digit sum aggregates plus a per-doc shuffle. Each task now
+    computes its docs' codes locally and ships one row per doc —
+    same-session 0.83 -> 0.43 s at sf0.1, 0.99 -> 0.56 s at sf0.5,
+    output bit-identical at both scales.
+
+    Exactness: simhash bit b is derived from hex digit b//4 of
+    md5(token), power 2^(3 - b%4) — i.e. bit (15 - b) of
+    int(md5hex[:4], 16); hashlib md5 == JVM/DuckDB md5; the per-doc
+    distinct token set is set(text.split(' ')) (empty tokens included,
+    as on the JVM path); bit set iff the signed sum is positive
+    (2*ones > n) — integer compares, order-independent."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    bit_shifts = np.arange(15, -1, -1, dtype=np.uint64)
+    out_shifts = np.arange(16, dtype=np.uint64)
+    for pdf in pdfs:
+        out = np.empty(len(pdf), dtype=np.int64)
+        for i, text in enumerate(pdf["text"]):
+            toks = set(text.split(" "))
+            hvs = np.fromiter(
+                (int(hashlib.md5(tk.encode("utf-8")).hexdigest()[:4], 16)
+                 for tk in toks), dtype=np.uint64, count=len(toks))
+            ones = ((hvs[:, None] >> bit_shifts) & 1).sum(axis=0,
+                                                          dtype=np.int64)
+            out[i] = int(((2 * ones > len(toks)).astype(np.uint64)
+                          << out_shifts).sum())
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "simhash16": out})
+
+
+
 @register(
     "dedup_simhash",
     memo_plan=True,   # pure lazy construction (see registry._PLAN_MEMO)
@@ -525,29 +563,16 @@ SELECT doc_id,
 FROM bits""",
     doc="16-bit SimHash per document: sign-sum of md5-derived token "
         "bits. Fingerprints cluster near-duplicates into nearby codes; "
-        "one linear groupBy (map-side combinable) at any scale.",
+        "one narrow Arrow map (code computed task-locally per doc), "
+        "no shuffle, linear at any scale.",
 )
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
     docs = load_table(spark, sf_dir, "documents")
-    toks = (
-        ensure_parallelism(docs).select("doc_id",
-                    F.explode(F.split("text", " ")).alias("tok"))
-        .distinct()
-        .select("doc_id", F.md5("tok").alias("h"))
-    )
-    bit_sums = [
-        F.sum(
-            2 * ((F.expr(f"instr('0123456789abcdef', substr(h, {1 + b // 4}, 1)) - 1")
-                  .cast("long") / (2 ** (3 - b % 4))).cast("long") % 2) - 1
-        ).alias(f"s{b}")
-        for b in range(16)
-    ]
-    agg = toks.groupBy("doc_id").agg(*bit_sums)
-    code = None
-    for b in range(16):
-        term = F.when(F.col(f"s{b}") > 0, F.lit(2 ** b)).otherwise(F.lit(0))
-        code = term if code is None else code + term
-    return agg.select("doc_id", code.cast("long").alias("simhash16"))
+    return ensure_parallelism(docs).select("doc_id", "text").mapInPandas(
+        _simhash16_codes_kernel,
+        T.StructType([T.StructField("doc_id", T.LongType()),
+                      T.StructField("simhash16", T.LongType())]))
 
 
 # ---------------------------------------------------------------------------
@@ -2236,6 +2261,42 @@ SEM_EPS = 0.40           # SemDeDup epsilon: BELOW the near-dup
                          # just copies
 
 
+def _sem_cell_stats_kernel(pdf):
+    """Per-cell SemDeDup stats, one grouped-map call per centroid cell.
+
+    OPTIMIZATION r12 (guide §4.2, the kmeans/capped-kernel pattern):
+    the within-cell pairwise cosine used to run as a self-join whose
+    dot products evaluated through interpreted higher-order lambdas —
+    at sf0.5 that is ~6.5M pairs x 64 interpreted multiplies.
+    One numpy int64 Gram matrix per cell computes the identical
+    values: exact int64 dots (|dot| <= DIM*(2^21)^2 << 2^63), then the
+    SAME IEEE op order as the JVM expression (sqrt each norm, multiply
+    the roots, divide) — frame equality asserted at sf0.1 and sf0.5.
+    Same-session: 0.65 -> 0.45 s at sf0.1, 2.25 -> 0.57 s at sf0.5.
+    Pair order (a.vec_id < b.vec_id) = upper triangle over ids sorted
+    ascending; dropped = distinct right-side ids among kept pairs."""
+    import numpy as np
+    import pandas as pd
+    ids = pdf["vec_id"].to_numpy()
+    o = np.argsort(ids, kind="stable")
+    m = len(ids)
+    if m < 2:
+        return pd.DataFrame({"centroid_id": pdf["centroid_id"].iloc[:1],
+                             "members": [m], "dup_pairs": [0],
+                             "dropped": [0]})
+    q = np.stack(pdf["qv"].to_numpy()[o]).astype(np.int64)
+    n2 = pdf["norm2"].to_numpy()[o].astype(np.int64)
+    rt = np.sqrt(n2.astype(np.float64))
+    cosm = (q @ q.T) / np.outer(rt, rt)
+    iu, ju = np.triu_indices(m, 1)
+    keep = cosm[iu, ju] >= SEM_EPS
+    return pd.DataFrame({"centroid_id": pdf["centroid_id"].iloc[:1],
+                         "members": [m],
+                         "dup_pairs": [int(keep.sum())],
+                         "dropped": [len(np.unique(ju[keep]))]})
+
+
+
 @register(
     "dedup_semantic",
     memo_plan=True,   # pure lazy construction (see registry._PLAN_MEMO)
@@ -2284,35 +2345,18 @@ FROM members m LEFT JOIN ps ON ps.centroid_id = m.centroid_id""",
         "oracle's count(*) scalar subquery).",
 )
 def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
     corpus = sem_corpus(spark, sf_dir)
-    a, b = corpus.alias("a"), corpus.alias("b")
-    cos = (int_dot(F.col("a.qv"), F.col("b.qv"))
-           / (F.sqrt(F.col("a.norm2")) * F.sqrt(F.col("b.norm2"))))
-    pairs = (
-        a.join(b, (F.col("a.centroid_id") == F.col("b.centroid_id"))
-               & (F.col("a.vec_id") < F.col("b.vec_id")))
-        .select(F.col("a.centroid_id").alias("centroid_id"),
-                F.col("b.vec_id").alias("dropped_vec"),
-                cos.alias("cosine"))
-        .filter(F.col("cosine") >= SEM_EPS)
-    )
-    members = (corpus.groupBy("centroid_id")
-               .agg(F.count(F.lit(1)).cast("long").alias("members")))
-    stats = (pairs.groupBy("centroid_id")
-             .agg(F.count(F.lit(1)).cast("long").alias("dup_pairs"),
-                  F.countDistinct("dropped_vec").cast("long")
-                  .alias("dropped")))
-    return (
-        members.join(stats, "centroid_id", "left")
-        .select("centroid_id", "members",
-                F.coalesce(F.col("dup_pairs"), F.lit(0)).cast("long")
-                .alias("dup_pairs"),
-                F.coalesce(F.col("dropped"), F.lit(0)).cast("long")
-                .alias("dropped"),
-                (F.col("members")
-                 - F.coalesce(F.col("dropped"), F.lit(0))).cast("long")
-                .alias("kept"))
-    )
+    schema = T.StructType([T.StructField("centroid_id", T.LongType()),
+                           T.StructField("members", T.LongType()),
+                           T.StructField("dup_pairs", T.LongType()),
+                           T.StructField("dropped", T.LongType())])
+    return (corpus.select("centroid_id", "vec_id", "qv", "norm2")
+            .groupBy("centroid_id")
+            .applyInPandas(_sem_cell_stats_kernel, schema)
+            .select("centroid_id", "members", "dup_pairs", "dropped",
+                    (F.col("members") - F.col("dropped")).cast("long")
+                    .alias("kept")))
 
 
 # ---------------------------------------------------------------------------
@@ -2517,36 +2561,55 @@ groups AS (
 )"""
 
 
+def _simhash60_codes_kernel(pdfs):
+    """Per-doc 60-bit sign-sum simhash, one code per input row.
+
+    OPTIMIZATION r12 (guide §4.2): the JVM formulation exploded every
+    distinct token, md5'd it, and ran SIXTY per-bit sum aggregates
+    over the 5M-row (doc_id, hv) stream plus a per-doc shuffle — the
+    single most expensive stage of the query (same-session: 1.00 s at
+    sf0.1 / 1.29 s at sf0.5 for the groups frame). Here each task
+    computes its docs' codes locally (hashlib md5 == JVM md5; int64
+    bit counting in numpy) and ships ONE code per doc back — no
+    (doc, token) stream, no per-doc exchange. 0.65 s / 0.69 s at the
+    two scales, group table bit-identical (asserted both scales).
+
+    Exactness: md5 of the UTF-8 token bytes, leading 15 hex chars
+    parsed base-16 — identical to conv(substring(md5(tok),1,15),16,10)
+    (values < 2^60 fit int64 exactly); per-bit sign sum over DISTINCT
+    tokens (set(text.split(' ')), the same set array_distinct built,
+    empty tokens included on both paths); bit set iff the signed sum
+    is positive, i.e. 2*count_of_ones > n_tokens — integer compares
+    only, no tie-breaking ambiguity, order-independent."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    shifts = np.arange(SIMHASH_NBITS, dtype=np.uint64)
+    for pdf in pdfs:
+        out = np.empty(len(pdf), dtype=np.int64)
+        for i, text in enumerate(pdf["text"]):
+            toks = set(text.split(" "))
+            hvs = np.fromiter(
+                (int(hashlib.md5(tk.encode("utf-8")).hexdigest()[:15], 16)
+                 for tk in toks), dtype=np.uint64, count=len(toks))
+            ones = ((hvs[:, None] >> shifts) & 1).sum(axis=0, dtype=np.int64)
+            out[i] = int(((2 * ones > len(toks)).astype(np.uint64)
+                          << shifts).sum())
+        yield pd.DataFrame({"code": out})
+
+
 def simhash60_groups(docs: DataFrame) -> DataFrame:
     """(code, cnt): distinct 60-bit sign-sum simhash codes with their
-    multiplicities. Two combinable groupBys — linear at any scale; the
-    group table is |distinct codes| rows, the dup-compressed corpus.
-
-    OPTIMIZATION r11 (guide §2.4, §5): per-doc token dedup is
-    ``array_distinct`` BEFORE the explode — a narrow expression that
-    fuses into the scan — instead of a row-level ``.distinct()`` after
-    it, which cost a full extra exchange of every (doc_id, token) row
-    (same value: distinct-per-(doc,tok) == per-doc distinct tokens).
-    The 60 bit-sum aggregates and the code reconstruction are built as
-    SQL strings (2 py4j calls instead of ~600 — measured 1.2 s of
-    driver time per bench repeat building these trees)."""
-    tv = (ensure_parallelism(docs)
-          .select("doc_id",
-                  F.explode(F.expr("array_distinct(split(text, ' '))"))
-                  .alias("tok"))
-          .select("doc_id",
-                  F.expr("CAST(conv(substring(md5(tok), 1, 15), 16, 10) "
-                         "AS BIGINT)").alias("hv")))
-    bit_sums = [
-        F.expr(f"sum(2 * (shiftright(hv, {b}) & 1) - 1)").alias(f"s{b}")
-        for b in range(SIMHASH_NBITS)
-    ]
-    agg = tv.groupBy("doc_id").agg(*bit_sums)
-    code = " + ".join(
-        f"(CASE WHEN s{b} > 0 THEN {1 << b}L ELSE 0L END)"
-        for b in range(SIMHASH_NBITS))
-    return (agg.select(F.expr(f"CAST({code} AS BIGINT)").alias("code"))
-            .groupBy("code").agg(F.count(F.lit(1)).alias("cnt")))
+    multiplicities. One narrow Arrow map (code per doc, computed
+    task-locally — see _simhash60_codes_kernel) plus one combinable
+    groupBy — linear at any scale; the group table is
+    |distinct codes| rows, the dup-compressed corpus."""
+    from pyspark.sql import types as T
+    codes = ensure_parallelism(docs).select("text").mapInPandas(
+        _simhash60_codes_kernel,
+        T.StructType([T.StructField("code", T.LongType())]))
+    return codes.groupBy("code").agg(F.count(F.lit(1)).alias("cnt"))
 
 
 @register(

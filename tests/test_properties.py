@@ -287,3 +287,111 @@ def test_hh_candidate_union_is_superset(docs, n_batches):
     global_hh = {t for t, c in Counter(toks).items()
                  if c * HH_FRACTION > n}
     assert global_hh <= cand
+
+
+def test_simhash_kernels_match_jvm_formulation(spark, sf_dir):
+    """The r12 Arrow simhash kernels (16- and 60-bit) must reproduce
+    the retired JVM explode + per-bit sign-sum aggregation BIT FOR BIT
+    on the smoke corpus — the exactness claim (hashlib md5 == JVM md5,
+    hex-prefix parse, 2*ones > n sign rule, per-doc distinct tokens
+    including empties) pinned as a frame equality, not an argument."""
+    from pyspark.sql import types as T
+
+    from clickhouse_aggregation_spark.operators import REGISTRY
+    from clickhouse_aggregation_spark.operators.dedup import (
+        SIMHASH_NBITS, simhash60_groups,
+    )
+    from clickhouse_aggregation_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    # 16-bit: JVM reference (the pre-r12 formulation, verbatim)
+    toks = (docs.select("doc_id",
+                        F.explode(F.split("text", " ")).alias("tok"))
+            .distinct()
+            .select("doc_id", F.md5("tok").alias("h")))
+    bit_sums = [
+        F.sum(
+            2 * ((F.expr(f"instr('0123456789abcdef', "
+                         f"substr(h, {1 + b // 4}, 1)) - 1")
+                  .cast("long") / (2 ** (3 - b % 4))).cast("long") % 2) - 1
+        ).alias(f"s{b}")
+        for b in range(16)
+    ]
+    agg = toks.groupBy("doc_id").agg(*bit_sums)
+    code = None
+    for b in range(16):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(2 ** b)).otherwise(F.lit(0))
+        code = term if code is None else code + term
+    ref16 = agg.select("doc_id", code.cast("long").alias("simhash16")) \
+               .orderBy("doc_id").toPandas()
+    got16 = REGISTRY["dedup_simhash"].raw_fn(spark, sf_dir) \
+        .orderBy("doc_id").toPandas()
+    assert ref16.reset_index(drop=True).equals(got16.reset_index(drop=True))
+
+    # 60-bit: JVM reference (the pre-r12 formulation, verbatim)
+    tv = (docs.select("doc_id",
+                      F.explode(F.expr("array_distinct(split(text, ' '))"))
+                      .alias("tok"))
+          .select("doc_id",
+                  F.expr("CAST(conv(substring(md5(tok), 1, 15), 16, 10) "
+                         "AS BIGINT)").alias("hv")))
+    sums60 = [
+        F.expr(f"sum(2 * (shiftright(hv, {b}) & 1) - 1)").alias(f"s{b}")
+        for b in range(SIMHASH_NBITS)
+    ]
+    agg60 = tv.groupBy("doc_id").agg(*sums60)
+    code60 = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN {1 << b}L ELSE 0L END)"
+        for b in range(SIMHASH_NBITS))
+    ref60 = (agg60.select(F.expr(f"CAST({code60} AS BIGINT)").alias("code"))
+             .groupBy("code").agg(F.count(F.lit(1)).alias("cnt"))
+             .orderBy("code").toPandas())
+    got60 = simhash60_groups(docs).orderBy("code").toPandas()
+    assert ref60.reset_index(drop=True).equals(got60.reset_index(drop=True))
+
+
+def test_sem_cell_kernel_matches_jvm_join(spark, sf_dir):
+    """The r12 per-cell SemDeDup kernel must reproduce the retired
+    within-cell self-join + interpreted-HOF cosine formulation frame
+    for frame (same int64 dots, same IEEE sqrt/multiply/divide order,
+    same a.vec_id < b.vec_id pair orientation, same distinct-dropped
+    count) on the smoke corpus."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_aggregation_spark.operators import REGISTRY
+    from clickhouse_aggregation_spark.operators.dedup import SEM_EPS
+    from clickhouse_aggregation_spark.operators.similarity import (
+        int_dot, sem_corpus,
+    )
+
+    corpus = sem_corpus(spark, sf_dir)
+    a, b = corpus.alias("a"), corpus.alias("b")
+    cos = (int_dot(F.col("a.qv"), F.col("b.qv"))
+           / (F.sqrt(F.col("a.norm2")) * F.sqrt(F.col("b.norm2"))))
+    pairs = (
+        a.join(b, (F.col("a.centroid_id") == F.col("b.centroid_id"))
+               & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(F.col("a.centroid_id").alias("centroid_id"),
+                F.col("b.vec_id").alias("dropped_vec"),
+                cos.alias("cosine"))
+        .filter(F.col("cosine") >= SEM_EPS))
+    members = (corpus.groupBy("centroid_id")
+               .agg(F.count(F.lit(1)).cast("long").alias("members")))
+    stats = (pairs.groupBy("centroid_id")
+             .agg(F.count(F.lit(1)).cast("long").alias("dup_pairs"),
+                  F.countDistinct("dropped_vec").cast("long")
+                  .alias("dropped")))
+    ref = (members.join(stats, "centroid_id", "left")
+           .select("centroid_id", "members",
+                   F.coalesce(F.col("dup_pairs"), F.lit(0)).cast("long")
+                   .alias("dup_pairs"),
+                   F.coalesce(F.col("dropped"), F.lit(0)).cast("long")
+                   .alias("dropped"),
+                   (F.col("members")
+                    - F.coalesce(F.col("dropped"), F.lit(0))).cast("long")
+                   .alias("kept"))
+           .orderBy("centroid_id").toPandas())
+    got = REGISTRY["dedup_semantic"].raw_fn(spark, sf_dir) \
+        .orderBy("centroid_id").toPandas()
+    assert ref.reset_index(drop=True).equals(got.reset_index(drop=True))
